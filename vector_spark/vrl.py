@@ -1,0 +1,283 @@
+"""VRL-subset → Spark Column compiler.
+
+The reference's `remap`/`filter`/`route` transforms take VRL programs and
+conditions (ui/src/components/pipeline/config_panel.rs:1420-1441 remap form,
+:1449-1614 filter form with example conditions :1544-1581, :1643-1667 route).
+This module compiles the observed VRL subset to **Spark Column expressions**,
+never UDFs, so every condition stays inside Catalyst: predicate pushdown into
+the parquet scan, constant folding, and whole-stage codegen all apply.
+
+Supported grammar (every construct observed in the reference is covered):
+
+    program   := (ident '=' expr (';'|newline))* expr
+    expr      := or ;  or := and ('||' and)* ;  and := not ('&&' not)*
+    not       := '!' not | cmp
+    cmp       := coalesce (('=='|'!='|'>='|'<='|'>'|'<') coalesce)?
+    coalesce  := add ('??' add)*
+    add       := primary (('+'|'-') primary)*
+    primary   := literal | path | ident | call | '(' expr ')'
+    path      := '.' ident ('.' ident)*           → F.col
+    literal   := string | r'regex' | number | true | false | null
+
+Functions (observed forms cited per SURVEY §2):
+    exists(.f)            → isNotNull            (config_panel.rs:1560)
+    contains(s, "x")      → F.contains           (config_panel.rs:1568; demo.toml:15-21)
+    match(s, r'..')       → rlike                (config_panel.rs:1576)
+    starts_with/ends_with → startswith/endswith
+    to_int / to_float     → try_cast (+ `??` → coalesce; production/vector.toml:32-39)
+    string / to_string    → cast string
+    parse_json(s)         → leave as string col; remap stage handles real JSON parsing
+    length, downcase, upcase, now, is_log/is_metric/is_trace (schema-constant)
+
+Error semantics: VRL `f!(..)` aborts the event on error; `??` recovers.  In
+Column form a failed `try_cast` yields NULL, and NULL comparisons are
+three-valued-false — so in a *filter* context, abort-on-error == drop, which
+is exactly the reference behavior (dropped events counted, functional_test.rs:173).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class VRLError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[ \t]+)
+  | (?P<newline>[;\n]+)
+  | (?P<rawstr>r'(?:[^'\\]|\\.)*')
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<number>\d+\.\d+|\d+)
+  | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<op>\|\||&&|\?\?|==|!=|>=|<=|[<>!()+,=-])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    value: str
+
+
+def _tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    src = src.replace("\r\n", "\n")
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise VRLError(f"VRL syntax error at offset {pos}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append(Tok(kind, m.group()))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], event_kind: str = "log"):
+        self.toks = toks
+        self.i = 0
+        self.env: dict[str, Column] = {}
+        self.event_kind = event_kind
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise VRLError("unexpected end of VRL expression")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t and t.kind == kind and (value is None or t.value == value):
+            self.i += 1
+            return t
+        return None
+
+    # --- program: assignments then a final boolean/value expression --------
+    def program(self) -> Column:
+        while self.accept("newline"):
+            pass
+        result: Column | None = None
+        while self.peek() is not None:
+            # lookahead: ident '=' (but not '==')
+            t = self.peek()
+            if (
+                t.kind == "ident"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].kind == "op"
+                and self.toks[self.i + 1].value == "="
+            ):
+                name = self.next().value
+                self.next()  # '='
+                self.env[name] = self.expr()
+            else:
+                result = self.expr()
+            if not self.accept("newline") and self.peek() is not None:
+                raise VRLError(f"unexpected token {self.peek()!r}")
+            while self.accept("newline"):
+                pass
+        if result is None:
+            raise VRLError("VRL program has no final expression")
+        return result
+
+    def expr(self) -> Column:
+        return self.or_expr()
+
+    def or_expr(self) -> Column:
+        left = self.and_expr()
+        while self.accept("op", "||"):
+            left = left | self.and_expr()
+        return left
+
+    def and_expr(self) -> Column:
+        left = self.not_expr()
+        while self.accept("op", "&&"):
+            left = left & self.not_expr()
+        return left
+
+    def not_expr(self) -> Column:
+        if self.accept("op", "!"):
+            return ~self.not_expr()
+        return self.cmp()
+
+    _CMP = {"==", "!=", ">=", "<=", ">", "<"}
+
+    def cmp(self) -> Column:
+        left = self.coalesce()
+        t = self.peek()
+        if t and t.kind == "op" and t.value in self._CMP:
+            op = self.next().value
+            right = self.coalesce()
+            if op == "==":
+                return left == right
+            if op == "!=":
+                return left != right
+            if op == ">=":
+                return left >= right
+            if op == "<=":
+                return left <= right
+            if op == ">":
+                return left > right
+            return left < right
+        return left
+
+    def coalesce(self) -> Column:
+        left = self.add()
+        parts = [left]
+        while self.accept("op", "??"):
+            parts.append(self.add())
+        if len(parts) > 1:
+            return F.coalesce(*parts)
+        return left
+
+    def add(self) -> Column:
+        left = self.primary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.value in ("+", "-"):
+                op = self.next().value
+                right = self.primary()
+                left = (left + right) if op == "+" else (left - right)
+            else:
+                return left
+
+    def primary(self) -> Column:
+        t = self.next()
+        if t.kind == "op" and t.value == "(":
+            inner = self.expr()
+            if not self.accept("op", ")"):
+                raise VRLError("expected ')'")
+            return inner
+        if t.kind == "path":
+            return F.col(t.value[1:])
+        if t.kind == "string":
+            return F.lit(_unescape(t.value[1:-1]))
+        if t.kind == "rawstr":
+            return F.lit(t.value[2:-1])
+        if t.kind == "number":
+            return F.lit(float(t.value) if "." in t.value else int(t.value))
+        if t.kind == "ident":
+            name = t.value
+            if name in ("true", "false"):
+                return F.lit(name == "true")
+            if name == "null":
+                return F.lit(None)
+            if self.accept("op", "("):
+                args: list[Column] = []
+                if not self.accept("op", ")"):
+                    while True:
+                        args.append(self.expr())
+                        if self.accept("op", ")"):
+                            break
+                        if not self.accept("op", ","):
+                            raise VRLError("expected ',' or ')' in call")
+                return self._call(name, args)
+            if name in self.env:
+                return self.env[name]
+            raise VRLError(f"unknown identifier {name!r}")
+        raise VRLError(f"unexpected token {t!r}")
+
+    def _call(self, name: str, args: list[Column]) -> Column:
+        base = name.rstrip("!")  # `f!` = fallible-abort; NULL-on-error in Column form
+        if base == "exists":
+            return args[0].isNotNull()
+        if base == "contains":
+            return F.contains(args[0].cast("string"), args[1])
+        if base == "match":
+            return F.regexp_like(args[0].cast("string"), args[1])
+        if base == "starts_with":
+            return args[0].cast("string").startswith(args[1])
+        if base == "ends_with":
+            return args[0].cast("string").endswith(args[1])
+        if base == "to_int":
+            return args[0].try_cast("long")
+        if base == "to_float":
+            return args[0].try_cast("double")
+        if base in ("string", "to_string"):
+            return args[0].cast("string")
+        if base == "parse_json":
+            # Real JSON field extraction is the remap stage's job (typed
+            # from_json with schema); inside a condition the value passes
+            # through as a string column.
+            return args[0].cast("string")
+        if base == "length":
+            return F.length(args[0].cast("string"))
+        if base == "downcase":
+            return F.lower(args[0].cast("string"))
+        if base == "upcase":
+            return F.upper(args[0].cast("string"))
+        if base == "now":
+            return F.current_timestamp()
+        if base in ("is_log", "is_metric", "is_trace"):
+            # Schema-constant in our typed build: a DataFrame is one event
+            # kind (filter forms expose these as condition types,
+            # config_panel.rs:1461-1467).
+            return F.lit(base == f"is_{self.event_kind}")
+        if base == "abs":
+            return F.abs(args[0])
+        raise VRLError(f"unsupported VRL function {name!r}")
+
+
+def _unescape(s: str) -> str:
+    return s.encode().decode("unicode_escape")
+
+
+def compile_condition(src: str, event_kind: str = "log") -> Column:
+    """Compile a VRL condition/program to one Spark Column (boolean or value)."""
+    return _Parser(_tokenize(src), event_kind).program()
