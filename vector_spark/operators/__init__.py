@@ -1,0 +1,47 @@
+"""Transform operators — one module per reference transform (SURVEY §2.1).
+
+T1 remap        → remap.remap / parse_url / parse_grok / parse_apache_common /
+                  parse_json_fields / extract_text / split_errors
+T2 filter       → filter.filter_events / filter_with_dropped
+T3 route        → route.tag_routes / route.split
+T4 sample       → sample.sample / sample_mod
+T5 throttle     → throttle.throttle
+T6 dedupe       → dedupe.dedupe
+T7 reduce       → reduce.reduce_events
+T8 aggregate    → aggregate.aggregate / sink_aggregate
+T9 log_to_metric / T10 metric_to_log → metrics_conv
+T11 tag_cardinality_limit → tag_cardinality
+enrichment join → enrich.enrich / salted_join
+T13 test_basic  → identity (pipeline-level)
+T12 lua         → not ported; the pandas-UDF escape hatch covers the use case
+"""
+
+from vector_spark.operators.remap import (
+    remap,
+    parse_url,
+    parse_grok,
+    parse_apache_common,
+    parse_json_fields,
+    extract_text,
+    split_errors,
+)
+from vector_spark.operators.filter import filter_events, filter_with_dropped
+from vector_spark.operators.route import tag_routes, split, UNMATCHED
+from vector_spark.operators.sample import sample, sample_mod
+from vector_spark.operators.throttle import throttle
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.reduce import reduce_events
+from vector_spark.operators.aggregate import aggregate, sink_aggregate
+from vector_spark.operators.metrics_conv import log_to_metric, metric_to_log
+from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+from vector_spark.operators.enrich import enrich, salted_join
+
+__all__ = [
+    "remap", "parse_url", "parse_grok", "parse_apache_common",
+    "parse_json_fields", "extract_text", "split_errors",
+    "filter_events", "filter_with_dropped",
+    "tag_routes", "split", "UNMATCHED",
+    "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
+    "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
+    "tag_cardinality_limit", "enrich", "salted_join",
+]

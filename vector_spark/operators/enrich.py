@@ -1,0 +1,50 @@
+"""Enrichment-table lookups — the reference's only join (broadcast left).
+
+Reference: `enrichment_tables` is a recognized top-level config key
+(vectorize-cli/src/validation/mod.rs:184); Vector semantics are a static
+key→row in-memory lookup (GeoIP-style).  The Spark analog of an in-memory
+lookup table replicated to every worker is exactly a BROADCAST hash join —
+no shuffle of the 100 TB side, the dim ships once per executor.
+
+For dims too big to broadcast (or hot-key skew on a shuffle join), `salted_join`
+splits each hot key into SALT shards: the big side gets a random-but-
+deterministic shard id, the dim side is exploded ×SALT — the classic salting
+pattern, with AQE skew-join as the runtime backstop (session.py enables it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(
+    df: DataFrame,
+    table: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast left join — missing keys yield NULL enrichment columns,
+    mirroring Vector's lookup-miss behavior."""
+    return df.join(F.broadcast(table), on=on, how=how)
+
+
+def salted_join(
+    df: DataFrame,
+    table: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-resistant shuffle join: big side gets salt = hash(whole row id
+    surrogate) % salt; dim side is replicated ×salt.  Deterministic output
+    (salting changes placement, not results)."""
+    salted_big = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+    )
+    salted_dim = table.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+    )
+    out = salted_big.join(salted_dim, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

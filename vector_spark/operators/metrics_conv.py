@@ -1,0 +1,79 @@
+"""`log_to_metric` (T9) and `metric_to_log` (T10) — event-kind conversions.
+
+Reference: log_to_metric form config_panel.rs:1799-1827 — options
+{type ∈ counter|gauge|histogram|set, field, name, increment_by_value}
+(:1812-1822); metric_to_log is palette-only (palette.rs:143).
+
+Spark design: both are reshapes into/out of the METRIC_EVENT_SCHEMA.
+log_to_metric with `increment_by_value=false` counts events per tag-set;
+with true it sums the field — a hash aggregate (one shuffle on tags).
+metric_to_log is a pure projection (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def log_to_metric(
+    df: DataFrame,
+    metric_name: str,
+    field: str,
+    metric_type: str = "counter",
+    increment_by_value: bool = False,
+    tags: list[str] | None = None,
+    ts_col: str | None = None,
+    namespace: str | None = None,
+) -> DataFrame:
+    """Derive a metrics-shaped DataFrame from log rows."""
+    tag_cols = tags or []
+    if metric_type == "counter":
+        value = F.sum(field) if increment_by_value else F.count(field)
+        kind = "incremental"
+    elif metric_type == "gauge":
+        value = F.last(field, ignorenulls=True)
+        kind = "absolute"
+    elif metric_type == "set":
+        value = F.countDistinct(field)
+        kind = "absolute"
+    elif metric_type == "histogram":
+        value = F.sum(field)
+        kind = "incremental"
+    else:
+        raise ValueError(f"unknown metric type {metric_type!r}")
+
+    agg = df.groupBy(*tag_cols).agg(
+        value.cast("double").alias("value"),
+        (F.max(ts_col) if ts_col else F.lit(None).cast("timestamp")).alias("timestamp"),
+    )
+    return agg.select(
+        F.lit(metric_name).alias("name"),
+        F.lit(namespace).cast("string").alias("namespace"),
+        F.lit(kind).alias("kind"),
+        "value",
+        F.create_map(
+            *[x for t in tag_cols for x in (F.lit(t), F.col(t).cast("string"))]
+        ).alias("tags"),
+        "timestamp",
+    )
+
+
+def metric_to_log(df: DataFrame) -> DataFrame:
+    """Metric rows → log-shaped rows: tags flatten into a message, the metric
+    value/kind become fields (pure projection)."""
+    return df.select(
+        F.col("timestamp"),
+        F.concat_ws(
+            " ",
+            F.lit("metric"),
+            F.col("name"),
+            F.col("kind"),
+            F.col("value").cast("string"),
+        ).alias("message"),
+        F.lit("info").alias("level"),
+        F.col("name").alias("metric_name"),
+        F.col("kind").alias("metric_kind"),
+        F.col("value"),
+        F.col("tags").alias("fields"),
+    )

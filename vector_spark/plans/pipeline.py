@@ -1,0 +1,380 @@
+"""Pipeline: config → validated stage DAG → lazy DataFrame plan per sink.
+
+Mirrors the reference's pipeline model end to end:
+
+  * PipelineConfig {sources, transforms, sinks}, components = `type` +
+    free-form options, transforms/sinks carry `inputs`
+    (shared/src/config.rs:12-24, :60-68, :86-97, :116-127)
+  * TOML round-trip: the same `[sources.x] type=…` / `[transforms.y]
+    inputs=[…]` shape loads here (config.rs:48-56)
+  * route multi-output ports: an input "router.errors" selects the named
+    output, ≙ Connection.from_port (config.rs:224-226)
+  * validation error codes: MISSING_TYPE / INVALID_INPUT / NO_SOURCES /
+    NO_SINKS / UNKNOWN_KEY / MISSING_INPUTS, matching
+    vectorize-cli/src/validation/mod.rs:170-345
+  * functional-test mode: replace the source with literal sample events and
+    every sink with one collecting output, ≙ generate_test_config
+    (functional_test.rs:221-296)
+
+Execution model: compilation produces ONE lazy DataFrame per sink; Spark's
+Catalyst sees the whole plan (filters push into scans across stage
+boundaries).  Multi-consumer nodes (route, or any stage feeding >1 sink) are
+persisted once so the fan-out shares a single materialized scan.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_spark import sources as src_mod
+from vector_spark.operators import (
+    aggregate,
+    dedupe,
+    enrich,
+    extract_text,
+    filter_events,
+    log_to_metric,
+    metric_to_log,
+    parse_apache_common,
+    parse_grok,
+    parse_json_fields,
+    parse_url,
+    reduce_events,
+    remap,
+    sample,
+    sample_mod,
+    sink_aggregate,
+    split,
+    tag_cardinality_limit,
+    tag_routes,
+    throttle,
+)
+from vector_spark.plans import sinks as sink_mod
+
+KNOWN_TOP_KEYS = {"api", "sources", "transforms", "sinks", "tests", "enrichment_tables", "secret"}
+
+
+@dataclass
+class ValidationIssue:
+    code: str
+    message: str
+    component: str | None = None
+    severity: str = "error"  # error | warning
+
+
+@dataclass
+class Stage:
+    name: str
+    kind: str  # source | transform | sink
+    type: str | None
+    options: dict[str, Any] = field(default_factory=dict)
+    inputs: list[str] = field(default_factory=list)
+
+
+class PipelineError(ValueError):
+    def __init__(self, issues: list[ValidationIssue]):
+        self.issues = issues
+        super().__init__("; ".join(f"{i.code}: {i.message}" for i in issues))
+
+
+class Pipeline:
+    def __init__(self, stages: dict[str, Stage], enrichment_tables: dict[str, Any] | None = None):
+        self.stages = stages
+        self.enrichment_tables = enrichment_tables or {}
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "Pipeline":
+        stages: dict[str, Stage] = {}
+        for kind_key, kind in (("sources", "source"), ("transforms", "transform"), ("sinks", "sink")):
+            for name, c in (cfg.get(kind_key) or {}).items():
+                c = dict(c)
+                typ = c.pop("type", None)
+                inputs = c.pop("inputs", [])
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                stages[name] = Stage(name=name, kind=kind, type=typ, options=c, inputs=list(inputs))
+        return cls(stages, cfg.get("enrichment_tables"))
+
+    @classmethod
+    def from_toml(cls, text: str) -> "Pipeline":
+        return cls.from_dict(tomllib.loads(text))
+
+    # -------------------------------------------------------------- validate
+    def validate(self, raw_cfg: dict | None = None) -> list[ValidationIssue]:
+        """Graph validation with the reference's error codes
+        (validation/mod.rs:170-345)."""
+        issues: list[ValidationIssue] = []
+        if raw_cfg:
+            for k in raw_cfg:
+                if k not in KNOWN_TOP_KEYS:
+                    issues.append(ValidationIssue("UNKNOWN_KEY", f"unknown top-level key '{k}'", severity="warning"))
+        sources = [s for s in self.stages.values() if s.kind == "source"]
+        sinks = [s for s in self.stages.values() if s.kind == "sink"]
+        if not sources:
+            issues.append(ValidationIssue("NO_SOURCES", "pipeline has no sources", severity="warning"))
+        if not sinks:
+            issues.append(ValidationIssue("NO_SINKS", "pipeline has no sinks", severity="warning"))
+        names = set(self.stages)
+        for s in self.stages.values():
+            if s.type is None:
+                issues.append(ValidationIssue("MISSING_TYPE", f"component '{s.name}' has no type", s.name))
+            if s.kind in ("transform", "sink"):
+                if not s.inputs:
+                    issues.append(ValidationIssue("MISSING_INPUTS", f"component '{s.name}' has no inputs", s.name, severity="warning"))
+                for inp in s.inputs:
+                    base = inp.split(".", 1)[0]
+                    if base not in names:
+                        issues.append(ValidationIssue("INVALID_INPUT", f"component '{s.name}' references unknown input '{inp}'", s.name))
+                    elif self.stages[base].kind == "sink":
+                        issues.append(ValidationIssue("INVALID_INPUT", f"component '{s.name}' cannot read from sink '{inp}'", s.name))
+        return issues
+
+    def validate_or_raise(self, raw_cfg: dict | None = None) -> None:
+        errors = [i for i in self.validate(raw_cfg) if i.severity == "error"]
+        if errors:
+            raise PipelineError(errors)
+
+    # ----------------------------------------------------------------- build
+    def build(self, spark: SparkSession, overrides: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
+        """Compile to {sink_name: DataFrame}. ``overrides`` maps a source
+        name to a ready DataFrame (the functional-test entry, and how driver
+        testdata is injected)."""
+        self.validate_or_raise()
+        outputs: dict[str, DataFrame | dict[str, DataFrame]] = {}
+        order = self._topo_order()
+        consumers = self._consumer_counts()
+        for name in order:
+            st = self.stages[name]
+            if st.kind == "source":
+                df = overrides[name] if overrides and name in overrides else self._build_source(spark, st)
+                outputs[name] = df
+            elif st.kind == "transform":
+                df = self._resolve_inputs(st, outputs)
+                outputs[name] = self._build_transform(spark, st, df)
+                if not isinstance(outputs[name], dict) and consumers.get(name, 0) > 1:
+                    outputs[name] = outputs[name].persist()
+            else:  # sink: record the input DataFrame under the sink's name
+                outputs[name] = self._resolve_inputs(st, outputs)
+        return {name: outputs[name] for name, st in self.stages.items() if st.kind == "sink"}
+
+    def run(self, spark: SparkSession, overrides: dict[str, DataFrame] | None = None) -> dict[str, Any]:
+        """Build then execute every sink; returns {sink: result}."""
+        built = self.build(spark, overrides)
+        results: dict[str, Any] = {}
+        for name, df in built.items():
+            st = self.stages[name]
+            results[name] = self._run_sink(st, df)
+        return results
+
+    def test(self, spark: SparkSession, sample_events: list[dict], source_id: str | None = None) -> dict[str, Any]:
+        """Functional-test mode (≙ generate_test_config,
+        functional_test.rs:221-296): inject sample events at the (first or
+        named) source, collect every sink's rows into one __test_output list,
+        report output/dropped counts."""
+        src_names = [s.name for s in self.stages.values() if s.kind == "source"]
+        target = source_id or (src_names[0] if src_names else None)
+        if target is None:
+            raise PipelineError([ValidationIssue("NO_SOURCES", "no source to inject into")])
+        injected = src_mod.memory_source(spark, sample_events)
+        built = self.build(spark, overrides={target: injected})
+        out_rows: list[dict] = []
+        for df in built.values():
+            out_rows.extend(sink_mod.console_sink(df))
+        return {
+            "output_events": out_rows,
+            "output_count": len(out_rows),
+            "dropped_count": len(sample_events) - len(out_rows),
+        }
+
+    # ------------------------------------------------------------- internals
+    def _topo_order(self) -> list[str]:
+        """Kahn BFS (≙ auto_layout topo sort, ui/src/client/direct.rs:292-372)."""
+        indeg = {n: 0 for n in self.stages}
+        deps: dict[str, list[str]] = {n: [] for n in self.stages}
+        for s in self.stages.values():
+            for inp in s.inputs:
+                base = inp.split(".", 1)[0]
+                deps[base].append(s.name)
+                indeg[s.name] += 1
+        queue = sorted(n for n, d in indeg.items() if d == 0)
+        order = []
+        while queue:
+            n = queue.pop(0)
+            order.append(n)
+            for m in sorted(deps[n]):
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    queue.append(m)
+        if len(order) != len(self.stages):
+            cyc = set(self.stages) - set(order)
+            raise PipelineError([ValidationIssue("INVALID_INPUT", f"cycle involving {sorted(cyc)}")])
+        return order
+
+    def _consumer_counts(self) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for s in self.stages.values():
+            for inp in s.inputs:
+                base = inp.split(".", 1)[0]
+                counts[base] = counts.get(base, 0) + 1
+        return counts
+
+    def _resolve_inputs(self, st: Stage, outputs: dict) -> DataFrame:
+        dfs: list[DataFrame] = []
+        for inp in st.inputs:
+            if "." in inp:
+                base, port = inp.split(".", 1)
+                node = outputs[base]
+                if not isinstance(node, dict) or port not in node:
+                    raise PipelineError([ValidationIssue("INVALID_INPUT", f"'{inp}': no output port '{port}'", st.name)])
+                dfs.append(node[port])
+            else:
+                node = outputs[inp]
+                if isinstance(node, dict):
+                    raise PipelineError([ValidationIssue("INVALID_INPUT", f"'{inp}' is multi-output; select a port", st.name)])
+                dfs.append(node)
+        df = dfs[0]
+        for other in dfs[1:]:  # implicit union on multi-input (validation/mod.rs:874)
+            df = df.unionByName(other, allowMissingColumns=True)
+        return df
+
+    def _build_source(self, spark: SparkSession, st: Stage) -> DataFrame:
+        o = st.options
+        t = st.type
+        if t == "demo_logs":
+            return src_mod.demo_logs(spark, count=int(o.get("count", 10_000)), fmt=o.get("format", "json"))
+        if t == "documents":
+            return src_mod.documents_source(spark, n_rows=int(o.get("count", 10_000)))
+        if t in ("file", "aws_s3", "gcp_cloud_storage"):
+            return src_mod.file_source(spark, o.get("include", o.get("path")), codec=o.get("codec", "parquet"))
+        if t == "parquet":
+            return src_mod.parquet_source(spark, o["path"])
+        if t in ("stdin", "memory"):
+            return src_mod.memory_source(spark, o.get("events", []))
+        raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported source type {t!r}", st.name)])
+
+    def _build_transform(self, spark: SparkSession, st: Stage, df: DataFrame):
+        o = dict(st.options)
+        t = st.type
+        if t == "remap":
+            out = df
+            if o.get("parse_url"):
+                out = parse_url(out, o.get("url_col", "url"))
+            if o.get("extract_text"):
+                out = extract_text(out, o.get("html_col", "html"))
+            if o.get("parse_apache_common"):
+                out = parse_apache_common(out, o.get("source_col", "message"))
+            if o.get("parse_json"):
+                out = parse_json_fields(out, o.get("source_col", "message"), o["parse_json"])
+            if o.get("grok_pattern"):
+                out = parse_grok(out, o.get("source_col", "message"), o["grok_pattern"], o["grok_fields"])
+            if o.get("assignments") or o.get("source"):
+                out = remap(out, o.get("assignments") or _parse_remap_source(o["source"]))
+            return out
+        if t == "filter":
+            return filter_events(df, o["condition"])
+        if t == "route":
+            tagged = tag_routes(df, o["route"])
+            return split(tagged, list(o["route"].keys()))
+        if t == "sample":
+            if o.get("id_col"):
+                return sample_mod(df, int(o.get("rate", 10)), o["id_col"])
+            return sample(df, int(o.get("rate", 10)), o.get("key"))
+        if t == "throttle":
+            return throttle(
+                df, o.get("ts_col", "timestamp"), threshold=int(o.get("threshold", 10)),
+                window_secs=float(o.get("window_secs", 1.0)), key_field=o.get("key_field"),
+                tiebreaker=o.get("tiebreaker"),
+            )
+        if t == "dedupe":
+            fields = o.get("fields", {}).get("match") if isinstance(o.get("fields"), dict) else o.get("fields")
+            return dedupe(df, fields or ["timestamp", "host", "message"], order_by=o.get("order_by"))
+        if t == "reduce":
+            return reduce_events(
+                df, o.get("group_by", []), o.get("merge", {}),
+                ends_when=o.get("ends_when"), ts_col=o.get("ts_col"),
+            )
+        if t == "aggregate":
+            interval = f"{int(o.get('interval_ms', 10_000)) // 1000} seconds"
+            return aggregate(df, o.get("ts_col", "timestamp"), interval=interval,
+                             group_by=o.get("group_by"), mode=o.get("mode", "auto"),
+                             value_col=o.get("value_col", "value"))
+        if t == "sink_aggregate":
+            return sink_aggregate(df, ts_col=o.get("ts_col", "warc_ts"),
+                                  interval=o.get("interval", "1 hour"),
+                                  keys=tuple(o.get("keys", ("lang", "host"))),
+                                  bytes_col=o.get("bytes_col", "content_bytes"))
+        if t == "log_to_metric":
+            m = o.get("metrics", [o])[0]
+            return log_to_metric(df, m.get("name", "events_total"), m.get("field", "message"),
+                                 metric_type=m.get("type", "counter"),
+                                 increment_by_value=bool(m.get("increment_by_value", False)),
+                                 tags=m.get("tags"), ts_col=m.get("ts_col"))
+        if t == "metric_to_log":
+            return metric_to_log(df)
+        if t == "tag_cardinality_limit":
+            return tag_cardinality_limit(df, o["tag_col"], value_limit=int(o.get("value_limit", 500)),
+                                         order_by=o.get("order_by"), action=o.get("action", "drop_tag"))
+        if t == "enrich":
+            table = self._load_enrichment(spark, o["table"])
+            return enrich(df, table, on=o["on"], how=o.get("how", "left"))
+        if t == "test_basic":
+            return df
+        raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported transform type {t!r}", st.name)])
+
+    def _load_enrichment(self, spark: SparkSession, name: str) -> DataFrame:
+        from vector_spark import synth
+
+        spec = self.enrichment_tables.get(name, {"type": name})
+        t = spec.get("type", name)
+        if t == "host_geo":
+            return synth.host_geo(spark)
+        if t == "lang_dict":
+            return synth.lang_dict(spark)
+        if t in ("file", "parquet"):
+            return spark.read.parquet(spec["path"])
+        raise PipelineError([ValidationIssue("INVALID_INPUT", f"unknown enrichment table {name!r}")])
+
+    def _run_sink(self, st: Stage, df: DataFrame):
+        o = st.options
+        t = st.type
+        if t == "console":
+            return sink_mod.console_sink(df, limit=o.get("limit"), codec=o.get("codec", "json"))
+        if t in ("file", "parquet", "aws_s3", "elasticsearch", "loki"):
+            sink_mod.file_sink(df, o["path"], codec=o.get("codec", "parquet"),
+                               partition_by=o.get("partition_by"), mode=o.get("mode", "overwrite"))
+            return o["path"]
+        if t == "blackhole":
+            return sink_mod.blackhole_sink(df)
+        if t == "memory":
+            return sink_mod.console_sink(df)
+        raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported sink type {t!r}", st.name)])
+
+    def describe(self) -> str:
+        """Topology introspection (≙ Topology/ComponentKind,
+        shared/src/messages.rs:71-100)."""
+        lines = []
+        for name in self._topo_order():
+            s = self.stages[name]
+            arrow = f" ← {', '.join(s.inputs)}" if s.inputs else ""
+            lines.append(f"[{s.kind}] {name} ({s.type}){arrow}")
+        return "\n".join(lines)
+
+
+def _parse_remap_source(source: str) -> dict[str, str]:
+    """Parse a simple VRL remap program `.field = <expr>` per line into
+    assignments (the observed remap shapes in dev/configs/*.toml:26-30)."""
+    assignments: dict[str, str] = {}
+    for line in source.replace(";", "\n").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if "=" not in line or not line.startswith("."):
+            raise PipelineError([ValidationIssue("INVALID_INPUT", f"unsupported remap statement {line!r}")])
+        lhs, rhs = line.split("=", 1)
+        assignments[lhs.strip().lstrip(".")] = rhs.strip()
+    return assignments

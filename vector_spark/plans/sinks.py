@@ -1,0 +1,87 @@
+"""Sinks (SURVEY §2.3).
+
+Reference sink palette: palette.rs:153-214 (38 sinks); the data-plane
+semantics collapse to four Spark writers:
+
+  console    (config_panel.rs:1865-1893) → collect/show (+ the functional
+              tester's __test_output, functional_test.rs:272-287)
+  file/s3/es (config_panel.rs:1897-1925, 2088-2130, 1969-2003) → partitioned
+              parquet/json writes; strftime key templates ≙ partition columns
+  blackhole  (config_panel.rs:2453-2471) → noop write (bench sink)
+  kafka      (config_panel.rs:2040-2084) → streaming module; `key_field`
+              partition key ≙ repartition(col) before write
+
+`write_routed` is the single-scan multi-sink fan-out: the tagged stream is
+written ONCE, partitioned by (route, <part_cols>) — each route lands in its
+own directory tree (its own "table"), and downstream readers get partition
+pruning on route for free.  This is the plan that survives 100 TB: one scan,
+one write, no per-route rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def console_sink(df: DataFrame, limit: int | None = None, codec: str = "json") -> list:
+    """Collect rows (the test/preview sink). codec=json → list of dicts."""
+    if limit is not None:
+        df = df.limit(limit)
+    if codec == "json":
+        return [r.asDict(recursive=True) for r in df.collect()]
+    return df.collect()
+
+
+def file_sink(
+    df: DataFrame,
+    path: str,
+    codec: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned file/table write. strftime path templates in the reference
+    (`/var/log/vector/%Y-%m-%d.log`) become partition columns here."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if codec == "parquet":
+        writer.parquet(path)
+    elif codec in ("json", "ndjson"):
+        writer.json(path)
+    elif codec == "text":
+        writer.text(path)
+    elif codec == "csv":
+        writer.csv(path, header=True)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+
+def blackhole_sink(df: DataFrame) -> int:
+    """Benchmark sink: materialize everything, keep nothing, return count.
+
+    `noop` format exists but returns no row count; a count() aggregate fully
+    exercises scan+compute while shipping one long to the driver.
+    """
+    return df.count()
+
+
+def write_routed(
+    tagged: DataFrame,
+    base_path: str,
+    route_col: str = "route",
+    extra_partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    drop_binary: list[str] | None = None,
+) -> None:
+    """Single-scan fan-out write: partition the output by route (+ extras).
+
+    Equivalent to N per-route sinks but with exactly one pass over the data.
+    ``drop_binary`` lets callers exclude heavyweight columns (html) from the
+    routed copy — the reference sinks serialize events as json/ndjson and we
+    keep sink tables lean the same way.
+    """
+    if drop_binary:
+        tagged = tagged.drop(*drop_binary)
+    parts = [route_col] + (extra_partition_cols or [])
+    tagged.write.mode(mode).partitionBy(*parts).parquet(base_path)

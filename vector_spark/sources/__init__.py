@@ -1,0 +1,134 @@
+"""Sources — scans and generators (SURVEY §2.2).
+
+Reference source palette: palette.rs:70-122 (35 sources).  The
+semantics-bearing ones map to Spark scans:
+
+  demo_logs  (config_panel.rs:775-900)  → synthetic generators (demo_logs())
+  stdin      (functional_test.rs:247-256) → memory_source() — the test entry
+  file       (config_panel.rs:918-930)  → spark.read (text/json/csv/parquet)
+  aws_s3 etc (palette.rs:95-98)         → the same spark.read against object
+                                          storage URIs (s3a:// …)
+  kafka      (config_panel.rs:1020-1040)→ streaming module (readStream kafka)
+
+Everything returns a lazy DataFrame; Catalyst handles pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import synth
+from vector_spark.schema import LOG_EVENT_SCHEMA
+
+
+def parquet_source(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def file_source(spark: SparkSession, path: str, codec: str = "text", schema=None) -> DataFrame:
+    """`file` source: include-glob → lines (framing=newline_delimited) or
+    typed rows (decoding.codec=json/csv)."""
+    if codec == "text":
+        return spark.read.text(path).withColumnRenamed("value", "message")
+    if codec == "json":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if codec == "csv":
+        return spark.read.csv(path, header=True, schema=schema)
+    if codec == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def memory_source(spark: SparkSession, events: list[dict], schema=None) -> DataFrame:
+    """The `stdin` analog used by the functional tester: a literal list of
+    events becomes the source (functional_test.rs:247-256)."""
+    if schema is None and events and set(events[0]) <= set(LOG_EVENT_SCHEMA.fieldNames()):
+        schema = LOG_EVENT_SCHEMA
+    pdf = pd.DataFrame(events)
+    if schema is not None:
+        for f in schema.fieldNames():
+            if f not in pdf.columns:
+                pdf[f] = None
+        pdf = pdf[list(schema.fieldNames())]
+        return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(pdf)
+
+
+# --- demo_logs: deterministic fake-log generator -----------------------------
+
+_METHODS = ["GET", "GET", "GET", "POST", "PUT", "DELETE"]
+_PATHS = ["/", "/index.html", "/api/v1/items", "/login", "/static/app.js", "/health"]
+_STATUS = [200, 200, 200, 201, 301, 404, 500, 503]
+
+
+def _format_lines(ids: np.ndarray, fmt: str) -> list[str]:
+    h = synth._splitmix64(ids.astype(np.uint64) + np.uint64(synth.SEED * 13))
+    h2 = synth._splitmix64(h)
+    out = []
+    for i, a, b in zip(ids, h, h2):
+        ip = f"10.{int(a) % 256}.{int(a >> np.uint64(8)) % 256}.{int(a >> np.uint64(16)) % 256}"
+        method = _METHODS[int(a >> np.uint64(24)) % len(_METHODS)]
+        path = _PATHS[int(a >> np.uint64(32)) % len(_PATHS)]
+        status = _STATUS[int(b) % len(_STATUS)]
+        size = 100 + int(b >> np.uint64(8)) % 5000
+        ts = pd.Timestamp("2026-01-01T00:00:00Z") + pd.Timedelta(seconds=int(i))
+        if fmt == "apache_common":
+            out.append(
+                f'{ip} - frank [{ts.strftime("%d/%b/%Y:%H:%M:%S +0000")}] '
+                f'"{method} {path} HTTP/1.1" {status} {size}'
+            )
+        elif fmt == "syslog":
+            pri = int(a) % 192
+            out.append(
+                f'<{pri}>{ts.strftime("%b %d %H:%M:%S")} host-{int(a) % 20:04d} '
+                f"app[{1000 + int(b) % 9000}]: {method} {path} -> {status}"
+            )
+        elif fmt == "json":
+            out.append(
+                '{"method": "%s", "path": "%s", "status": %d, "bytes": %d, "ip": "%s"}'
+                % (method, path, status, size, ip)
+            )
+        else:
+            raise ValueError(f"unknown demo_logs format {fmt!r}")
+    return out
+
+
+def demo_logs(
+    spark: SparkSession,
+    count: int = 10_000,
+    fmt: str = "json",
+    partitions: int | None = None,
+) -> DataFrame:
+    """`demo_logs` source: deterministic fake log lines in the reference's
+    formats (json / apache_common / syslog), generated distributed.
+
+    Returns (id long, timestamp, message string) — message is the raw line,
+    exactly as Vector's demo_logs emits into `.message`.
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            ts = pd.Series(pd.Timestamp("2026-01-01T00:00:00Z") + pd.to_timedelta(ids, unit="s"))
+            yield pd.DataFrame(
+                {"id": ids, "timestamp": ts, "message": _format_lines(ids, fmt)}
+            )
+
+    return spark.range(0, count, numPartitions=partitions).mapInPandas(
+        gen, "id long, timestamp timestamp, message string"
+    )
+
+
+def documents_source(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """The Common-Crawl-style primary table (BASELINE input_hint shape)."""
+    return synth.documents(spark, n_rows, partitions)
