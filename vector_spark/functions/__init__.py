@@ -1,0 +1,40 @@
+"""Training-data pipeline functions: text analysis, deduplication,
+similarity search, multimodal plumbing."""
+
+from vector_spark.functions.text import (
+    whitespace_token_count,
+    bpe_token_count,
+    quality_features,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+from vector_spark.functions.dedup import (
+    exact_dedup,
+    normalize_text,
+    shingle_df,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_neardup_pairs,
+    embedding_neardup_pairs,
+)
+from vector_spark.functions.similarity import (
+    cosine_expr,
+    brute_force_topk,
+    brute_force_topk_numpy,
+    ivf_topk,
+    train_centroids,
+    assign_cells,
+)
+
+__all__ = [
+    "whitespace_token_count", "bpe_token_count", "quality_features",
+    "quality_score", "lang_id", "fingerprint",
+    "exact_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
+    "minhash_signatures", "minhash_lsh_pairs", "simhash",
+    "simhash_neardup_pairs", "embedding_neardup_pairs",
+    "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
+    "ivf_topk", "train_centroids", "assign_cells",
+]

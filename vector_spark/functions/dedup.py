@@ -1,0 +1,270 @@
+"""Deduplication for web-scale training corpora.
+
+Five strategies, each picked for a different scale/recall point:
+
+  exact_dedup        — hash-groupBy on normalized text; one shuffle, the
+                       cheapest pass; run first at 100 TB.
+  ngram_jaccard      — exact pairwise Jaccard via an inverted n-gram index
+                       (explode → self-join on shared n-gram → count / union);
+                       quadratic only within n-gram postings, so rare-gram
+                       pruning keeps it tractable.
+  minhash_lsh        — the scale path: per-doc minhash signature (k
+                       permutations, all JVM-side: min(xxhash64(seed, shingle))
+                       per seed), banded into b buckets; candidate pairs are
+                       bucket-join collisions only.  No per-row Python.
+  simhash            — 64-bit sign-of-weighted-bit-sums fingerprint; near-dups
+                       differ in ≤ h bits (Hamming).  Arrow pandas UDF.
+  embedding_neardup  — cosine ≥ τ on an embedding column; brute force within
+                       LSH-ish buckets (random-hyperplane signs) for scale.
+
+All candidate generation is DataFrame-native (explode + join + groupBy), so
+Catalyst/AQE handle the shuffles; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_text(col) -> "F.Column":
+    """lower → strip non-word → collapse whitespace. The standard exact-dup
+    normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.coalesce(c, F.lit("")))
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Keep the lowest-id row per (normalized) text. One hash-agg shuffle;
+    map-side combine collapses duplicates before the exchange."""
+    key = normalize_text(text_col) if normalized else F.col(text_col)
+    keep = df.withColumn("_k", F.sha2(key, 256)).groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) posting list — the inverted index both Jaccard and
+    MinHash build on.  substring-per-offset via posexplode of a sequence."""
+    s = normalize_text(text_col)
+    with_s = df.select(F.col(id_col), s.alias("_s")).filter(F.length("_s") >= n)
+    return (
+        with_s.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(f"transform(sequence(1, length(_s) - {n - 1}), i -> substring(_s, i, {n}))")
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over char-n-gram sets for all pairs sharing ≥1 n-gram.
+
+    ``max_posting`` drops stop-grams (n-grams appearing in > max_posting
+    docs) before the self-join — the standard guard against the quadratic
+    blowup of hot postings at corpus scale.
+    """
+    sh = shingle_df(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
+    sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 5, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash, entirely JVM-side: permutation j is
+    xxhash64(j, shingle); the signature element is the min per doc.
+    One explode + one hash-agg — no Python in the loop."""
+    sh = shingle_df(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float | None = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    k hashes split into `bands` bands of r = k/bands rows; docs colliding in
+    ANY band-hash become a candidate pair (prob ≈ 1-(1-s^r)^b).  When
+    `threshold` is set, candidates are verified with the estimated Jaccard
+    (fraction of matching signature positions ≥ threshold).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
+
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bucket")
+
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if threshold is None:
+        sig.unpersist()
+        return cand
+
+    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    )
+    out = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(k), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return out
+
+
+# --- SimHash -----------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (blake2b token hashes —
+    deterministic across executors)."""
+    import hashlib
+
+    def sh(s: str | None) -> int:
+        if not s:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in s.lower().split():
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        v = np.uint64(0)
+        for i in range(64):
+            if acc[i] > 0:
+                v |= np.uint64(1) << np.uint64(i)
+        return int(v.astype(np.int64))
+
+    return text.map(sh)
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ h, via the block-permutation
+    trick: split 64 bits into (h+1) blocks — any pair within distance h
+    matches exactly on ≥1 block, so block equality is the join key (no
+    all-pairs comparison)."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sh = simhash(df.select(id_col, text_col), text_col)
+
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
+        for i in range(blocks)
+    ]
+    tagged = sh.select(id_col, "simhash", *block_cols)
+    pairs = None
+    for i in range(blocks):
+        a = tagged.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"blk{i}").alias("blk"))
+        b = tagged.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"blk{i}").alias("blk"))
+        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine ≥ τ pairs. Random-hyperplane LSH buckets bound the join: two
+    vectors with high cosine land in the same sign-pattern bucket with high
+    probability; brute-force cosine runs only within buckets (and across the
+    1-bit-flip neighbor buckets for recall)."""
+    from vector_spark.functions.similarity import hyperplane_bucket_udf, cosine_expr
+
+    b = df.select(id_col, vec_col).withColumn("bucket", hyperplane_bucket_udf(n_planes)(F.col(vec_col)))
+    a1 = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b1 = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a1.join(b1, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed (a
+deterministic fake, clearly marked) — but everything Spark-side is real and
+tested: schemas, Arrow batch shapes, mapInPandas plumbing, partitioning.
+Swapping the fake decoder for PIL/ffmpeg is a one-function change that does
+not touch the distributed plan.
+
+Pattern: media rows are (id, media_type, payload binary, meta struct);
+feature extraction is mapInPandas over batches of binary payloads —
+the Arrow transfer ships bytes zero-copy, and each batch is processed as one
+numpy block.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, byte_entropy double, feature array<float>"
+)
+
+
+def synth_media(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-random bytes
+    whose length/meta depend only on media_id)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            types_ = np.array(["image", "audio", "video"])[ids % 3]
+            rows = []
+            for i, t in zip(ids, types_):
+                rng = np.random.default_rng(42 + int(i))
+                size = 256 + int(i) % 1024
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "media_type": str(t),
+                        "payload": rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
+                        "meta": {
+                            "width": 64 + int(i) % 512 if t == "image" else None,
+                            "height": 64 + (int(i) * 7) % 512 if t == "image" else None,
+                            "duration_ms": 1000 + int(i) % 60000 if t != "image" else None,
+                            "codec": {"image": "png", "audio": "opus", "video": "av1"}[str(t)],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB — real decode needs PIL/libvips, not present in this container.
+
+    Raises NotImplementedError so callers can't silently depend on the fake.
+    Use `fake_decode` for plumbing tests.
+    """
+    raise NotImplementedError("image codecs unavailable in this environment; use fake_decode")
+
+
+def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic fake 'decode': fold payload bytes into a dim-length
+    float vector (stands in for pixel/spectrogram features)."""
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    pad = (-len(a)) % dim
+    if pad:
+        a = np.pad(a, (0, pad))
+    return (a.reshape(-1, dim).mean(axis=0) / 255.0).astype(np.float32)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, compute byte-level
+    stats (real) + the fake decode vector (stub).  The batch shape, schema,
+    and partition behavior are exactly what a real decoder would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b):
+                    counts = np.bincount(b, minlength=256).astype(np.float64)
+                    p = counts[counts > 0] / len(b)
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(b),
+                        "byte_entropy": round(entropy, 6),
+                        "feature": fake_decode(payload, dim),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    timestamps (real distributed expansion; frame DECODE is the stub)."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))),
+        )
+        .select("media_id", "frame_ms", "meta")
+    )

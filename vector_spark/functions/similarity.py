@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+  cosine_expr / brute_force_topk — exact: JVM-side dot product via
+      F.zip_with + F.aggregate (no Python), one pass over the corpus per
+      query batch. The correctness baseline, and fine up to ~10^8 vectors
+      per query batch because it is a pure scan (no shuffle at all until
+      the final top-k).
+  ivf_topk — the scale path: corpus pre-assigned to nlist centroid cells
+      (deterministic centroid seed), query probes the nprobe nearest cells;
+      scan cost drops by ~nlist/nprobe. Assignment is a vectorized numpy
+      pandas UDF (matrix multiply per Arrow batch).
+  hyperplane_bucket_udf — random-hyperplane sign LSH (shared with
+      embedding near-dup in dedup.py).
+
+Top-k selection uses Window row_number over a (query) partition — one
+shuffle of only the surviving scored rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEED = 42
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, pure JVM:
+    zip_with product + aggregate sum, over norms."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    ca = ca.cast("array<double>")
+    cb = cb.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus scan.
+
+    The corpus is never shuffled — queries are broadcast, scores computed in
+    the scan stage, and only per-query candidates move for the top-k window.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    scored = corpus.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr(vec_col, "_qvec")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# --- numpy-accelerated scoring (mapInPandas; Arrow batches) -------------------
+
+def brute_force_topk_numpy(
+    corpus: DataFrame,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as brute_force_topk but scores every query against each
+    Arrow batch with ONE numpy matrix multiply — the fast path when queries
+    fit in a broadcast dict. Partial top-k per partition, exact merge after."""
+    spark = corpus.sparkSession
+    qids = sorted(query_vecs)
+    qmat = np.array([query_vecs[q] for q in qids], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(corpus_id, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ qmat_.T  # (batch, nq)
+            ids = pdf[corpus_id].to_numpy()
+            # partial top-k per batch per query
+            frames = []
+            kk = min(k, len(ids))
+            for j, qid in enumerate(qids_):
+                idx = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, corpus_id: ids[idx], "cosine": sims[idx, j]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.select(corpus_id, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# --- IVF (inverted-file) index -------------------------------------------------
+
+def train_centroids(corpus: DataFrame, nlist: int, corpus_id: str, vec_col: str) -> np.ndarray:
+    """Deterministic 'training': take the nlist vectors with the evenly
+    spaced smallest ids as centroids (seedless, reproducible, good enough
+    for cell routing; real k-means is a drop-in upgrade)."""
+    rows = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(corpus_id)
+        .limit(nlist * 4)
+        .collect()
+    )
+    step = max(len(rows) // nlist, 1)
+    cents = np.array([rows[i * step][1] for i in range(min(nlist, len(rows)))], dtype=np.float64)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def assign_cells(corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add a `cell` column: argmax-cosine centroid per vector (numpy batch)."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return corpus.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query, brute-force inside them.
+
+    At scale the corpus is WRITTEN partitioned by `cell`, so the probe is a
+    partition-pruned scan of nprobe/nlist of the data.
+    """
+    spark = corpus_with_cells.sparkSession
+    qids = sorted(query_vecs)
+    qmat = np.array([query_vecs[q] for q in qids], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+
+    probe_rows = [
+        (int(qid), int(cell), [float(x) for x in query_vecs[qid]])
+        for qid, cells in zip(qids, probes)
+        for cell in cells
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, _qvec array<double>"
+    )
+    scored = corpus_with_cells.join(F.broadcast(probe_df), "cell").withColumn(
+        "cosine", cosine_expr(vec_col, "_qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# --- random-hyperplane LSH -----------------------------------------------------
+
+def hyperplane_bucket_udf(n_planes: int = 8, dim: int = 64, seed: int = SEED):
+    """Sign-pattern bucket id from n_planes fixed random hyperplanes
+    (deterministic seed). Vectorized numpy per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes) > 0
+        vals = signs @ (1 << np.arange(n_planes))
+        return pd.Series(vals.astype(np.int32))
+
+    return bucket

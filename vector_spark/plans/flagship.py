@@ -1,0 +1,109 @@
+"""The flagship end-to-end job: parse → enrich → route → aggregate.
+
+This is the north-rule pipeline over the Common-Crawl-style documents table
+(url, warc_ts, html, text, lang):
+
+  1. parse   — host/path from url (regexp, codegen), byte-identical
+               extracted_text from html (the one Arrow pandas UDF),
+               content_bytes = octet length of the extracted text
+  2. enrich  — broadcast left joins against host_geo (GeoIP-style) and
+               lang_dict (reference: enrichment_tables,
+               validation/mod.rs:184)
+  3. route   — first-match predicate fan-out on the enriched stream
+               (reference route semantics, config_panel.rs:1643-1667)
+  4. sink    — ONE routed write partitioned by route (single scan) plus
+               per-sink aggregates: event counts + byte totals per
+               (lang, host, hourly warc_ts bucket)
+
+Scale shape: the only shuffle in the whole job is the aggregate's
+(route, lang, host, bucket) hash-agg — parse and enrich are shuffle-free
+(map-side + broadcast), and the routed write needs no repartition because
+parquet partitionBy splits files per route within each task.  Host skew
+(Zipfian hosts) hits only the aggregate, where partial map-side combine
+collapses hot hosts before the shuffle; AQE skew handling stays on as the
+backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import synth
+from vector_spark.operators import enrich, extract_text, parse_url, sink_aggregate, tag_routes
+from vector_spark.plans.metrics import MetricsCollector
+from vector_spark.plans.sinks import write_routed
+
+# Route table (first-match-wins, declaration order).  Predicates reference
+# enriched columns; kept as Column-compiling strings so they stay JVM-side.
+FLAGSHIP_ROUTES = {
+    "english": '.lang == "en"',
+    "european": '.family == "germanic" || .family == "romance" || .family == "slavic"',
+    "cjk": '.family == "sinitic"',
+}
+
+
+def parse_stage(docs: DataFrame) -> DataFrame:
+    docs = parse_url(docs, "url")
+    docs = extract_text(docs, "html", "extracted_text")
+    return docs.withColumn("content_bytes", F.octet_length("extracted_text"))
+
+
+def enrich_stage(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    docs = enrich(docs, synth.host_geo(spark), on="host", how="left")
+    return enrich(docs, synth.lang_dict(spark), on="lang", how="left")
+
+
+def route_stage(docs: DataFrame) -> DataFrame:
+    return tag_routes(docs, FLAGSHIP_ROUTES)
+
+
+def build(spark: SparkSession, docs: DataFrame, metrics: MetricsCollector | None = None) -> dict[str, DataFrame]:
+    """Compile the full lazy plan. Returns {'routed': tagged rows,
+    'agg': per-(route,lang,host,hour) aggregate}."""
+    parsed = parse_stage(docs)
+    if metrics:
+        parsed = metrics.instrument(parsed, "parse", bytes_col="extracted_text")
+    enriched = enrich_stage(parsed, spark)
+    routed = route_stage(enriched)
+    if metrics:
+        routed = metrics.instrument(routed, "route")
+    agg = (
+        routed.groupBy(
+            "route",
+            "lang",
+            "host",
+            F.date_trunc("hour", "warc_ts").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("content_bytes").alias("byte_total"),
+        )
+    )
+    return {"routed": routed, "agg": agg}
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    collect_metrics: bool = True,
+) -> dict:
+    """Execute end-to-end: routed write (single scan, partitioned by route)
+    + aggregate write + metrics. Returns summary counts."""
+    metrics = MetricsCollector() if collect_metrics else None
+    plan = build(spark, docs, metrics)
+
+    # Persist the routed stream: it feeds two sinks (rows + aggregates).
+    routed = plan["routed"].persist()
+    write_routed(routed, f"{out_dir}/routed", drop_binary=["html"])
+    agg = plan["agg"]
+    agg.write.mode("overwrite").partitionBy("route").parquet(f"{out_dir}/agg")
+
+    n_docs = routed.count()
+    route_counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    routed.unpersist()
+    result = {"docs": n_docs, "route_counts": route_counts, "out_dir": out_dir}
+    if metrics:
+        result["metrics"] = metrics.harvest()
+    return result

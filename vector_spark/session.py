@@ -47,6 +47,7 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("VECTOR_SPARK_DRIVER_MEM", "24g"))
     )
     # Only force a master when not running under spark-submit.
