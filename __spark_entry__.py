@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (plus the
+training-data functions) against the driver-provisioned parquet tables; the
+matching ``oracle_sql()`` entry recomputes it in ANSI SQL for DuckDB.
+Column names/aliases are kept identical on both sides; double-typed
+aggregates are rounded on both sides so value hashes compare bit-stable.
 """
 
 from __future__ import annotations
@@ -12,27 +12,559 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# T1 remap: grok/JSON field extraction from the props column
+# --------------------------------------------------------------------------
+
+def q_remap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import parse_grok
+
+    ev = _ev(spark, sf_dir)
+    out = parse_grok(ev, "props", r'"k": (\d+)', ["k_str"])
+    return out.select(
+        "event_id", F.col("k_str").try_cast("int").alias("k")
+    )
+
+
+# T2 filter: VRL condition compiled to a pushdown-able Column
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import filter_events
+
+    ev = _ev(spark, sf_dir)
+    return filter_events(ev, '.event_type == "error" && .value >= 10').select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# T3 route: first-match predicate fan-out tag
+def q_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import tag_routes
+
+    ev = _ev(spark, sf_dir)
+    tagged = tag_routes(
+        ev,
+        {
+            "errors": '.event_type == "error"',
+            "high_value": ".value >= 30",
+            "signups": '.event_type == "signup"',
+        },
+    )
+    return tagged.select("event_id", "route")
+
+
+# T4 sample: deterministic 1-in-N
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import sample_mod
+
+    ev = _ev(spark, sf_dir)
+    return sample_mod(ev, 10, "event_id").select("event_id", "event_type", "value")
+
+
+# T5 throttle: ≤2 events per user per hour (event-time buckets)
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import throttle
+
+    ev = _ev(spark, sf_dir)
+    return throttle(
+        ev, "ts", threshold=2, window_secs=3600, key_field="user_id", tiebreaker="event_id"
+    ).select("event_id", "user_id")
+
+
+# T6 dedupe: first occurrence per (user_id, event_type) by (ts, event_id)
+def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import dedupe
+
+    ev = _ev(spark, sf_dir)
+    return dedupe(ev, ["user_id", "event_type"], order_by=["ts", "event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# T7 reduce: collapse per user (merge strategies sum/max/count)
+def q_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import reduce_events
+
+    ev = _ev(spark, sf_dir)
+    out = reduce_events(ev, ["user_id"], {"value": "sum", "ts": "max"})
+    return out.select(
+        "user_id",
+        F.round("value", 3).alias("value_sum"),
+        F.col("ts").alias("last_ts"),
+        "events_merged",
+    )
+
+
+# T7b reduce with ends_when sessionization: a "purchase" closes the session
+def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import reduce_events
+
+    ev = _ev(spark, sf_dir)
+    out = reduce_events(
+        ev,
+        ["user_id"],
+        {"value": "sum"},
+        ends_when='.event_type == "purchase"',
+        ts_col="ts",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("events_merged").alias("n_events"),
+        )
+    )
+
+
+# T8 aggregate: hourly buckets × event_type
+def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 3).alias("value_sum"),
+        )
+    )
+
+
+# T9 log_to_metric: counter per event_type
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric
+
+    ev = _ev(spark, sf_dir)
+    m = log_to_metric(ev, "events_total", "event_id", tags=["event_type"])
+    return m.select(
+        F.col("name").alias("metric_name"),
+        "kind",
+        F.col("tags")["event_type"].alias("event_type"),
+        "value",
+    )
+
+
+# T10 metric_to_log: reshape metrics back to log rows
+def q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric, metric_to_log
+
+    ev = _ev(spark, sf_dir)
+    m = log_to_metric(ev, "events_total", "event_id", tags=["event_type"])
+    logs = metric_to_log(m)
+    return logs.select("message", "level", "metric_name", "metric_kind", "value")
+
+
+# T11 tag_cardinality_limit: keep first-seen 3 event types, overflow the rest
+def q_tag_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import tag_cardinality_limit
+
+    ev = _ev(spark, sf_dir)
+    out = tag_cardinality_limit(ev, "event_type", value_limit=3, order_by="ts")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Enrichment joins: broadcast dims (customer ⋈ nation ⋈ region)
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import enrich
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    enriched = enrich(cust, nation, on=[cust.c_nationkey == nation.n_nationkey])
+    enriched = enrich(enriched, region, on=[enriched.n_regionkey == region.r_regionkey])
+    return enriched.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 3).alias("acctbal_sum"),
+    )
+
+
+# implicit union: multi-input components union their streams
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("value") >= 45)
+    return a.unionByName(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# window top-k: top-2 events by value per user (sorts/limits coverage)
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data functions
+# --------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import whitespace_token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", whitespace_token_count("text").alias("token_count"), "n_chars"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import quality_features
+
+    docs = _docs(spark, sf_dir)
+    out = quality_features(docs, "text")
+    return out.select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return lang_id(docs).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    return exact_dedup(docs, "doc_id").select("doc_id", "lang", "source")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "doc_id", n=5, threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "doc_id", n=5, k=64, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import simhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    return simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import assign_cells, ivf_topk, train_centroids
+
+    emb = _emb(spark, sf_dir)
+    queries = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 3").collect()}
+    cents = train_centroids(emb, 8, "vec_id", "embedding")
+    return ivf_topk(assign_cells(emb, cents), cents, queries, k=5, nprobe=8)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.functions import cosine_expr
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(F.col("label_a") == F.col("label_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse → enrich → route → aggregate over the synthesized
+    Common-Crawl-style table (BASELINE input_hint shape)."""
+    from vector_spark import synth
+    from vector_spark.plans import flagship
+
+    docs = synth.documents(spark, 2000)
+    plan = flagship.build(spark, docs)
+    return plan["agg"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "t1_remap_parse": q_remap_parse,
+        "t2_filter": q_filter,
+        "t3_route": q_route,
+        "t4_sample": q_sample,
+        "t5_throttle": q_throttle,
+        "t6_dedupe": q_dedupe,
+        "t7_reduce": q_reduce,
+        "t7_reduce_sessions": q_reduce_sessions,
+        "t8_aggregate": q_aggregate,
+        "t9_log_to_metric": q_log_to_metric,
+        "t10_metric_to_log": q_metric_to_log,
+        "t11_tag_cardinality": q_tag_cardinality,
+        "enrich_broadcast_join": q_enrich_join,
+        "union_multi_input": q_union,
+        "topk_per_user": q_topk_per_user,
+        "text_token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_bruteforce_topk": q_sim_bruteforce,
+        "sim_ivf_topk": q_sim_ivf,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "t1_remap_parse": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+            FROM events
+        """,
+        "t2_filter": """
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_type = 'error' AND value >= 10
+        """,
+        "t3_route": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'errors'
+                        WHEN value >= 30 THEN 'high_value'
+                        WHEN event_type = 'signup' THEN 'signups'
+                        ELSE '_unmatched' END AS route
+            FROM events
+        """,
+        "t4_sample": """
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 10 = 0
+        """,
+        "t5_throttle": """
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 2
+        """,
+        "t6_dedupe": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "t7_reduce": """
+            SELECT user_id,
+                   ROUND(SUM(value), 3) AS value_sum,
+                   MAX(ts) AS last_ts,
+                   COUNT(*) AS events_merged
+            FROM events GROUP BY user_id
+        """,
+        "t7_reduce_sessions": """
+            WITH flagged AS (
+              SELECT user_id, value,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f,
+                     ts, event_id
+              FROM events),
+            sess AS (
+              SELECT user_id, value,
+                     COALESCE(SUM(f) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS session_id
+              FROM flagged),
+            per_session AS (
+              SELECT user_id, session_id, COUNT(*) AS n
+              FROM sess GROUP BY user_id, session_id)
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM per_session GROUP BY user_id
+        """,
+        "t8_aggregate": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   COUNT(*) AS event_count,
+                   ROUND(SUM(value), 3) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "t9_log_to_metric": """
+            SELECT 'events_total' AS metric_name,
+                   'incremental' AS kind,
+                   event_type,
+                   CAST(COUNT(event_id) AS DOUBLE) AS value
+            FROM events GROUP BY event_type
+        """,
+        "t10_metric_to_log": """
+            SELECT 'metric events_total incremental ' ||
+                     CAST(CAST(COUNT(event_id) AS DOUBLE) AS VARCHAR) AS message,
+                   'info' AS level,
+                   'events_total' AS metric_name,
+                   'incremental' AS metric_kind,
+                   CAST(COUNT(event_id) AS DOUBLE) AS value
+            FROM events GROUP BY event_type
+        """,
+        "t11_tag_cardinality": """
+            WITH firsts AS (
+              SELECT event_type, MIN(ts) AS first_seen
+              FROM events GROUP BY event_type),
+            ranked AS (
+              SELECT event_type,
+                     row_number() OVER (ORDER BY first_seen, event_type) AS rnk
+              FROM firsts)
+            SELECT CASE WHEN r.rnk <= 3 THEN e.event_type
+                        ELSE '__overflow__' END AS event_type,
+                   COUNT(*) AS n
+            FROM events e JOIN ranked r ON e.event_type = r.event_type
+            GROUP BY 1
+        """,
+        "enrich_broadcast_join": """
+            SELECT r.r_name AS region_name,
+                   COUNT(*) AS n_customers,
+                   ROUND(SUM(c.c_acctbal), 3) AS acctbal_sum
+            FROM customer c
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "union_multi_input": """
+            SELECT event_type, COUNT(*) AS n FROM (
+              SELECT * FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT * FROM events WHERE value >= 45
+            ) GROUP BY event_type
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rank
+              FROM events) WHERE rank <= 2
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS token_count,
+                   n_chars
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+                   ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            JOIN (
+              SELECT MIN(doc_id) AS doc_id
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(regexp_replace(lower(text),
+                             '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                    FROM documents)
+              GROUP BY norm
+            ) k ON d.doc_id = k.doc_id
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS s
+              FROM documents),
+            offsets AS (
+              SELECT doc_id, s, unnest(generate_series(1, length(s) - 4)) AS i
+              FROM norm WHERE length(s) >= 5),
+            shingles AS (
+              SELECT DISTINCT doc_id, substring(s, i, 5) AS shingle FROM offsets),
+            sizes AS (
+              SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+            posting AS (
+              SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 1000),
+            pruned AS (
+              SELECT s.* FROM shingles s JOIN posting p ON s.shingle = p.shingle),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+              FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b,
+                   ROUND(n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.5
+        """,
+        # dedup_minhash_lsh / dedup_simhash / text_fingerprint / text_lang_id /
+        # sim_ivf_topk: intentionally no oracle (xxhash64/blake2b/centroid
+        # logic is not ANSI-SQL-expressible) → driver rows-only check.
+        "sim_bruteforce_topk": """
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     ROUND(list_dot_product(q.emb_d, c.emb_d)
+                           / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                              * sqrt(list_dot_product(c.emb_d, c.emb_d))), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.emb_d, c.emb_d)
+                                / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                                   * sqrt(list_dot_product(c.emb_d, c.emb_d))) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings WHERE vec_id < 3) q,
+                   (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings) c
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.emb_d, b.emb_d)
+                         / (sqrt(list_dot_product(a.emb_d, a.emb_d))
+                            * sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) AS cosine
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings) a
+            JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings) b
+              ON a.vec_id < b.vec_id AND a.label = b.label
+            WHERE list_dot_product(a.emb_d, b.emb_d)
+                  / (sqrt(list_dot_product(a.emb_d, a.emb_d))
+                     * sqrt(list_dot_product(b.emb_d, b.emb_d))) >= 0.5
+        """,
+    }

@@ -1,0 +1,143 @@
+"""Training-data function tests: planted duplicates/near-dups must be found;
+similarity search must rank the planted neighbor first."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import vector_spark.functions as VF
+from vector_spark.functions import multimodal
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.upper() + "!!!"),                   # normalized dup of 0
+        (3, base.replace("today", "tomorrow")),      # near dup (1 word)
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning databases and storage layers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(dup_docs):
+    kept = sorted(r.doc_id for r in VF.exact_dedup(dup_docs, "doc_id").collect())
+    assert kept == [0, 3, 4, 5]  # 1 and 2 collapse into 0
+
+
+def test_exact_dedup_strict(dup_docs):
+    kept = sorted(r.doc_id for r in VF.exact_dedup(dup_docs, "doc_id", normalized=False).collect())
+    assert kept == [0, 2, 3, 4, 5]  # only byte-identical collapse
+
+
+def test_ngram_jaccard_finds_neardup(dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             VF.ngram_jaccard_pairs(dup_docs, "doc_id", threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.6
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_neardup(dup_docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             VF.minhash_lsh_pairs(dup_docs, "doc_id", k=64, bands=16, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_minhash_estimate_close_to_exact(dup_docs):
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             VF.ngram_jaccard_pairs(dup_docs, "doc_id", threshold=0.1).collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in
+           VF.minhash_lsh_pairs(dup_docs, "doc_id", k=64, bands=16, threshold=0.3).collect()}
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.3  # 64 perms → coarse but sane
+
+
+def test_simhash_hamming(dup_docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             VF.simhash_neardup_pairs(dup_docs, "doc_id", max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0          # identical text → identical simhash
+    assert (0, 3) in pairs             # 1-word swap → small hamming
+    assert (0, 4) not in pairs
+
+
+def test_quality_score_ranges(docs_table):
+    out = VF.quality_score(docs_table, "text")
+    rows = out.select("quality_score").collect()
+    assert all(0 <= r.quality_score <= 100 for r in rows)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), (None,), ("one-two 3",)], "text string")
+    got = df.select(
+        VF.whitespace_token_count("text").alias("ws"),
+        VF.bpe_token_count("text").alias("bpe"),
+    ).collect()
+    assert [r.ws for r in got] == [3, 0, 0, 2]
+    assert got[3].bpe == 4  # one, -, two, 3
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog is here"), (1, "der hund und die katze ist da"),
+         (2, "le chat est une merveille"), (3, "qwerty zxcvb")],
+        "id long, text string",
+    )
+    got = {r.id: r.lang_pred for r in VF.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "c b a"), (2, "a b c")], "id long, text string")
+    got = {r.id: r.fingerprint for r in VF.fingerprint(df).collect()}
+    assert got[0] == got[2]
+    assert got[0] != got[1]
+
+
+def test_brute_force_topk_self_first(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    top = VF.brute_force_topk(emb, q, k=3).collect()
+    firsts = {r.query_id: r.vec_id for r in top if r.rank == 1}
+    assert firsts == {0: 0, 1: 1}  # self-similarity = 1.0 ranks first
+
+
+def test_ivf_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 3").collect()}
+    qdf = spark.createDataFrame([(k, v) for k, v in queries.items()], "query_id long, embedding array<float>")
+    exact = {(r.query_id, r.vec_id) for r in VF.brute_force_topk(emb, qdf, k=5).collect()}
+    cents = VF.train_centroids(emb, 4, "vec_id", "embedding")
+    approx = {(r.query_id, r.vec_id) for r in
+              VF.ivf_topk(VF.assign_cells(emb, cents), cents, queries, k=5, nprobe=4).collect()}
+    assert len(exact & approx) / len(exact) == 1.0  # nprobe == nlist → exhaustive
+
+
+def test_embedding_neardup_planted(spark):
+    v = [float(x) for x in np.eye(8)[0]]
+    v2 = [float(x) for x in np.eye(8)[1]]
+    rows = [(0, v, 0), (1, v, 0), (2, v2, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = VF.embedding_neardup_pairs(df, "vec_id", threshold=0.95, n_planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 60)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    frames = multimodal.frame_sample(media, every_ms=5000)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")

@@ -1,0 +1,187 @@
+"""Per-operator goldens (SURVEY §2.1), in the style of the reference's
+validation corpus (validation/mod.rs:423-939) — one test per transform on
+deterministic inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark import operators as O
+from vector_spark.synth import sample_log_events
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(pd.DataFrame(sample_log_events(40)))
+
+
+def test_remap_assignments(ev):
+    out = O.remap(ev, {"environment": '"production"', "code": "to_int(.status) ?? 200"})
+    row = out.first()
+    assert row.environment == "production"
+    assert isinstance(row.code, int)
+
+
+def test_remap_delete_field(ev):
+    out = O.remap(ev, {"pid": None})
+    assert "pid" not in out.columns
+
+
+def test_parse_apache_common(spark):
+    from vector_spark.sources import demo_logs
+
+    logs = demo_logs(spark, count=50, fmt="apache_common")
+    parsed = O.parse_apache_common(logs)
+    rows = parsed.collect()
+    assert all(r.status is not None for r in rows)
+    assert all(r.method in ("GET", "POST", "PUT", "DELETE") for r in rows)
+    assert all(r.client_ip.startswith("10.") for r in rows)
+
+
+def test_parse_json_fields(spark):
+    from vector_spark.sources import demo_logs
+
+    logs = demo_logs(spark, count=50, fmt="json")
+    parsed = O.parse_json_fields(logs, "message", "method string, path string, status int, bytes long, ip string")
+    rows = parsed.collect()
+    assert all(r.status is not None for r in rows)
+    assert all(isinstance(r.bytes, int) for r in rows)
+
+
+def test_split_errors(spark):
+    df = spark.createDataFrame([("1",), ("x",), ("3",)], "raw string")
+    df = df.withColumn("n", F.col("raw").try_cast("int"))
+    ok, err = O.split_errors(df, ["n"])
+    assert ok.count() == 2 and err.count() == 1  # dropped_count accounting
+
+
+def test_filter_with_dropped(ev):
+    kept, dropped = O.filter_with_dropped(ev, '.level == "error"')
+    assert kept.count() == 10
+    assert dropped.count() == 30
+    assert kept.count() + dropped.count() == ev.count()
+
+
+def test_route_first_match_wins(ev):
+    tagged = O.tag_routes(ev, {
+        "errors": '.level == "error"',
+        "also_errors": 'contains(string!(.message), "request")',  # matches everything
+    })
+    counts = {r.route: r.n for r in tagged.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    assert counts["errors"] == 10
+    assert counts["also_errors"] == 30  # only rows not taken by the first route
+    assert O.UNMATCHED not in counts
+
+
+def test_route_split_ports(ev):
+    tagged = O.tag_routes(ev, {"errors": '.level == "error"', "warns": '.level == "warn"'})
+    ports = O.split(tagged, ["errors", "warns"], persist=False)
+    assert ports["errors"].count() == 10
+    assert ports["warns"].count() == 10
+    assert ports[O.UNMATCHED].count() == 20
+    total = sum(ports[p].count() for p in ports)
+    assert total == 40  # routed-row equality: no row lost or duplicated
+
+
+def test_sample_deterministic(ev):
+    a = sorted(r.pid for r in O.sample(ev, 4, key="message").collect())
+    b = sorted(r.pid for r in O.sample(ev.repartition(13), 4, key="message").collect())
+    assert a == b  # same rows regardless of partitioning
+    assert 0 < len(a) < 40
+
+
+def test_throttle(ev):
+    # 40 events over 40s, levels cycling every 4s → each 10s window holds
+    # 2-3 events per level; threshold=1 keeps exactly one per (level, window)
+    out = O.throttle(ev, "timestamp", threshold=1, window_secs=10, key_field="level", tiebreaker="pid")
+    assert out.count() == 16  # 4 levels × 4 windows
+    got = out.groupBy("level").count().collect()
+    assert all(r["count"] == 4 for r in got)
+
+
+def test_dedupe_first_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], "id long, k string, v string"
+    )
+    out = O.dedupe(df, ["k"], order_by="id").collect()
+    assert {(r.k, r.v) for r in out} == {("a", "x"), ("b", "z")}
+
+
+def test_reduce_merge_strategies(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], "id long, k string, v double"
+    )
+    out = O.reduce_events(df, ["k"], {"v": "sum", "id": "max"}).collect()
+    got = {r.k: (r.v, r.id, r.events_merged) for r in out}
+    assert got == {"a": (30.0, 2, 2), "b": (5.0, 3, 1)}
+
+
+def test_reduce_ends_when_sessions(spark):
+    rows = [
+        (1, "u1", "view"), (2, "u1", "purchase"), (3, "u1", "view"), (4, "u1", "view"),
+        (5, "u2", "view"),
+    ]
+    df = spark.createDataFrame(rows, "id long, user string, etype string")
+    out = O.reduce_events(
+        df, ["user"], {"etype": "array"}, ends_when='.etype == "purchase"', ts_col="id"
+    )
+    got = sorted((r.user, r.events_merged) for r in out.collect())
+    # u1: session [view, purchase] closed by purchase, then [view, view]; u2: [view]
+    assert got == [("u1", 2), ("u1", 2), ("u2", 1)]
+
+
+def test_aggregate_buckets(ev):
+    out = O.aggregate(ev, "timestamp", interval="10 seconds", group_by=["level"], mode="auto", value_col="pid")
+    rows = out.collect()
+    assert sum(r.event_count for r in rows) == 40
+    assert all(r.bucket_end > r.bucket_start for r in rows)
+
+
+def test_log_to_metric_counter(ev):
+    m = O.log_to_metric(ev, "events_total", "pid", tags=["level"])
+    got = {r.tags["level"]: r.value for r in m.collect()}
+    assert got == {"info": 10.0, "debug": 10.0, "warn": 10.0, "error": 10.0}
+    assert all(r.kind == "incremental" for r in m.collect())
+
+
+def test_metric_to_log_roundtrip(ev):
+    logs = O.metric_to_log(O.log_to_metric(ev, "events_total", "pid", tags=["level"]))
+    row = logs.first()
+    assert row.message.startswith("metric events_total incremental")
+    assert row.metric_name == "events_total"
+
+
+def test_tag_cardinality_limit(spark):
+    df = spark.createDataFrame(
+        [(i, f"tag{i % 5}") for i in range(50)], "id long, tag string"
+    )
+    out = O.tag_cardinality_limit(df, "tag", value_limit=2, order_by="id")
+    vals = {r.tag for r in out.collect()}
+    assert vals == {"tag0", "tag1", "__overflow__"}
+    dropped = O.tag_cardinality_limit(df, "tag", value_limit=2, order_by="id", action="drop_event")
+    assert dropped.count() == 20
+
+
+def test_enrich_broadcast_left_join(spark):
+    from vector_spark import synth
+
+    docs = synth.documents(spark, 200)
+    docs = O.parse_url(docs)
+    out = O.enrich(docs, synth.host_geo(spark), on="host")
+    assert out.count() == 200  # left join keeps all rows
+    assert "country" in out.columns
+    # ~5% of hosts are absent from the dim → some NULLs expected across a
+    # Zipfian draw, but every matched row has a country
+    assert out.filter(F.col("country").isNotNull()).count() > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from vector_spark import synth
+
+    docs = O.parse_url(synth.documents(spark, 300))
+    dim = synth.host_geo(spark)
+    plain = {(r.url, r.country) for r in O.enrich(docs, dim, on="host").select("url", "country").collect()}
+    salted = {(r.url, r.country) for r in O.salted_join(docs, dim, on="host", salt=8).select("url", "country").collect()}
+    assert plain == salted

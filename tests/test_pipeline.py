@@ -1,0 +1,144 @@
+"""Pipeline compiler tests — config round-trip, validation error codes,
+functional-test mode, routed-row equality: the reference's test strategy
+(SURVEY §5) re-expressed."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.plans.pipeline import Pipeline, PipelineError
+from vector_spark.synth import sample_log_events
+
+VALID_TOML = """
+[sources.logs]
+type = "demo_logs"
+format = "json"
+count = 100
+
+[transforms.parse]
+type = "remap"
+inputs = ["logs"]
+parse_json = "method string, path string, status int, bytes long, ip string"
+
+[transforms.router]
+type = "route"
+inputs = ["parse"]
+[transforms.router.route]
+errors = ".status >= 500"
+client_errors = ".status >= 400 && .status < 500"
+
+[sinks.errors_out]
+type = "console"
+inputs = ["router.errors"]
+
+[sinks.rest]
+type = "console"
+inputs = ["router._unmatched", "router.client_errors"]
+"""
+
+
+def test_toml_load_and_describe():
+    p = Pipeline.from_toml(VALID_TOML)
+    assert len(p.stages) == 5
+    d = p.describe()
+    assert "[source] logs (demo_logs)" in d
+    assert "router.errors" in d
+
+
+def test_valid_pipeline_no_issues():
+    assert Pipeline.from_toml(VALID_TOML).validate() == []
+
+
+def test_missing_type_error():
+    p = Pipeline.from_dict({"sources": {"s": {}}, "sinks": {"o": {"type": "console", "inputs": ["s"]}}})
+    codes = [i.code for i in p.validate()]
+    assert "MISSING_TYPE" in codes
+
+
+def test_invalid_input_error():
+    p = Pipeline.from_dict({
+        "sources": {"s": {"type": "demo_logs"}},
+        "transforms": {"t": {"type": "filter", "condition": "true", "inputs": ["nope"]}},
+        "sinks": {"o": {"type": "console", "inputs": ["t"]}},
+    })
+    codes = [i.code for i in p.validate()]
+    assert "INVALID_INPUT" in codes
+
+
+def test_sink_as_input_invalid():
+    p = Pipeline.from_dict({
+        "sources": {"s": {"type": "demo_logs"}},
+        "sinks": {
+            "o": {"type": "console", "inputs": ["s"]},
+            "o2": {"type": "console", "inputs": ["o"]},
+        },
+    })
+    assert any(i.code == "INVALID_INPUT" for i in p.validate())
+
+
+def test_warnings_no_sources_no_sinks_unknown_key():
+    p = Pipeline.from_dict({})
+    codes = {i.code for i in p.validate({"bogus": 1})}
+    assert {"NO_SOURCES", "NO_SINKS", "UNKNOWN_KEY"} <= codes
+    assert all(i.severity == "warning" for i in p.validate({"bogus": 1}))
+
+
+def test_cycle_detection(spark):
+    p = Pipeline.from_dict({
+        "sources": {"s": {"type": "demo_logs", "count": 1}},
+        "transforms": {
+            "a": {"type": "test_basic", "inputs": ["s", "b"]},
+            "b": {"type": "test_basic", "inputs": ["a"]},
+        },
+        "sinks": {"o": {"type": "console", "inputs": ["a"]}},
+    })
+    with pytest.raises(PipelineError):
+        p.build(spark)
+
+
+def test_functional_test_mode(spark):
+    """≙ Layer-4: sample events in → counted outputs + dropped_count
+    (functional_test.rs:114-197)."""
+    p = Pipeline.from_dict({
+        "sources": {"in": {"type": "stdin"}},
+        "transforms": {"f": {"type": "filter", "condition": '.level == "error"', "inputs": ["in"]}},
+        "sinks": {"out": {"type": "console", "inputs": ["f"]}},
+    })
+    r = p.test(spark, sample_log_events(20))
+    assert r["output_count"] == 5
+    assert r["dropped_count"] == 15
+    assert all(e["level"] == "error" for e in r["output_events"])
+
+
+def test_routed_row_equality(spark):
+    """Every input row lands in exactly one route output (the reference's
+    routed-row equality check)."""
+    p = Pipeline.from_toml(VALID_TOML)
+    res = p.run(spark)
+    total = sum(len(v) for v in res.values())
+    assert total == 100
+    ids = sorted(e["id"] for v in res.values() for e in v)
+    assert ids == list(range(100))
+
+
+def test_multi_input_union(spark):
+    p = Pipeline.from_dict({
+        "sources": {
+            "a": {"type": "demo_logs", "count": 10, "format": "json"},
+            "b": {"type": "demo_logs", "count": 5, "format": "json"},
+        },
+        "sinks": {"o": {"type": "console", "inputs": ["a", "b"]}},
+    })
+    assert len(p.run(spark)["o"]) == 15
+
+
+def test_source_override_injection(spark):
+    """Driver-testdata injection point: a named source can be replaced by an
+    arbitrary DataFrame (the stdin-swap rewrite, functional_test.rs:247-256)."""
+    p = Pipeline.from_dict({
+        "sources": {"in": {"type": "demo_logs", "count": 999}},
+        "sinks": {"o": {"type": "console", "inputs": ["in"]}},
+    })
+    df = spark.range(3).toDF("x")
+    res = p.run(spark, overrides={"in": df})
+    assert len(res["o"]) == 3

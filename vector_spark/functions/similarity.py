@@ -194,16 +194,19 @@ def ivf_topk(
 
 # --- random-hyperplane LSH -----------------------------------------------------
 
-def hyperplane_bucket_udf(n_planes: int = 8, dim: int = 64, seed: int = SEED):
-    """Sign-pattern bucket id from n_planes fixed random hyperplanes
-    (deterministic seed). Vectorized numpy per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+def hyperplane_bucket_udf(n_planes: int = 8, seed: int = SEED):
+    """Sign-pattern bucket id from n_planes fixed random hyperplanes.
+    Planes are derived deterministically from (seed, vector dim), so every
+    executor draws identical planes regardless of batch order."""
+    plane_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        signs = (m @ planes) > 0
+        dim = m.shape[1]
+        if dim not in plane_cache:
+            plane_cache[dim] = np.random.default_rng(seed + dim).standard_normal((dim, n_planes))
+        signs = (m @ plane_cache[dim]) > 0
         vals = signs @ (1 << np.arange(n_planes))
         return pd.Series(vals.astype(np.int32))
 
