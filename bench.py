@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and the flagship parse→enrich→route→aggregate
+job over the synthesized Common-Crawl-style table, then prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "flagship": {"docs": N, "sec": s, "docs_per_sec": r},
+     "scaling": {...}}   # present when tools/scaling_bench.py has run
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation of every output column, no sink I/O), so the timings measure
+scan + shuffle + UDF work, not collect/serialization overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SCALING_JSON = os.path.join(REPO, "bench_results", "scaling.json")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    # Flagship doc count scales with sf (sf0.1 → 100k synthesized docs).
+    n_docs = int(os.environ.get("VECTOR_SPARK_BENCH_DOCS", max(int(1_000_000 * sf), 2_000)))
+
+    import __spark_entry__ as contract
+    from vector_spark import synth
+    from vector_spark.plans import flagship
+    from vector_spark.session import get_spark
+
+    spark = get_spark("vector_spark_bench")
+    # JIT/UDF warm-up so the first timed query doesn't pay JVM startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in contract.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out_dir = tempfile.mkdtemp(prefix="vector_spark_bench_")
+    try:
+        docs = synth.documents(spark, n_docs)
+        t0 = time.perf_counter()
+        flagship.run(spark, docs, out_dir, collect_metrics=False)
+        flagship_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["flagship_e2e"] = round(flagship_sec, 3)
+
+    result = {
+        "metric": "headline query wall time (flagship parse→enrich→route→aggregate + operator suite)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship": {
+            "docs": n_docs,
+            "sec": round(flagship_sec, 3),
+            "docs_per_sec": round(n_docs / flagship_sec, 1),
+        },
+    }
+    if os.path.exists(SCALING_JSON):
+        with open(SCALING_JSON) as f:
+            result["scaling"] = json.load(f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
