@@ -50,21 +50,34 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+def shingle_df(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, unit: str = "char"
+) -> DataFrame:
     """(id, shingle) posting list — the inverted index both Jaccard and
-    MinHash build on.  substring-per-offset via posexplode of a sequence."""
+    MinHash build on.
+
+    ``unit='char'``: overlapping character n-grams (substring-per-offset).
+    ``unit='word'``: overlapping word n-grams (w-shingling) — the scale
+    default for natural text: postings are far more selective (distinct
+    grams grow with vocab^n), so the downstream self-join stays near-linear
+    instead of collapsing into hot postings.
+    """
     s = normalize_text(text_col)
-    with_s = df.select(F.col(id_col), s.alias("_s")).filter(F.length("_s") >= n)
-    return (
-        with_s.select(
-            id_col,
-            F.explode(
-                F.array_distinct(
-                    F.expr(f"transform(sequence(1, length(_s) - {n - 1}), i -> substring(_s, i, {n}))")
-                )
-            ).alias("shingle"),
+    if unit == "char":
+        with_s = df.select(F.col(id_col), s.alias("_s")).filter(F.length("_s") >= n)
+        grams = F.expr(
+            f"transform(sequence(1, length(_s) - {n - 1}), i -> substring(_s, i, {n}))"
         )
-    )
+    elif unit == "word":
+        with_s = df.select(F.col(id_col), F.split(s, " ").alias("_s")).filter(
+            F.size("_s") >= n
+        )
+        grams = F.expr(
+            f"transform(sequence(1, size(_s) - {n - 1}), i -> concat_ws(' ', slice(_s, i, {n})))"
+        )
+    else:
+        raise ValueError(f"unknown shingle unit {unit!r}")
+    return with_s.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -74,14 +87,19 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
     max_posting: int = 1000,
+    unit: str = "char",
 ) -> DataFrame:
-    """Exact Jaccard over char-n-gram sets for all pairs sharing ≥1 n-gram.
+    """Exact Jaccard over n-gram sets for all pairs sharing ≥1 n-gram.
 
     ``max_posting`` drops stop-grams (n-grams appearing in > max_posting
     docs) before the self-join — the standard guard against the quadratic
-    blowup of hot postings at corpus scale.
+    blowup of hot postings at corpus scale.  The self-join key is the
+    64-bit xxhash of the gram, not the gram string — same intersection
+    counts, a fraction of the shuffle bytes.
     """
-    sh = shingle_df(df, id_col, text_col, n)
+    sh = shingle_df(df, id_col, text_col, n, unit).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
     sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")

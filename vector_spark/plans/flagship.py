@@ -89,21 +89,43 @@ def run(
     out_dir: str,
     collect_metrics: bool = True,
 ) -> dict:
-    """Execute end-to-end: routed write (single scan, partitioned by route)
-    + aggregate write + metrics. Returns summary counts."""
+    """Execute end-to-end: routed write (single scan, partitioned by route),
+    then aggregates FROM the routed sink table. Returns summary counts.
+
+    Exactly one pass over the raw documents (the expensive pass: html
+    extraction UDF + enrich + route), written once.  The per-sink aggregate
+    then reads the routed PARQUET back — a column-pruned scan of four small
+    columns, no persist/cache of the wide stream, no second UDF pass.
+    (``persist()`` of the wide routed stream measured 2x slower at 32
+    threads: MemoryStore churn + page-fault pressure; the sink-table re-read
+    is also what a real warehouse does — aggregates live downstream of the
+    routed tables.)  Route counts fall out of the aggregate for free.
+    """
     metrics = MetricsCollector() if collect_metrics else None
     plan = build(spark, docs, metrics)
 
-    # Persist the routed stream: it feeds two sinks (rows + aggregates).
-    routed = plan["routed"].persist()
-    write_routed(routed, f"{out_dir}/routed", drop_binary=["html"])
-    agg = plan["agg"]
+    write_routed(plan["routed"], f"{out_dir}/routed", drop_binary=["html"])
+
+    routed_tbl = spark.read.parquet(f"{out_dir}/routed")
+    agg = (
+        routed_tbl.groupBy(
+            "route", "lang", "host", F.date_trunc("hour", "warc_ts").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("content_bytes").alias("byte_total"),
+        )
+    )
     agg.write.mode("overwrite").partitionBy("route").parquet(f"{out_dir}/agg")
 
-    n_docs = routed.count()
-    route_counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
-    routed.unpersist()
-    result = {"docs": n_docs, "route_counts": route_counts, "out_dir": out_dir}
+    agg_tbl = spark.read.parquet(f"{out_dir}/agg")
+    per_route = agg_tbl.groupBy("route").agg(F.sum("event_count").alias("n")).collect()
+    route_counts = {r["route"]: r["n"] for r in per_route}
+    result = {
+        "docs": sum(route_counts.values()),
+        "route_counts": route_counts,
+        "out_dir": out_dir,
+    }
     if metrics:
         result["metrics"] = metrics.harvest()
     return result
