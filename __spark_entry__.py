@@ -259,14 +259,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "doc_id", n=5, threshold=0.5)
+    # word shingles: the synthetic corpus has a 50-word vocabulary, so char
+    # 5-grams collapse into ~2k postings shared by most docs (the self-join
+    # would generate ~1.5B candidate pairs at sf0.1); word 3-grams are
+    # selective and keep the inverted-index join near-linear.
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5, unit="word")
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "doc_id", n=5, k=64, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, "doc_id", n=3, k=64, bands=16, threshold=0.5, unit="word"
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,14 +517,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": r"""
             WITH norm AS (
               SELECT doc_id,
-                     trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS s
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
               FROM documents),
             offsets AS (
-              SELECT doc_id, s, unnest(generate_series(1, length(s) - 4)) AS i
-              FROM norm WHERE length(s) >= 5),
+              SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM norm WHERE len(w) >= 3),
             shingles AS (
-              SELECT DISTINCT doc_id, substring(s, i, 5) AS shingle FROM offsets),
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM offsets),
             sizes AS (
               SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
             posting AS (

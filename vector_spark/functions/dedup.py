@@ -130,13 +130,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 5, k: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    unit: str = "char",
 ) -> DataFrame:
-    """k-permutation MinHash, entirely JVM-side: permutation j is
-    xxhash64(j, shingle); the signature element is the min per doc.
-    One explode + one hash-agg — no Python in the loop."""
-    sh = shingle_df(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(k)]
+    """k-permutation MinHash, entirely JVM-side: the shingle string is
+    hashed ONCE (xxhash64), then permutation j is xxhash64(j, h0) — k-1
+    integer re-hashes instead of k string hashes; the signature element is
+    the min per doc.  One explode + one hash-agg — no Python in the loop."""
+    sh = shingle_df(df, id_col, text_col, n, unit).select(
+        id_col, F.xxhash64("shingle").alias("_h0")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("_h0"))).alias(f"h{j}") for j in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -148,6 +156,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float | None = 0.7,
+    unit: str = "char",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -158,7 +167,7 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, k, unit).persist()
 
     band_rows = sig.select(
         id_col,
@@ -206,25 +215,28 @@ def minhash_lsh_pairs(
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes —
-    deterministic across executors)."""
-    import hashlib
-
-    def sh(s: str | None) -> int:
-        if not s:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in s.lower().split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        v = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                v |= np.uint64(1) << np.uint64(i)
-        return int(v.astype(np.int64))
-
-    return text.map(sh)
+    """64-bit SimHash over whitespace tokens — fully vectorized per Arrow
+    batch: pandas C-speed tokenization, ``pd.util.hash_array`` (SipHash
+    with a fixed key — deterministic across executors/runs) for token
+    hashes, and numpy segment sums for the per-doc bit accumulation.  No
+    per-token Python.  Empty/null text → 0."""
+    token_lists = text.fillna("").str.lower().str.split()
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = lengths > 0
+    if nonempty.any():
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists[nonempty]])
+        h = pd.util.hash_array(flat)  # uint64, deterministic
+        signs = (
+            ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8) * 2 - 1
+        )  # (n_tokens, 64) in {-1, +1}, int8 to keep the batch matrix small
+        starts = np.concatenate([[0], np.cumsum(lengths[nonempty])[:-1]])
+        acc = np.add.reduceat(signs.astype(np.int32), starts, axis=0)  # (n_docs_nonempty, 64)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        fp = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = fp.astype(np.int64)
+    return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
@@ -237,26 +249,39 @@ def simhash_neardup_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ h, via the block-permutation
     trick: split 64 bits into (h+1) blocks — any pair within distance h
     matches exactly on ≥1 block, so block equality is the join key (no
-    all-pairs comparison)."""
+    all-pairs comparison).  The fingerprint table is computed ONCE and the
+    blocks are exploded into (band, key) rows, so candidate generation is a
+    single equi-join shuffle (minhash-LSH shape), not h+1 separate joins."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    sh = simhash(df.select(id_col, text_col), text_col)
+    # Persist the (id, fingerprint) table: both sides of the self-join read
+    # it, so the UDF runs once, not twice.
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash").persist()
 
-    block_cols = [
-        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
-        for i in range(blocks)
-    ]
-    tagged = sh.select(id_col, "simhash", *block_cols)
-    pairs = None
-    for i in range(blocks):
-        a = tagged.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"blk{i}").alias("blk"))
-        b = tagged.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"blk{i}").alias("blk"))
-        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    band_rows = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = band_rows.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = band_rows.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
