@@ -1,0 +1,125 @@
+"""Structured Streaming variants: routed-row equality vs batch, bounded-state
+dedupe, watermarked windowed agg, and checkpoint resume-without-reprocessing
+(the reference's acknowledgement/buffer semantics — offsets commit with the
+sinks; a restarted job processes only new input)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark import streaming as st
+from vector_spark import synth
+from vector_spark.plans import flagship
+
+
+@pytest.fixture(scope="module")
+def doc_chunks(spark, tmp_path_factory):
+    """Two parquet 'arrival' chunks of the deterministic documents table."""
+    base = tmp_path_factory.mktemp("stream_docs")
+    full = synth.documents_pdf(600)
+    a, b = full.iloc[:400], full.iloc[400:]
+    in_dir = base / "in"
+    in_dir.mkdir()
+    a.to_parquet(in_dir / "chunk_a.parquet")
+    return {"dir": str(in_dir), "a": a, "b": b, "base": str(base)}
+
+
+def _drain_flagship(spark, in_dir, out_dir, ckpt):
+    stream = st.document_stream(spark, in_dir)
+    st.run_available_now(st.streaming_flagship(spark, stream, out_dir, ckpt))
+
+
+def test_streaming_routed_equals_batch(spark, doc_chunks, tmp_path):
+    out = str(tmp_path / "out")
+    _drain_flagship(spark, doc_chunks["dir"], out, str(tmp_path / "ckpt"))
+
+    streamed = spark.read.parquet(f"{out}/routed")
+    batch_docs = spark.createDataFrame(doc_chunks["a"])
+    batch = flagship.route_stage(flagship.enrich_stage(flagship.parse_stage(batch_docs), spark)).drop("html")
+
+    s_rows = {tuple(r) for r in streamed.select("url", "route", "extracted_text").collect()}
+    b_rows = {tuple(r) for r in batch.select("url", "route", "extracted_text").collect()}
+    assert s_rows == b_rows  # routed-row equality, streaming vs batch
+
+
+def test_streaming_resume_processes_only_new_files(spark, doc_chunks, tmp_path):
+    """Kill/restart semantics: run 1 drains chunk A; chunk B arrives; run 2
+    with the SAME checkpoint processes ONLY B (no reprocessing, no loss)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = doc_chunks["dir"]
+    _drain_flagship(spark, in_dir, out, ckpt)
+    n_after_first = spark.read.parquet(f"{out}/routed").count()
+    assert n_after_first == len(doc_chunks["a"])
+
+    doc_chunks["b"].to_parquet(f"{in_dir}/chunk_b.parquet")
+    _drain_flagship(spark, in_dir, out, ckpt)
+
+    routed = spark.read.parquet(f"{out}/routed")
+    assert routed.count() == 600  # A exactly once + B exactly once
+    assert routed.select("url").distinct().count() == 600
+    # the per-batch agg partials sum to the full batch-mode aggregate
+    agg = spark.read.parquet(f"{out}/agg")
+    total = agg.agg(F.sum("event_count")).collect()[0][0]
+    assert total == 600
+
+
+def test_streaming_windowed_agg_append(spark, tmp_path):
+    """Watermarked windowed agg emits a closed (bucket, keys) row once the
+    watermark passes — late-but-in-watermark rows still count."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf = synth.documents_pdf(300)
+    pdf.to_parquet(in_dir / "a.parquet")
+
+    stream = st.document_stream(spark, str(in_dir))
+    tagged = st.streaming_parse_enrich_route(spark, stream)
+    agg = st.streaming_windowed_agg(tagged, interval="1 hour", watermark="2 hours", keys=("route", "lang"))
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits nothing until the watermark advances past a window —
+    # a single drain of one chunk yields only windows older than max_ts - 2h
+    emitted = spark.sql("select * from win_agg")
+    batch_docs = flagship.parse_stage(spark.createDataFrame(pdf))
+    max_ts = batch_docs.agg(F.max("warc_ts")).collect()[0][0]
+    closed = emitted.filter(F.col("bucket") < F.expr(f"timestamp'{max_ts}' - interval 2 hours"))
+    assert emitted.count() == closed.count()  # nothing un-closed leaked
+
+
+def test_streaming_dedupe_bounded_state(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf = synth.documents_pdf(100)
+    dup = pd.concat([pdf, pdf.iloc[:30]], ignore_index=True)  # 30 dups
+    dup.to_parquet(in_dir / "a.parquet")
+
+    stream = st.document_stream(spark, str(in_dir))
+    deduped = st.streaming_dedupe(stream, ["url"], ts_col="warc_ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(distinct url) c from dedup_stream").collect()[0]["c"] == 100
+    assert spark.sql("select count(*) c from dedup_stream").collect()[0]["c"] == 100
+
+
+def test_rate_events_shape(spark):
+    """rate source (demo_logs interval analog) produces the log-event schema."""
+    df = st.rate_events(spark, rows_per_second=500)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "message", "level", "host", "service", "pid", "status"}

@@ -1,0 +1,194 @@
+"""Structured Streaming variants of the pipeline (SURVEY §2.4 streaming-only).
+
+The reference is a streaming engine: sources emit continuously, transforms
+are per-event or interval-windowed, sinks flush incrementally, and
+acknowledgement/buffer semantics make delivery resumable.  The Spark-first
+mapping:
+
+  continuous source      → ``readStream`` (rate source ≙ demo_logs
+                           interval mode, config_panel.rs:775-900; file/
+                           parquet stream ≙ incremental table ingest;
+                           kafka source form config_panel.rs:1020-1040 →
+                           ``readStream.format("kafka")``, gated on the
+                           connector being present)
+  per-event transforms   → identical DataFrame ops as batch (parse /
+                           enrich / route compile unchanged onto a
+                           streaming DataFrame — same code path)
+  aggregate interval_ms  → event-time ``window()`` + ``withWatermark``
+                           (config_panel.rs:1831-1861); Vector flushes
+                           per interval ⇒ append mode emits each window
+                           once its watermark passes
+  dedupe cache           → ``dropDuplicatesWithinWatermark`` — bounded
+                           state ≙ the LRU cache.num_events bound
+                           (config_panel.rs:1713-1751)
+  multi-sink fan-out     → ``foreachBatch`` writing the routed batch once,
+                           partitioned by route (same single-scan shape as
+                           the batch sink)
+  acknowledgements       → the streaming checkpoint: offsets commit only
+                           after the batch's sinks commit, so a killed job
+                           resumes without reprocessing or loss
+                           (vector_manager buffer/ack semantics analog)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.schema import DOCUMENTS_SCHEMA
+
+__all__ = [
+    "rate_events",
+    "document_stream",
+    "streaming_parse_enrich_route",
+    "streaming_flagship",
+    "streaming_windowed_agg",
+    "streaming_dedupe",
+    "streaming_sample",
+    "run_available_now",
+]
+
+
+# ----------------------------------------------------------------- sources
+
+def rate_events(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """``demo_logs`` with an interval: the rate source emits (timestamp,
+    value); we derive the same deterministic log-event fields from `value`
+    that the batch generator derives from doc_id."""
+    levels = F.array(*[F.lit(x) for x in ("info", "debug", "warn", "error")])
+    statuses = F.array(*[F.lit(x) for x in ("200", "201", "301", "404", "500", "503")])
+    raw = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    h = F.xxhash64(F.col("value"))
+    return raw.select(
+        F.col("timestamp"),
+        F.concat(F.lit("Processing incoming request "), F.col("value")).alias("message"),
+        levels[(F.col("value") % 4).cast("int")].alias("level"),
+        F.format_string("host-%04d", (F.pmod(h, F.lit(20))).cast("int")).alias("host"),
+        F.lit("demo-app").alias("service"),
+        (F.lit(12345) + F.col("value") % 7).cast("int").alias("pid"),
+        statuses[F.pmod(F.shiftrightunsigned(h, 16), F.lit(6)).cast("int")].alias("status"),
+    )
+
+
+def document_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental ingest of the documents table: new parquet files in
+    ``path`` become micro-batches (the Iceberg/warehouse streaming-ingest
+    analog of the `file` source's watch mode)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# -------------------------------------------------------------- transforms
+
+def streaming_parse_enrich_route(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """The flagship's per-event stages compile UNCHANGED onto a streaming
+    DataFrame — parse (regex + Arrow UDF), broadcast enrich, route tag are
+    all stateless, so batch and streaming share one code path."""
+    from vector_spark.plans import flagship
+
+    return flagship.route_stage(flagship.enrich_stage(flagship.parse_stage(stream), spark))
+
+
+def streaming_windowed_agg(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("route", "lang", "host"),
+    bytes_col: str = "content_bytes",
+) -> DataFrame:
+    """Per-sink aggregate as a native streaming windowed agg: event-time
+    buckets + watermark bound the state; append mode emits each
+    (window, keys) row exactly once when the watermark passes —
+    Vector's aggregate interval flush (config_panel.rs:1831-1861)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("bucket"), *[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(bytes_col).alias("byte_total"),
+        )
+        .select(F.col("bucket").start.alias("bucket"), *keys, "event_count", "byte_total")
+    )
+
+
+def streaming_dedupe(
+    stream: DataFrame,
+    fields: list[str],
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T6 dedupe with bounded state: duplicates by `fields` are dropped for
+    as long as their event time is within the watermark — the streaming
+    analog of the reference's cache.num_events LRU bound."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(fields)
+
+
+def streaming_sample(stream: DataFrame, rate: int, id_col: str) -> DataFrame:
+    """T4 sample — deterministic 1-in-N works identically on a stream."""
+    return stream.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0)
+
+
+# ------------------------------------------------------------------- sinks
+
+def streaming_flagship(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """End-to-end streaming flagship: parse → enrich → route, then a
+    foreachBatch sink that (1) appends the routed rows once, partitioned by
+    route — the single-scan multi-sink fan-out — and (2) appends the
+    per-batch partial aggregate (Vector's incremental metric flush;
+    downstream readers SUM partials per bucket).  Offsets commit to the
+    streaming checkpoint only after both writes succeed, so kill/restart
+    resumes exactly where the sinks left off (ack/buffer semantics).
+
+    Exactly-once caveat: a crash BETWEEN the two writes inside one batch
+    replays the whole batch on restart, duplicating the routed rows of that
+    batch (Spark's foreachBatch contract is at-least-once per sink).  The
+    hardening for a production 100 TB run is idempotent per-batch commits —
+    partition the sink by batch_id and overwrite that partition on replay
+    (the agg sink already carries batch_id for exactly this).
+
+    Returns the StreamingQuery (caller picks the trigger via
+    ``run_available_now`` or leaves it continuous)."""
+    routed = streaming_parse_enrich_route(spark, stream)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.drop("html")
+        batch_df.write.mode("append").partitionBy("route").parquet(f"{out_dir}/routed")
+        agg = (
+            batch_df.groupBy(
+                "route", "lang", "host", F.date_trunc("hour", "warc_ts").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.sum("content_bytes").alias("byte_total"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        agg.write.mode("append").partitionBy("route").parquet(f"{out_dir}/agg")
+
+    return (
+        routed.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def run_available_now(writer, timeout_secs: float = 300.0) -> None:
+    """Drain everything currently available, then stop (the batch-like
+    trigger used by tests and catch-up runs)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("streaming query did not drain in time")
+    if q.exception() is not None:
+        raise q.exception()
