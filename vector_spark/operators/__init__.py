@@ -34,7 +34,7 @@ from vector_spark.operators.reduce import reduce_events
 from vector_spark.operators.aggregate import aggregate, sink_aggregate
 from vector_spark.operators.metrics_conv import log_to_metric, metric_to_log
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit
-from vector_spark.operators.enrich import enrich, salted_join
+from vector_spark.operators.enrich import enrich, salted_join, salted_repartition
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -43,5 +43,5 @@ __all__ = [
     "tag_routes", "split", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
-    "tag_cardinality_limit", "enrich", "salted_join",
+    "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
 ]

@@ -48,3 +48,15 @@ def salted_join(
     )
     out = salted_big.join(salted_dim, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def salted_repartition(df: DataFrame, key: str, n_partitions: int, salt: int = 16) -> DataFrame:
+    """Skew-flattening repartition (north_rule: "skew from hot hosts is
+    handled with salted repartitioning"): partition by (key, shard) where
+    shard is a deterministic per-row hash mod `salt`, so a Zipfian-hot key
+    spreads over `salt` partitions instead of melting one task.  Use before
+    key-local work that doesn't need strict key co-location (per-partition
+    writes, UDF batching); for aggregates, prefer the two-phase
+    partial-then-final agg Spark already does."""
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
+    return df.repartition(n_partitions, F.col(key), shard)
