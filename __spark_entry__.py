@@ -158,6 +158,24 @@ def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T9b summary metric: count/sum/exact-quantiles per tag
+def q_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric_summary
+
+    ev = _ev(spark, sf_dir)
+    out = log_to_metric_summary(ev, "value_summary", "value", tags=["event_type"])
+    return out.select("event_type", "count", "sum", "q5", "q9", "q99")
+
+
+# T9c histogram metric: counts per fixed upper-bound bucket
+def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric_histogram
+
+    ev = _ev(spark, sf_dir)
+    out = log_to_metric_histogram(ev, "value_hist", "value", buckets=[10.0, 25.0, 40.0], tags=["event_type"])
+    return out.select("event_type", "bucket", "count")
+
+
 # T10 metric_to_log: reshape metrics back to log rows
 def q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.operators import log_to_metric, metric_to_log
@@ -342,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_reduce_sessions": q_reduce_sessions,
         "t8_aggregate": q_aggregate,
         "t9_log_to_metric": q_log_to_metric,
+        "t9b_metric_summary": q_metric_summary,
+        "t9c_metric_histogram": q_metric_histogram,
         "t10_metric_to_log": q_metric_to_log,
         "t11_tag_cardinality": q_tag_cardinality,
         "enrich_broadcast_join": q_enrich_join,
@@ -438,6 +458,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(COUNT(event_id) AS DOUBLE) AS value
             FROM events GROUP BY event_type
+        """,
+        "t9b_metric_summary": """
+            SELECT event_type,
+                   COUNT(value) AS count,
+                   ROUND(SUM(value), 6) AS sum,
+                   ROUND(quantile_cont(value, 0.5), 6) AS q5,
+                   ROUND(quantile_cont(value, 0.9), 6) AS q9,
+                   ROUND(quantile_cont(value, 0.99), 6) AS q99
+            FROM events GROUP BY event_type
+        """,
+        "t9c_metric_histogram": """
+            SELECT event_type,
+                   CASE WHEN value <= 10.0 THEN 'le_10.0'
+                        WHEN value <= 25.0 THEN 'le_25.0'
+                        WHEN value <= 40.0 THEN 'le_40.0'
+                        ELSE 'le_inf' END AS bucket,
+                   COUNT(*) AS count
+            FROM events GROUP BY 1, 2
         """,
         "t10_metric_to_log": """
             SELECT 'metric events_total incremental ' ||

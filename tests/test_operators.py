@@ -185,3 +185,33 @@ def test_salted_join_equals_plain_join(spark):
     plain = {(r.url, r.country) for r in O.enrich(docs, dim, on="host").select("url", "country").collect()}
     salted = {(r.url, r.country) for r in O.salted_join(docs, dim, on="host", salt=8).select("url", "country").collect()}
     assert plain == salted
+
+
+def test_log_to_metric_summary(spark):
+    from vector_spark.operators import log_to_metric_summary
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "tag string, value double",
+    )
+    rows = {r.tag: r for r in log_to_metric_summary(df, "m", "value", tags=["tag"]).collect()}
+    assert rows["a"]["count"] == 100 and rows["a"]["sum"] == 5050.0
+    assert rows["a"]["q5"] == 50.5          # exact interpolated median of 1..100
+    assert rows["b"]["q9"] == 14.0          # interp between 5 and 15 at 0.9
+    assert rows["a"]["kind"] == "absolute"
+
+
+def test_log_to_metric_histogram(spark):
+    from vector_spark.operators import log_to_metric_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 10.0), ("a", 11.0), ("a", 99.0)], "tag string, value double"
+    )
+    rows = {
+        (r.tag, r.bucket): r["count"]
+        for r in log_to_metric_histogram(df, "h", "value", buckets=[10.0, 25.0], tags=["tag"]).collect()
+    }
+    # upper-bound-inclusive buckets: 1.0,10.0 → le_10.0; 11.0 → le_25.0; 99.0 → le_inf
+    assert rows[("a", "le_10.0")] == 2
+    assert rows[("a", "le_25.0")] == 1
+    assert rows[("a", "le_inf")] == 1

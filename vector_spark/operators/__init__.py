@@ -32,7 +32,12 @@ from vector_spark.operators.throttle import throttle
 from vector_spark.operators.dedupe import dedupe
 from vector_spark.operators.reduce import reduce_events
 from vector_spark.operators.aggregate import aggregate, sink_aggregate
-from vector_spark.operators.metrics_conv import log_to_metric, metric_to_log
+from vector_spark.operators.metrics_conv import (
+    log_to_metric,
+    log_to_metric_histogram,
+    log_to_metric_summary,
+    metric_to_log,
+)
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit
 from vector_spark.operators.enrich import enrich, salted_join, salted_repartition
 
@@ -43,5 +48,6 @@ __all__ = [
     "tag_routes", "split", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
+    "log_to_metric_summary", "log_to_metric_histogram",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
 ]

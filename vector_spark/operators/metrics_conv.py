@@ -59,6 +59,54 @@ def log_to_metric(
     )
 
 
+def log_to_metric_summary(
+    df: DataFrame,
+    metric_name: str,
+    field: str,
+    tags: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """MetricValue::Summary (shared/src/messages.rs:145-183): count, sum, and
+    quantile points per tag-set.  Exact percentiles via F.percentile (one
+    shuffle on tags; at 100 TB swap in percentile_approx — same plan shape,
+    mergeable sketch)."""
+    tag_cols = tags or []
+    qcols = [
+        F.round(F.percentile(field, F.lit(q)), 6).alias(f"q{str(q).replace('0.', '')}")
+        for q in quantiles
+    ]
+    out = df.groupBy(*tag_cols).agg(
+        F.count(field).alias("count"),
+        F.round(F.sum(field), 6).alias("sum"),
+        *qcols,
+    )
+    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("absolute"))
+
+
+def log_to_metric_histogram(
+    df: DataFrame,
+    metric_name: str,
+    field: str,
+    buckets: list[float],
+    tags: list[str] | None = None,
+) -> DataFrame:
+    """MetricValue::Histogram: counts per fixed bucket boundary.  width via
+    explicit CASE (codegen) rather than width_bucket so boundaries match
+    Vector's upper-bound-inclusive buckets; one hash agg, map-side combined."""
+    tag_cols = tags or []
+    b = sorted(buckets)
+    bucket_expr = F.when(F.col(field) <= b[0], F.lit(f"le_{b[0]}"))
+    for lo, hi in zip(b, b[1:]):
+        bucket_expr = bucket_expr.when(F.col(field) <= hi, F.lit(f"le_{hi}"))
+    bucket_expr = bucket_expr.otherwise(F.lit("le_inf"))
+    out = (
+        df.withColumn("bucket", bucket_expr)
+        .groupBy(*tag_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("incremental"))
+
+
 def metric_to_log(df: DataFrame) -> DataFrame:
     """Metric rows → log-shaped rows: tags flatten into a message, the metric
     value/kind become fields (pure projection)."""
