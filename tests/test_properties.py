@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the pure-function contracts.
+
+The reference has no property tests (SURVEY §5); these guard the two
+pieces of this engine where a single bad byte breaks the whole contract:
+the html→text extractor (byte-identical invariant) and the VRL condition
+compiler (filter semantics must equal a reference evaluation).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_spark.extract import extract_text_bytes, extract_text_str
+
+# --------------------------------------------------------------- extractor
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_extractor_total_and_deterministic(data):
+    """Never raises on arbitrary bytes; same input → same output."""
+    a = extract_text_bytes(data)
+    b = extract_text_bytes(data)
+    assert a == b
+    assert isinstance(a, bytes)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_extractor_whitespace_normalized(data):
+    """Output never has leading/trailing whitespace or 2+ whitespace runs —
+    the normalization half of the byte contract."""
+    out = extract_text_bytes(data)
+    assert out == out.strip()
+    assert b"  " not in out and b"\n" not in out and b"\t" not in out
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_extractor_plain_text_passthrough(text):
+    """Text with no tags/entities passes through modulo whitespace collapse."""
+    if any(ch in text for ch in "<>&"):
+        return
+    import re
+
+    raw = text.encode("utf-8")
+    # reference in the BYTE domain: the contract collapses ASCII whitespace
+    # (\s in bytes), not Python's wider str.split() whitespace (\x1c-\x1f).
+    want = re.sub(rb"\s+", b" ", raw).strip().decode("utf-8", errors="replace")
+    assert extract_text_str(raw) == want
+
+
+def test_extractor_tag_and_entity_goldens():
+    cases = {
+        b"<html><body><p>a b</p></body></html>": b"a b",
+        b"<script>var x = 1;</script>hi": b"hi",
+        b"<style>p{}</style>ok": b"ok",
+        b"a &amp;lt; b": b"a &lt; b",  # &amp; decodes LAST
+        b"x &lt;tag&gt; y": b"x <tag> y",
+        b"": b"",
+        None: b"",
+    }
+    for html, want in cases.items():
+        assert extract_text_bytes(html) == want, html
+
+
+# ------------------------------------------------------------ VRL compiler
+
+
+@given(
+    st.integers(min_value=-100, max_value=100),
+    st.sampled_from([">=", ">", "<=", "<", "==", "!="]),
+)
+@settings(max_examples=30, deadline=None)
+def test_vrl_numeric_comparisons_match_python(spark_session_holder, threshold, op):
+    """Compiled `.value <op> t` filter keeps exactly the rows Python keeps."""
+    spark = spark_session_holder
+    from vector_spark.operators import filter_events
+
+    rows = [(i, float(v)) for i, v in enumerate(range(-5, 6))]
+    df = spark.createDataFrame(rows, "id long, value double")
+    got = {r.id for r in filter_events(df, f".value {op} {threshold}").collect()}
+    py = {
+        i
+        for i, v in rows
+        if {
+            ">=": v >= threshold,
+            ">": v > threshold,
+            "<=": v <= threshold,
+            "<": v < threshold,
+            "==": v == threshold,
+            "!=": v != threshold,
+        }[op]
+    }
+    assert got == py
+
+
+def test_vrl_combined_conditions(spark):
+    from vector_spark.operators import filter_events
+
+    df = spark.createDataFrame(
+        [(1, "error", 5.0), (2, "error", 50.0), (3, "info", 50.0), (4, None, 50.0)],
+        "id long, level string, value double",
+    )
+    got = {r.id for r in filter_events(df, '.level == "error" && .value >= 10').collect()}
+    assert got == {2}
+    got = {r.id for r in filter_events(df, 'exists(.level) || .value < 0').collect()}
+    assert got == {1, 2, 3}
+    got = {r.id for r in filter_events(df, '!(.level == "error")').collect()}
+    assert got == {3}  # three-valued logic: NULL level row drops, like VRL error
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    """Module-held session for hypothesis (function-scoped fixtures clash
+    with @given)."""
+    return spark

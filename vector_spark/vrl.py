@@ -199,6 +199,8 @@ class _Parser:
 
     def primary(self) -> Column:
         t = self.next()
+        if t.kind == "op" and t.value == "-":  # unary minus: -5, -.value
+            return -self.primary()
         if t.kind == "op" and t.value == "(":
             inner = self.expr()
             if not self.accept("op", ")"):
