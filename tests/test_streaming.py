@@ -123,3 +123,63 @@ def test_rate_events_shape(spark):
     df = st.rate_events(spark, rows_per_second=500)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "message", "level", "host", "service", "pid", "status"}
+
+
+def test_streaming_throttle_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState throttle: threshold counts persist across
+    micro-batches — key 'u1' gets 2 of its 6 events total even though they
+    arrive 3 per batch in the same window."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+
+    def chunk(offset, n=3):
+        return pd.DataFrame(
+            {
+                "url": [f"https://h/{offset + i}" for i in range(n)],
+                "warc_ts": [base + pd.Timedelta(seconds=offset + i) for i in range(n)],
+                "html": [b""] * n,
+                "text": [""] * n,
+                "lang": ["en"] * n,
+            }
+        )
+
+    def write_chunk(pdf, name):
+        from vector_spark.schema import DOCUMENTS_SCHEMA
+
+        spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir / name))
+
+    write_chunk(chunk(0), "a")
+    write_chunk(chunk(10), "b")  # same hour window, will arrive as batch 2
+
+    # maxFilesPerTrigger=1 → each chunk is its own micro-batch within ONE
+    # query run; the GroupState must carry (window_start, emitted) across
+    # the batch boundary for the threshold to hold globally.
+    # State-store files are written per shuffle partition per batch — keep
+    # the partition count tiny so the test isn't I/O-bound.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    stream = st.document_stream(spark, str(in_dir / "*"), max_files_per_trigger=1)
+    throttled = st.streaming_throttle(
+        stream, key_field="lang", ts_col="warc_ts", threshold=2, window_secs=3600
+    )
+    q = (
+        throttled.writeStream.format("memory")
+        .queryName("thr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p]
+        assert len(progress) >= 2  # really did run as 2+ micro-batches
+        # 6 events in one hour window across 2 batches, threshold 2 → 2 out
+        assert spark.sql("select count(*) c from thr").collect()[0]["c"] == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_spark.schema import DOCUMENTS_SCHEMA
 
@@ -47,6 +48,7 @@ __all__ = [
     "streaming_windowed_agg",
     "streaming_dedupe",
     "streaming_sample",
+    "streaming_throttle",
     "run_available_now",
 ]
 
@@ -192,3 +194,59 @@ def run_available_now(writer, timeout_secs: float = 300.0) -> None:
         raise TimeoutError("streaming query did not drain in time")
     if q.exception() is not None:
         raise q.exception()
+
+
+def streaming_throttle(
+    stream: DataFrame,
+    key_field: str,
+    ts_col: str = "warc_ts",
+    threshold: int = 10,
+    window_secs: float = 1.0,
+) -> DataFrame:
+    """T5 throttle with REAL cross-batch state (applyInPandasWithState):
+    at most `threshold` events per key per `window_secs`, enforced across
+    micro-batches — the reference's rate-limit semantics
+    (config_panel.rs:1671-1709), which per-batch windowing can't honor when
+    a key's events span batches.
+
+    State per key: (window_start_epoch, emitted_in_window) — two scalars, so
+    state size is O(distinct keys) and NoTimeout is safe for the bounded-
+    cardinality keys throttle is used with (host, service, user bucket).
+    (ProcessingTimeTimeout is deliberately NOT used: with availableNow
+    triggers Spark schedules endless timeout-processing micro-batches and
+    the query never drains.)  Arrival order within a batch follows event
+    time (sorted), matching the batch operator's tiebreaker semantics.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+    state_schema = T.StructType(
+        [
+            T.StructField("win_start", T.DoubleType()),
+            T.StructField("emitted", T.IntegerType()),
+        ]
+    )
+
+    def throttle_fn(key, pdf_iter, state: GroupState):
+        win_start, emitted = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            keep = np.zeros(len(pdf), dtype=bool)
+            ts_epoch = pdf[ts_col].astype("int64").to_numpy() / 1e9
+            for i, t in enumerate(ts_epoch):
+                if win_start is None or t - win_start >= window_secs:
+                    win_start, emitted = t, 0
+                if emitted < threshold:
+                    keep[i] = True
+                    emitted += 1
+            if keep.any():
+                yield pdf[keep]
+        state.update((float(win_start) if win_start is not None else 0.0, int(emitted)))
+
+    return stream.groupBy(F.col(key_field)).applyInPandasWithState(
+        throttle_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
