@@ -320,14 +320,20 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_spark.functions import cosine_expr
-
+    # Norms are computed ONCE per row before the self-join (n rows), not per
+    # pair (n²/2): per-pair work is just the zip_with dot product.  The dot's
+    # left-to-right fold order is identical to cosine_expr's, so results are
+    # bit-identical to the naive form (and to the DuckDB oracle at 6dp).
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b"))
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("vec_id", "label", v.alias("v"), norm.alias("nrm"))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(F.col("label_a") == F.col("label_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= 0.5)
         .select("id_a", "id_b", "cosine")
     )

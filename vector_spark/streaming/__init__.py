@@ -151,20 +151,23 @@ def streaming_flagship(
     streaming checkpoint only after both writes succeed, so kill/restart
     resumes exactly where the sinks left off (ack/buffer semantics).
 
-    Exactly-once caveat: a crash BETWEEN the two writes inside one batch
-    replays the whole batch on restart, duplicating the routed rows of that
-    batch (Spark's foreachBatch contract is at-least-once per sink).  The
-    hardening for a production 100 TB run is idempotent per-batch commits —
-    partition the sink by batch_id and overwrite that partition on replay
-    (the agg sink already carries batch_id for exactly this).
+    Exactly-once: foreachBatch is at-least-once per sink (a crash between
+    the two writes replays the whole batch), so both sinks partition by
+    batch_id and use DYNAMIC partition overwrite — a replayed batch
+    rewrites exactly its own partitions, making the replay idempotent and
+    the sinks exactly-once end to end.
 
     Returns the StreamingQuery (caller picks the trigger via
     ``run_available_now`` or leaves it continuous)."""
     routed = streaming_parse_enrich_route(spark, stream)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.drop("html")
-        batch_df.write.mode("append").partitionBy("route").parquet(f"{out_dir}/routed")
+        batch_df = batch_df.drop("html").withColumn("batch_id", F.lit(batch_id))
+        # session.py sets partitionOverwriteMode=dynamic: overwrite replaces
+        # only the partitions present in this batch (batch_id=N/route=*).
+        batch_df.write.mode("overwrite").partitionBy("batch_id", "route").parquet(
+            f"{out_dir}/routed"
+        )
         agg = (
             batch_df.groupBy(
                 "route", "lang", "host", F.date_trunc("hour", "warc_ts").alias("bucket")
@@ -175,7 +178,7 @@ def streaming_flagship(
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        agg.write.mode("append").partitionBy("route").parquet(f"{out_dir}/agg")
+        agg.write.mode("overwrite").partitionBy("batch_id", "route").parquet(f"{out_dir}/agg")
 
     return (
         routed.writeStream.foreachBatch(sink_batch)
