@@ -167,25 +167,31 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k, unit).persist()
+    # Pack the signature into ONE array column: the band explode and the
+    # verify join then move a single array instead of k separate columns
+    # (smaller shuffle rows, simpler codegen).
+    sig = (
+        minhash_signatures(df, id_col, text_col, n, k, unit)
+        .select(id_col, F.array(*[F.col(f"h{j}") for j in range(k)]).alias("sig"))
+        .persist()
+    )
 
     band_rows = sig.select(
         id_col,
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bucket"),
-                    )
+                    F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)])
                     for b in range(bands)
                 ]
             )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.bucket")
+        ).alias("band", "bucket"),
+    )
 
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # distinct on the BARE pair — the signature arrays join back after, so
+    # the dedup shuffle moves 16 bytes/row, not 2x512-byte signatures.
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -193,22 +199,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if threshold is None:
-        sig.unpersist()
         return cand
 
-    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
-    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)])
-    matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
-    out = (
+    return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .withColumn("est_jaccard", F.round(matches / F.lit(k), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    return out
 
 
 # --- SimHash -----------------------------------------------------------------
