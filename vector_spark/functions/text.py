@@ -116,29 +116,39 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 def fingerprint_udf(text: pd.Series) -> pd.Series:
     """64-bit rolling polynomial hash of the token stream (Karp-Rabin).
 
-    Deterministic, order-sensitive (unlike a bag-of-words hash), vectorized
-    per Arrow batch with numpy uint64 wraparound arithmetic.
+    Deterministic, order-sensitive (unlike a bag-of-words hash), and fully
+    vectorized per Arrow batch: token hashes via ``pd.util.hash_array``
+    (SipHash, fixed key — same across executors/runs), then the polynomial
+
+        h(doc) = OFFSET·B^n + Σ_i t_i · B^(n-1-i)   (mod 2^64)
+
+    computed with a precomputed power table and one ``np.add.reduceat`` —
+    no per-token Python.  Empty/NULL text → 0.
     """
-    import hashlib
-
     B = np.uint64(1099511628211)  # FNV prime as the rolling base
+    OFFSET = np.uint64(14695981039346656037)
 
-    def tok_hash(tok: str) -> np.uint64:
-        # blake2b is keyed-deterministic (unlike Python's salted hash()).
-        return np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
-
-    def fp(s: str | None) -> int:
-        if not s:
-            return 0
-        h = np.uint64(14695981039346656037)
+    token_lists = text.fillna("").str.split()
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(len(lengths), dtype=np.int64)
+    nonempty = lengths > 0
+    if nonempty.any():
+        lens = lengths[nonempty]
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists[nonempty]])
+        t = pd.util.hash_array(flat)  # uint64 token hashes
         with np.errstate(over="ignore"):
-            for tok in s.split():
-                h = h * B + tok_hash(tok)
-        return int(h.astype(np.int64))
-
-    return text.map(fp)
+            max_len = int(lens.max())
+            # pow_table[k] = B^k mod 2^64 (numpy uint64 wraps modularly)
+            pow_table = np.ones(max_len + 1, dtype=np.uint64)
+            np.cumprod(np.full(max_len, B, dtype=np.uint64), out=pow_table[1:])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+            exp = np.repeat(lens, lens) - 1 - pos  # n-1-i per token
+            terms = t * pow_table[exp]
+            sums = np.add.reduceat(terms, starts)
+            fp = OFFSET * pow_table[lens] + sums
+        out[nonempty] = fp.astype(np.int64)
+    return pd.Series(out)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
