@@ -586,9 +586,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.5
         """,
-        # dedup_minhash_lsh / dedup_simhash / text_fingerprint / text_lang_id /
-        # sim_ivf_topk: intentionally no oracle (xxhash64/blake2b/centroid
-        # logic is not ANSI-SQL-expressible) → driver rows-only check.
+        "text_lang_id": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(coalesce(text,'')), '\s+') AS words,
+                     coalesce(text,'') AS raw
+              FROM documents),
+            s AS (SELECT doc_id,
+              (list_contains(words, 'the')::INT + list_contains(words, 'and')::INT
+               + list_contains(words, 'of')::INT + list_contains(words, 'is')::INT
+               + list_contains(words, 'you')::INT + list_contains(words, 'that')::INT) AS en,
+              (list_contains(words, 'der')::INT + list_contains(words, 'die')::INT
+               + list_contains(words, 'und')::INT + list_contains(words, 'ist')::INT
+               + list_contains(words, 'nicht')::INT + list_contains(words, 'das')::INT) AS de,
+              (list_contains(words, 'le')::INT + list_contains(words, 'la')::INT
+               + list_contains(words, 'les')::INT + list_contains(words, 'est')::INT
+               + list_contains(words, 'une')::INT + list_contains(words, 'que')::INT) AS fr,
+              (list_contains(words, 'el')::INT + list_contains(words, 'los')::INT
+               + list_contains(words, 'es')::INT + list_contains(words, 'una')::INT
+               + list_contains(words, 'que')::INT + list_contains(words, 'por')::INT) AS es,
+              (list_contains(words, 'и')::INT + list_contains(words, 'в')::INT
+               + list_contains(words, 'не')::INT + list_contains(words, 'что')::INT
+               + list_contains(words, 'это')::INT + list_contains(words, 'на')::INT) AS ru,
+              (list_contains(words, '的')::INT + list_contains(words, '是')::INT
+               + list_contains(words, '了')::INT + list_contains(words, '在')::INT
+               + list_contains(words, '我')::INT + list_contains(words, '有')::INT
+               + contains(raw, '的')::INT + contains(raw, '是')::INT
+               + contains(raw, '了')::INT + contains(raw, '在')::INT
+               + contains(raw, '我')::INT + contains(raw, '有')::INT) AS zh
+              FROM w),
+            b AS (SELECT doc_id,
+                         list_max([{'score': en, 'lang': 'en'}, {'score': de, 'lang': 'de'},
+                                   {'score': fr, 'lang': 'fr'}, {'score': es, 'lang': 'es'},
+                                   {'score': ru, 'lang': 'ru'}, {'score': zh, 'lang': 'zh'}]) AS best
+                  FROM s)
+            SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+                   COUNT(*) AS n
+            FROM b GROUP BY 1
+        """,
+        # dedup_minhash_lsh / dedup_simhash / text_fingerprint / sim_ivf_topk:
+        # intentionally no oracle (xxhash64/SipHash/centroid logic is not
+        # ANSI-SQL-expressible) → driver rows-only check.
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,
