@@ -183,3 +183,54 @@ def test_streaming_throttle_state_spans_batches(spark, tmp_path):
         assert spark.sql("select count(*) c from thr").collect()[0]["c"] == 2
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_streaming_reduce_sessions(spark, tmp_path):
+    """Native session_window reduce: events within the gap merge into one
+    session; a > gap silence splits sessions; append emits closed sessions."""
+    from vector_spark.schema import DOCUMENTS_SCHEMA
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+    # lang=en: two bursts separated by 2h (gap 30m → 2 sessions);
+    # lang=de: one burst. A far-future row advances the watermark past both.
+    rows = (
+        [("https://h/a%d" % i, base + pd.Timedelta(minutes=5 * i), "en") for i in range(3)]
+        + [("https://h/b%d" % i, base + pd.Timedelta(hours=3) + pd.Timedelta(minutes=i), "en") for i in range(2)]
+        + [("https://h/c0", base + pd.Timedelta(minutes=1), "de")]
+        + [("https://h/z", base + pd.Timedelta(days=2), "en")]
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": [r[1] for r in rows],
+            "html": [b""] * len(rows),
+            "text": [""] * len(rows),
+            "lang": [r[2] for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(str(in_dir / "a"))
+
+    sess = st.streaming_reduce_sessions(
+        st.document_stream(spark, str(in_dir / "*")),
+        keys=["lang"],
+        gap="30 minutes",
+        watermark="1 hour",
+        agg_exprs={"url": "count"},
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.lang, r.events_merged)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # closed sessions: en burst1 (3 events), en burst2 (2), de (1)
+    assert got == {("en", 3), ("en", 2), ("de", 1)}

@@ -49,6 +49,7 @@ __all__ = [
     "streaming_dedupe",
     "streaming_sample",
     "streaming_throttle",
+    "streaming_reduce_sessions",
     "run_available_now",
 ]
 
@@ -252,4 +253,40 @@ def streaming_throttle(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_reduce_sessions(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    agg_exprs: dict[str, str] | None = None,
+) -> DataFrame:
+    """T7 `reduce` as native streaming sessionization: events for a key that
+    arrive within `gap` of each other collapse into one session row, emitted
+    (append mode) once the watermark closes the session — the streaming
+    analog of reduce's merge-until-idle semantics (config_panel.rs:1756-1794;
+    the batch operator's `ends_when` variant closes on a condition instead,
+    an intentional delta documented in operators/reduce.py).
+
+    ``agg_exprs`` maps column → {sum, max, min, first, last, count}; always
+    includes events_merged (the reduce contract's merge count).
+    """
+    aggs = [F.count(F.lit(1)).alias("events_merged")]
+    for col, how in (agg_exprs or {}).items():
+        fn = {"sum": F.sum, "max": F.max, "min": F.min, "first": F.first, "last": F.last,
+              "count": F.count}[how]
+        aggs.append(fn(col).alias(f"{col}_{how}"))
+    sess = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+    )
+    return sess.select(
+        *keys,
+        F.col("session").start.alias("session_start"),
+        F.col("session").end.alias("session_end"),
+        *[c for c in sess.columns if c not in ("session", *keys)],
     )
