@@ -234,3 +234,56 @@ def test_streaming_reduce_sessions(spark, tmp_path):
     }
     # closed sessions: en burst1 (3 events), en burst2 (2), de (1)
     assert got == {("en", 3), ("en", 2), ("de", 1)}
+
+
+def test_streaming_reduce_ends_when_spans_batches(spark, tmp_path):
+    """Condition-closed reduce: a session that STARTS in batch 1 and is
+    CLOSED by an event in batch 2 emits one merged row spanning both."""
+    from vector_spark.schema import DOCUMENTS_SCHEMA
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+
+    def write_chunk(rows, name):
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": [base + pd.Timedelta(seconds=r[1]) for r in rows],
+                "html": [b""] * len(rows),
+                "text": [r[2] for r in rows],   # text 'END' closes the session
+                "lang": ["en"] * len(rows),
+            }
+        )
+        spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    # batch A: 2 open events; batch B: 1 event then the closer, then 1 leftover
+    write_chunk([("u1", 0, "x"), ("u2", 1, "x")], "a")
+    write_chunk([("u3", 10, "x"), ("u4", 11, "END"), ("u5", 12, "x")], "b")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = st.document_stream(spark, str(in_dir / "*"), max_files_per_trigger=1)
+        reduced = st.streaming_reduce_ends_when(
+            stream.withColumn("one", F.lit(1.0)),
+            keys=["lang"],
+            value_col="one",
+            ends_when=lambda pdf: pdf["text"] == "END",
+        )
+        q = (
+            reduced.writeStream.format("memory")
+            .queryName("ew")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from ew").collect()
+        # one closed session: 2 (batch A) + 2 (batch B incl. closer) = 4 events
+        assert [(r.lang, r.value_sum, r.events_merged) for r in rows] == [("en", 4.0, 4)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

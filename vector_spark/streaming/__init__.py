@@ -50,6 +50,7 @@ __all__ = [
     "streaming_sample",
     "streaming_throttle",
     "streaming_reduce_sessions",
+    "streaming_reduce_ends_when",
     "run_available_now",
 ]
 
@@ -289,4 +290,62 @@ def streaming_reduce_sessions(
         F.col("session").start.alias("session_start"),
         F.col("session").end.alias("session_end"),
         *[c for c in sess.columns if c not in ("session", *keys)],
+    )
+
+
+def streaming_reduce_ends_when(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ends_when,
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """T7 ``reduce`` with the reference's EXACT close semantics: a session
+    accumulates per key until an event satisfying ``ends_when`` arrives,
+    which closes the session (inclusive of the closing event) — carried
+    ACROSS micro-batches with applyInPandasWithState
+    (config_panel.rs:1756-1794, `ends_when` VRL condition).
+
+    ``ends_when`` is a callable ``pd.DataFrame -> bool Series`` (the pandas
+    analog of the compiled VRL predicate; batch reduce compiles the same
+    condition to a Column).  Output rows: keys + value_sum + events_merged
+    + closed flag; sessions still open at the end of input remain in state
+    (and would emit on the closing event of a later batch) — matching the
+    reference, where an unterminated reduce window stays buffered.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [*key_fields,
+         T.StructField("value_sum", T.DoubleType()),
+         T.StructField("events_merged", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("acc", T.DoubleType()), T.StructField("n", T.LongType())]
+    )
+
+    def reduce_fn(key, pdf_iter, state: GroupState):
+        acc, n = state.get if state.exists else (0.0, 0)
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            ends = ends_when(pdf).to_numpy()
+            vals = pdf[value_col].to_numpy()
+            for v, e in zip(vals, ends):
+                acc += float(v)
+                n += 1
+                if e:
+                    closed.append((*key, acc, n))
+                    acc, n = 0.0, 0
+        if closed:
+            yield pd.DataFrame(closed, columns=[*keys, "value_sum", "events_merged"])
+        state.update((acc, n))
+
+    return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        reduce_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
