@@ -234,8 +234,11 @@ def streaming_throttle(
 
     def throttle_fn(key, pdf_iter, state: GroupState):
         win_start, emitted = state.get if state.exists else (None, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # pdf_iter may yield several chunks per key per batch; event-time
+        # order must hold ACROSS chunks, so gather then sort once.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             keep = np.zeros(len(pdf), dtype=bool)
             ts_epoch = pdf[ts_col].astype("int64").to_numpy() / 1e9
             for i, t in enumerate(ts_epoch):
@@ -308,8 +311,8 @@ def streaming_reduce_ends_when(
 
     ``ends_when`` is a callable ``pd.DataFrame -> bool Series`` (the pandas
     analog of the compiled VRL predicate; batch reduce compiles the same
-    condition to a Column).  Output rows: keys + value_sum + events_merged
-    + closed flag; sessions still open at the end of input remain in state
+    condition to a Column).  Output rows: keys + value_sum +
+    events_merged; sessions still open at the end of input remain in state
     (and would emit on the closing event of a later batch) — matching the
     reference, where an unterminated reduce window stays buffered.
     """
@@ -328,8 +331,9 @@ def streaming_reduce_ends_when(
     def reduce_fn(key, pdf_iter, state: GroupState):
         acc, n = state.get if state.exists else (0.0, 0)
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        chunks = list(pdf_iter)  # event-time order must hold ACROSS chunks
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             ends = ends_when(pdf).to_numpy()
             vals = pdf[value_col].to_numpy()
             for v, e in zip(vals, ends):
