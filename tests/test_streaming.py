@@ -14,16 +14,19 @@ from vector_spark import synth
 from vector_spark.plans import flagship
 
 
-@pytest.fixture(scope="module")
-def doc_chunks(spark, tmp_path_factory):
-    """Two parquet 'arrival' chunks of the deterministic documents table."""
-    base = tmp_path_factory.mktemp("stream_docs")
+@pytest.fixture()
+def doc_chunks(spark, tmp_path):
+    """Two parquet 'arrival' chunks of the deterministic documents table.
+
+    Function-scoped on purpose: the resume test appends chunk_b.parquet to the
+    input dir, so a shared module-scoped dir would make the routed-equality
+    test order-dependent (600 vs 400 rows depending on which ran first)."""
     full = synth.documents_pdf(600)
     a, b = full.iloc[:400], full.iloc[400:]
-    in_dir = base / "in"
+    in_dir = tmp_path / "in"
     in_dir.mkdir()
     a.to_parquet(in_dir / "chunk_a.parquet")
-    return {"dir": str(in_dir), "a": a, "b": b, "base": str(base)}
+    return {"dir": str(in_dir), "a": a, "b": b, "base": str(tmp_path)}
 
 
 def _drain_flagship(spark, in_dir, out_dir, ckpt):

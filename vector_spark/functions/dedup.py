@@ -170,11 +170,16 @@ def minhash_lsh_pairs(
     # Pack the signature into ONE array column: the band explode and the
     # verify join then move a single array instead of k separate columns
     # (smaller shuffle rows, simpler codegen).
-    sig = (
-        minhash_signatures(df, id_col, text_col, n, k, unit)
-        .select(id_col, F.array(*[F.col(f"h{j}") for j in range(k)]).alias("sig"))
-        .persist()
-    )
+    #
+    # localCheckpoint, not persist(): both self-join sides read this table, but
+    # a persist() lives in the session CacheManager until someone unpersists —
+    # and no unpersist point exists here that runs after the caller materializes
+    # the (lazy) result.  localCheckpoint blocks are owned by the RDD and freed
+    # by the ContextCleaner when the result is GC'd, so repeated calls in a
+    # long-lived session don't accumulate storage.
+    sig = minhash_signatures(df, id_col, text_col, n, k, unit).select(
+        id_col, F.array(*[F.col(f"h{j}") for j in range(k)]).alias("sig")
+    ).localCheckpoint(eager=True)
 
     band_rows = sig.select(
         id_col,
@@ -260,9 +265,15 @@ def simhash_neardup_pairs(
     single equi-join shuffle (minhash-LSH shape), not h+1 separate joins."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    # Persist the (id, fingerprint) table: both sides of the self-join read
-    # it, so the UDF runs once, not twice.
-    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash").persist()
+    # localCheckpoint the (id, fingerprint) table: both sides of the self-join
+    # read it, so the UDF runs once, not twice — and unlike persist() the
+    # blocks are freed on GC rather than leaking in the CacheManager (see
+    # minhash_lsh_pairs).
+    sh = (
+        simhash(df.select(id_col, text_col), text_col)
+        .select(id_col, "simhash")
+        .localCheckpoint(eager=True)
+    )
 
     band_rows = sh.select(
         id_col,

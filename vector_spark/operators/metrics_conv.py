@@ -94,6 +94,11 @@ def log_to_metric_histogram(
     explicit CASE (codegen) rather than width_bucket so boundaries match
     Vector's upper-bound-inclusive buckets; one hash agg, map-side combined."""
     tag_cols = tags or []
+    # NULL field values would fall through every `<=` condition into le_inf,
+    # inflating the top bucket while log_to_metric_summary's count(field)
+    # excludes them — filter up front so histogram and summary agree on the
+    # same event population.
+    df = df.where(F.col(field).isNotNull())
     b = sorted(buckets)
     bucket_expr = F.when(F.col(field) <= b[0], F.lit(f"le_{b[0]}"))
     for lo, hi in zip(b, b[1:]):

@@ -16,7 +16,7 @@ Spark design:
     to the session it closes; then groupBy(keys, session_id).
 
 Merge strategies supported (named after Vector's reduce merge strategies):
-  first/last/sum/max/min/avg/count/concat/array/discard.
+  first/last/sum/max/min/avg/count/concat/array/discard/retain.
 """
 
 from __future__ import annotations
@@ -46,6 +46,13 @@ def _strategy(col: str, how: str) -> Column:
         return F.concat_ws(" ", F.collect_list(col)).alias(col)
     if how == "array":
         return F.collect_list(col).alias(col)
+    if how == "discard":
+        # Vector: "discard all but the first value found" (nulls included —
+        # unlike `first`, which skips nulls to mirror scalar merge defaults).
+        return F.first(col, ignorenulls=False).alias(col)
+    if how == "retain":
+        # Vector: "discard all but the last value found" (works on nulls).
+        return F.last(col, ignorenulls=False).alias(col)
     raise ValueError(f"unknown merge strategy {how!r}")
 
 

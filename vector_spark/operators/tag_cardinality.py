@@ -14,7 +14,7 @@ always broadcastable — no shuffle on the big side).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,10 +34,14 @@ def tag_cardinality_limit(
     """
     order = F.col(order_by) if order_by else F.col(tag_col)
     firsts = df.groupBy(tag_col).agg(F.min(order).alias("_first_seen"))
-    w = Window.orderBy("_first_seen", tag_col)
+    # First `value_limit` by first-occurrence: orderBy().limit() plans as a
+    # distributed TakeOrderedAndProject (per-partition top-k + driver merge of
+    # value_limit rows) — unlike a global row_number() Window, which moves every
+    # distinct tag value to ONE partition (millions of rows on one task for the
+    # high-cardinality tags this operator exists for).
     allowed = (
-        firsts.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= value_limit)
+        firsts.orderBy("_first_seen", tag_col)
+        .limit(value_limit)
         .select(F.col(tag_col).alias("_allowed_value"))
     )
     joined = df.join(

@@ -165,11 +165,14 @@ def streaming_flagship(
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.drop("html").withColumn("batch_id", F.lit(batch_id))
-        # session.py sets partitionOverwriteMode=dynamic: overwrite replaces
-        # only the partitions present in this batch (batch_id=N/route=*).
-        batch_df.write.mode("overwrite").partitionBy("batch_id", "route").parquet(
-            f"{out_dir}/routed"
-        )
+        # Per-write dynamic overwrite (NOT just the session default from
+        # session.py): with static mode an overwrite would truncate the whole
+        # routed/ and agg/ dirs every micro-batch.  The writer-level option
+        # overrides whatever session config the caller's SparkSession has, so
+        # exactly-once holds for ANY session.
+        batch_df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id", "route").parquet(f"{out_dir}/routed")
         agg = (
             batch_df.groupBy(
                 "route", "lang", "host", F.date_trunc("hour", "warc_ts").alias("bucket")
@@ -180,7 +183,9 @@ def streaming_flagship(
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        agg.write.mode("overwrite").partitionBy("batch_id", "route").parquet(f"{out_dir}/agg")
+        agg.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id", "route").parquet(f"{out_dir}/agg")
 
     return (
         routed.writeStream.foreachBatch(sink_batch)
