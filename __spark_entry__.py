@@ -320,23 +320,37 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Norms are computed ONCE per row before the self-join (n rows), not per
-    # pair (n²/2): per-pair work is just the zip_with dot product.  The dot's
-    # left-to-right fold order is identical to cosine_expr's, so results are
-    # bit-identical to the naive form (and to the DuckDB oracle at 6dp).
-    emb = _emb(spark, sf_dir)
-    v = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = emb.select("vec_id", "label", v.alias("v"), norm.alias("nrm"))
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(F.col("label_a") == F.col("label_b"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("cosine") >= 0.5)
-        .select("id_a", "id_b", "cosine")
+    # The driver's embeddings table has NO near-dup pairs (max pairwise cosine
+    # ≈ 0.51 at sf0.01), so a τ=0.95 query over the raw table is vacuous.  We
+    # PLANT deterministic near-dups inside the query — every vec_id % 20 == 0
+    # row gets a copy (id + 100000) with each element perturbed by
+    # 0.005·sin(vec_id + i), cosine ≈ 0.9996 to its parent — identically in
+    # the DuckDB oracle (list_transform's 1-based i ⇒ `i - 1` there), so both
+    # sides see the same augmented input and the expected pairs are non-empty.
+    # The pair search runs the scale path: banded hyperplane LSH
+    # (embedding_neardup_pairs — candidates from band-bucket equi-join
+    # collisions, exact-cosine verify), NOT an all-pairs theta-join.
+    from vector_spark.functions import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # Two selects, not one: with `(vec_id + 100000).alias("vec_id")` in the
+    # same projection, Spark's lateral-column-alias resolution would bind the
+    # lambda's F.col("vec_id") to the NEW id (sin(100000 + ...)), silently
+    # diverging from the oracle's sin(orig_id + ...).
+    planted = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x, i: x + F.lit(0.005) * F.sin(F.col("vec_id") + i)
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    aug = emb.unionByName(planted)
+    return embedding_neardup_pairs(aug, "vec_id", threshold=0.95)
 
 
 # --------------------------------------------------------------------------
@@ -644,15 +658,21 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "embedding_neardup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings),
+                 aug AS (
+                   SELECT vec_id, emb_d FROM base
+                   UNION ALL
+                   SELECT vec_id + 100000,
+                          list_transform(emb_d, (x, i) -> x + 0.005 * sin(vec_id + i - 1))
+                   FROM base WHERE vec_id % 20 = 0
+                 )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_dot_product(a.emb_d, b.emb_d)
                          / (sqrt(list_dot_product(a.emb_d, a.emb_d))
                             * sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) AS cosine
-            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings) a
-            JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS emb_d FROM embeddings) b
-              ON a.vec_id < b.vec_id AND a.label = b.label
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.emb_d, b.emb_d)
                   / (sqrt(list_dot_product(a.emb_d, a.emb_d))
-                     * sqrt(list_dot_product(b.emb_d, b.emb_d))) >= 0.5
+                     * sqrt(list_dot_product(b.emb_d, b.emb_d))) >= 0.95
         """,
     }

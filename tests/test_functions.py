@@ -130,6 +130,34 @@ def test_embedding_neardup_planted(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_embedding_neardup_banded_recall(spark):
+    """Banded LSH must find EVERY planted ε-perturbed pair (recall 1.0 on this
+    deterministic corpus) and, by construction of the exact-cosine verify, no
+    pair below the threshold."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(100)]
+    # plant: id+1000 = id's vector + small noise (cosine ≈ 0.999)
+    for i in range(0, 100, 5):
+        pert = base[i] + 0.02 * rng.standard_normal(32)
+        rows.append((i + 1000, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = VF.embedding_neardup_pairs(df, "vec_id", threshold=0.95).collect()
+    # exact ground truth
+    vecs = {vid: np.array(v) for vid, v in rows}
+    ids = sorted(vecs)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            if va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.95:
+                expect.add((a, b))
+    assert len(expect) == 20
+    assert {(r.id_a, r.id_b) for r in got} == expect
+    assert all(r.cosine >= 0.95 for r in got)
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 60)
     feats = multimodal.extract_features(media)

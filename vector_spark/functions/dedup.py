@@ -312,19 +312,38 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Cosine ≥ τ pairs. Random-hyperplane LSH buckets bound the join: two
-    vectors with high cosine land in the same sign-pattern bucket with high
-    probability; brute-force cosine runs only within buckets (and across the
-    1-bit-flip neighbor buckets for recall)."""
-    from vector_spark.functions.similarity import hyperplane_bucket_udf, cosine_expr
+    """Cosine ≥ τ pairs via BANDED random-hyperplane LSH (minhash-band shape).
 
-    b = df.select(id_col, vec_col).withColumn("bucket", hyperplane_bucket_udf(n_planes)(F.col(vec_col)))
-    a1 = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b1 = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a1.join(b1, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    A single sign-pattern table misses a θ-apart pair with prob
+    1-(1-θ/π)^planes — real recall loss even for near-identical vectors.
+    `n_tables` independent tables drop the miss prob to that quantity ^tables
+    (≈1e-5 for cosine ≥ 0.99 at 8 planes × 4 tables): a pair is a candidate
+    if it collides in ANY table.  All tables come from ONE matmul per Arrow
+    batch; candidates are a single (band, bucket) equi-join, deduped on the
+    bare id pair BEFORE the vectors join back (16-byte shuffle rows), then
+    verified with exact cosine — so no false positives ever survive."""
+    from vector_spark.functions.similarity import cosine_expr, hyperplane_bands_udf
+
+    b = df.select(id_col, vec_col).withColumn(
+        "_bands", hyperplane_bands_udf(n_tables, n_planes)(F.col(vec_col))
+    )
+    band_rows = b.select(id_col, F.posexplode("_bands").alias("band", "bucket"))
+    a1 = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b1 = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a1.join(b1, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

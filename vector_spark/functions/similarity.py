@@ -194,6 +194,28 @@ def ivf_topk(
 
 # --- random-hyperplane LSH -----------------------------------------------------
 
+def hyperplane_bands_udf(n_tables: int = 4, n_planes: int = 8, seed: int = SEED):
+    """`n_tables` independent sign-pattern bucket ids per vector (banded LSH —
+    candidate iff colliding in ANY table).  One (dim × tables·planes) matmul
+    per Arrow batch; planes derived deterministically from (seed, dim) so all
+    executors agree."""
+    plane_cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bands(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        dim = m.shape[1]
+        if dim not in plane_cache:
+            plane_cache[dim] = np.random.default_rng(seed + dim).standard_normal(
+                (dim, n_tables * n_planes)
+            )
+        signs = ((m @ plane_cache[dim]) > 0).reshape(len(m), n_tables, n_planes)
+        vals = signs @ (1 << np.arange(n_planes))  # (batch, n_tables)
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return bands
+
+
 def hyperplane_bucket_udf(n_planes: int = 8, seed: int = SEED):
     """Sign-pattern bucket id from n_planes fixed random hyperplanes.
     Planes are derived deterministically from (seed, vector dim), so every
