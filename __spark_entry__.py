@@ -315,8 +315,10 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 3").collect()}
-    cents = train_centroids(emb, 8, "vec_id", "embedding")
-    return ivf_topk(assign_cells(emb, cents), cents, queries, k=5, nprobe=8)
+    # nlist ≫ nprobe: real pruning (≈ nprobe/nlist of the corpus scanned per
+    # query).  Centroids from distributed spherical k-means, not an id sample.
+    cents = train_centroids(emb, 16, "vec_id", "embedding", iters=3)
+    return ivf_topk(assign_cells(emb, cents), cents, queries, k=5, nprobe=4)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

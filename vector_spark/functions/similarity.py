@@ -123,19 +123,84 @@ def brute_force_topk_numpy(
 
 # --- IVF (inverted-file) index -------------------------------------------------
 
-def train_centroids(corpus: DataFrame, nlist: int, corpus_id: str, vec_col: str) -> np.ndarray:
-    """Deterministic 'training': take the nlist vectors with the evenly
-    spaced smallest ids as centroids (seedless, reproducible, good enough
-    for cell routing; real k-means is a drop-in upgrade)."""
-    rows = (
+def train_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    corpus_id: str,
+    vec_col: str,
+    iters: int = 5,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's), the real IVF training loop.
+
+    Per iteration:
+      assign — one numpy matmul per Arrow batch (mapInPandas); each partition
+               emits at most nlist (cell, partial_sum_vec, count) rows, so the
+               map-side combine is explicit and the shuffle carries
+               O(partitions × nlist × dim) numbers, independent of corpus size.
+      update — groupBy(cell) elementwise sum (JVM hash agg over ≤ nlist keys),
+               then the ONLY collect: nlist rows of dim+1 doubles.
+    Init is a deterministic pseudo-random sample: the nlist vectors with the
+    smallest xxhash64(id) — TakeOrderedAndProject, no full sort, no RNG state.
+    Empty cells keep their previous centroid.  Centroids are L2-normalized
+    (cosine/spherical variant) every step."""
+    spark = corpus.sparkSession
+    first_vec = corpus.select(vec_col).first()[0]
+    dim = len(first_vec)
+    init_rows = (
         corpus.select(corpus_id, vec_col)
-        .orderBy(corpus_id)
-        .limit(nlist * 4)
+        .orderBy(F.xxhash64(F.col(corpus_id)), F.col(corpus_id))
+        .limit(nlist)
         .collect()
     )
-    step = max(len(rows) // nlist, 1)
-    cents = np.array([rows[i * step][1] for i in range(min(nlist, len(rows)))], dtype=np.float64)
-    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cents = np.array([r[1] for r in init_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    vecs = corpus.select(vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches, _bc=bc):
+            c = _bc.value
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(m @ c.T, axis=1)
+                sums = np.zeros((len(c), m.shape[1]))
+                np.add.at(sums, cell, m)
+                cnts = np.bincount(cell, minlength=len(c))
+                nz = np.nonzero(cnts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int32),
+                        "psum": [sums[i].tolist() for i in nz],
+                        "cnt": cnts[nz].astype(np.int64),
+                    }
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, out_schema)
+            .groupBy("cell")
+            .agg(
+                *[F.sum(F.element_at("psum", d + 1)).alias(f"s{d}") for d in range(dim)],
+                F.sum("cnt").alias("cnt"),
+            )
+        )
+        new = cents.copy()
+        for r in agg.collect():  # ≤ nlist tiny rows
+            v = np.array([r[f"s{d}"] for d in range(dim)])
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-12:
+                new[r["cell"]] = v / nrm
+        cents = new
+        bc.unpersist()
+    return cents
 
 
 def assign_cells(corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
