@@ -24,23 +24,39 @@ from pyspark.sql import functions as F
 from vector_spark.vrl import compile_condition
 
 
-def _to_column(condition: str | Column, event_kind: str = "log") -> Column:
+def _to_column(
+    condition: str | Column, event_kind: str = "log", condition_type: str = "vrl"
+) -> Column:
     if isinstance(condition, Column):
         return condition
-    return compile_condition(condition, event_kind=event_kind)
+    if condition_type == "datadog_search":
+        from vector_spark.datadog_search import compile_datadog_search
+
+        return compile_datadog_search(condition)
+    if condition_type in ("vrl", "is_log", "is_metric", "is_trace"):
+        return compile_condition(condition, event_kind=event_kind)
+    raise ValueError(f"unknown condition_type {condition_type!r}")
 
 
-def filter_events(df: DataFrame, condition: str | Column, event_kind: str = "log") -> DataFrame:
+def filter_events(
+    df: DataFrame,
+    condition: str | Column,
+    event_kind: str = "log",
+    condition_type: str = "vrl",
+) -> DataFrame:
     """Keep rows where the condition is TRUE (three-valued: NULL drops)."""
-    return df.filter(_to_column(condition, event_kind))
+    return df.filter(_to_column(condition, event_kind, condition_type))
 
 
 def filter_with_dropped(
-    df: DataFrame, condition: str | Column, event_kind: str = "log"
+    df: DataFrame,
+    condition: str | Column,
+    event_kind: str = "log",
+    condition_type: str = "vrl",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, dropped) — dropped includes NULL-condition rows,
     mirroring VRL abort-on-error accounting."""
-    cond = _to_column(condition, event_kind)
+    cond = _to_column(condition, event_kind, condition_type)
     kept = df.filter(cond)
     dropped = df.filter(~F.coalesce(cond, F.lit(False)))
     return kept, dropped

@@ -255,6 +255,20 @@ class Pipeline:
             return src_mod.parquet_source(spark, o["path"])
         if t in ("stdin", "memory"):
             return src_mod.memory_source(spark, o.get("events", []))
+        if t == "kafka":
+            from vector_spark.streaming import kafka as kafka_mod
+
+            plan = kafka_mod.source_plan_from_options(o)
+            try:
+                return plan.load(spark, streaming=not o.get("batch", False))
+            except Exception as e:  # connector jar / broker absent
+                raise PipelineError([ValidationIssue(
+                    "INVALID_INPUT",
+                    f"kafka source '{st.name}' compiled (topics={plan.topics!r}, "
+                    f"servers={plan.bootstrap_servers!r}) but the connector is "
+                    f"unavailable: {e.__class__.__name__}",
+                    st.name,
+                )]) from e
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported source type {t!r}", st.name)])
 
     def _build_transform(self, spark: SparkSession, st: Stage, df: DataFrame):
@@ -276,7 +290,9 @@ class Pipeline:
                 out = remap(out, o.get("assignments") or _parse_remap_source(o["source"]))
             return out
         if t == "filter":
-            return filter_events(df, o["condition"])
+            return filter_events(
+                df, o["condition"], condition_type=o.get("condition_type", "vrl")
+            )
         if t == "route":
             tagged = tag_routes(df, o["route"])
             return split(tagged, list(o["route"].keys()))
@@ -352,6 +368,11 @@ class Pipeline:
             return sink_mod.blackhole_sink(df)
         if t == "memory":
             return sink_mod.console_sink(df)
+        if t == "kafka":
+            from vector_spark.streaming import kafka as kafka_mod
+
+            plan = kafka_mod.sink_plan_from_options(o)
+            return plan.start(df, checkpoint_dir=o.get("checkpoint_dir"))
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported sink type {t!r}", st.name)])
 
     def describe(self) -> str:
