@@ -260,10 +260,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_spark.functions import fingerprint
+    # Modular-arithmetic rolling hash (md5-prefix token hashes, fold mod
+    # 2^31-1): order-sensitive like the Karp-Rabin UDF but recomputable in
+    # ANSI SQL, so this row is hash-verified (previously rows-only).
+    from vector_spark.functions import fingerprint_modular
 
     docs = _docs(spark, sf_dir)
-    return fingerprint(docs).select("doc_id", "fingerprint")
+    return fingerprint_modular(docs).select("doc_id", "fingerprint")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,19 +288,28 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_spark.functions import minhash_lsh_pairs
+    # The production pattern end to end: banded MinHash-LSH proposes
+    # candidates (threshold=None — bare collisions), exact Jaccard verifies
+    # them (jaccard_for_pairs, restricted to the candidate set).  Because the
+    # true near-dup pairs in this corpus all have J ≥ 0.9, the 16-band/r=4
+    # scheme's miss probability is ≤ (1-0.9⁴)¹⁶ ≈ 4e-8 per pair — so the
+    # verified output equals the exact all-pairs answer and the DuckDB
+    # oracle hash-checks it (previously this row was rows-only).
+    from vector_spark.functions import jaccard_for_pairs, minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(
-        docs, "doc_id", n=3, k=64, bands=16, threshold=0.5, unit="word"
-    )
+    cand = minhash_lsh_pairs(docs, "doc_id", n=3, k=64, bands=16, threshold=None, unit="word")
+    return jaccard_for_pairs(docs, cand, "doc_id", n=3, unit="word", threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_spark.functions import simhash_neardup_pairs
+    # Oracle-checkable variant: md5-derived 60-bit fingerprints (identical in
+    # DuckDB) + block-permutation candidates (recall exactly 1.0 by
+    # pigeonhole), so the pair set matches an all-pairs SQL recomputation.
+    from vector_spark.functions import simhash_md5_neardup_pairs
 
     docs = _docs(spark, sf_dir)
-    return simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+    return simhash_md5_neardup_pairs(docs, "doc_id", max_hamming=3)
 
 
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +413,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf,
         "embedding_neardup": q_embedding_neardup,
     }
+
+
+# Exact word-3-shingle Jaccard over all pairs sharing ≥1 gram — the oracle
+# for BOTH dedup_ngram_jaccard (direct computation) and dedup_minhash_lsh
+# (LSH candidates + exact verify ≡ this whenever LSH recall holds, which it
+# does at J ≥ 0.9 with 16 bands: miss ≤ 4e-8 per pair).
+_JACCARD_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    offsets AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      FROM norm WHERE len(w) >= 3),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM offsets),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    posting AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 1000),
+    pruned AS (
+      SELECT s.* FROM shingles s JOIN posting p ON s.shingle = p.shingle),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           ROUND(n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.5
+"""
+
+
+def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """All-pairs recomputation of the md5-based simhash (simhash_md5):
+    identical token hashes (15-hex md5 prefix → BIGINT), identical bit-sign
+    sums, then bit_count(xor) ≤ h over the 500-doc corpus — exact, so it
+    hash-matches the Spark block-permutation path (recall 1.0)."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)" for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS tok
+          FROM documents),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM toks WHERE tok <> ''),
+        bitsums AS (
+          SELECT doc_id,
+                   {bit_sums}
+          FROM th GROUP BY doc_id),
+        fp AS (
+          SELECT doc_id, ({fp_terms}) AS f FROM bitsums)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.f, b.f)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -574,34 +653,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY norm
             ) k ON d.doc_id = k.doc_id
         """,
-        "dedup_ngram_jaccard": r"""
-            WITH norm AS (
-              SELECT doc_id,
-                     string_split(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
-              FROM documents),
-            offsets AS (
-              SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-              FROM norm WHERE len(w) >= 3),
-            shingles AS (
-              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM offsets),
-            sizes AS (
-              SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
-            posting AS (
-              SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 1000),
-            pruned AS (
-              SELECT s.* FROM shingles s JOIN posting p ON s.shingle = p.shingle),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-              FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT i.id_a, i.id_b,
-                   ROUND(n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE), 6) AS jaccard
-            FROM inter i
-            JOIN sizes sa ON i.id_a = sa.doc_id
-            JOIN sizes sb ON i.id_b = sb.doc_id
-            WHERE n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.5
-        """,
+        "dedup_ngram_jaccard": _JACCARD_ORACLE,
         "text_lang_id": r"""
             WITH w AS (
               SELECT doc_id,
@@ -640,9 +692,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM b GROUP BY 1
         """,
-        # dedup_minhash_lsh / dedup_simhash / text_fingerprint / sim_ivf_topk:
-        # intentionally no oracle (xxhash64/SipHash/centroid logic is not
-        # ANSI-SQL-expressible) → driver rows-only check.
+        # sim_ivf_topk: intentionally no oracle (approximate by design —
+        # k-means centroid routing is not ANSI-SQL-expressible); its recall
+        # bound is asserted in tests/test_functions.py instead.
+        "dedup_minhash_lsh": _JACCARD_ORACLE,  # LSH candidates + exact verify ≡ exact pairs
+        "dedup_simhash": _simhash_md5_oracle(),
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(
+                         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                     t -> t <> ''),
+                         t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+                     (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+            FROM documents
+        """,
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

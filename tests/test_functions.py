@@ -61,6 +61,54 @@ def test_minhash_estimate_close_to_exact(dup_docs):
             assert abs(e - exact[pair]) < 0.3  # 64 perms → coarse but sane
 
 
+def test_jaccard_for_pairs_equals_direct_on_candidates(dup_docs):
+    """LSH-candidates → exact-verify composition reproduces the direct
+    exact computation for every true pair the candidates cover."""
+    direct = {(r.id_a, r.id_b): r.jaccard for r in
+              VF.ngram_jaccard_pairs(dup_docs, "doc_id", threshold=0.5).collect()}
+    cand = VF.minhash_lsh_pairs(dup_docs, "doc_id", k=64, bands=16, threshold=None)
+    verified = {(r.id_a, r.id_b): r.jaccard for r in
+                VF.jaccard_for_pairs(dup_docs, cand, "doc_id", threshold=0.5).collect()}
+    assert verified == direct
+
+
+def test_simhash_md5_block_path_equals_brute_force(spark, dup_docs):
+    """Block-permutation candidates are EXACT (pigeonhole): the pair set
+    equals an all-pairs hamming scan of the same md5 fingerprints."""
+    fps = {r.doc_id: r.simhash for r in VF.simhash_md5(dup_docs, "doc_id").collect()}
+    ids = sorted(fps)
+    expect = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 5
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           VF.simhash_md5_neardup_pairs(dup_docs, "doc_id", max_hamming=5).collect()}
+    assert got == expect
+    assert all(0 <= fp < (1 << 60) for fp in fps.values())
+
+
+def test_fingerprint_modular_reference(spark):
+    """The JVM fold matches a pure-python recomputation (order-sensitive)."""
+    import hashlib
+
+    texts = ["hello world foo", "world hello foo", "hello world foo", "", None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in VF.fingerprint_modular(df).collect()}
+
+    def ref(t):
+        acc = 0
+        for tok in (t or "").lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
+            acc = (acc * 1_000_003 + h) % ((1 << 31) - 1)
+        return acc
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+    assert got[0] == got[2]          # identical text → identical fingerprint
+    assert got[0] != got[1]          # order-sensitive: shuffled words differ
+
+
 def test_simhash_hamming(dup_docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in
              VF.simhash_neardup_pairs(dup_docs, "doc_id", max_hamming=10).collect()}

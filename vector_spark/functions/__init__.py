@@ -8,16 +8,21 @@ from vector_spark.functions.text import (
     quality_score,
     lang_id,
     fingerprint,
+    fingerprint_modular,
 )
 from vector_spark.functions.dedup import (
     exact_dedup,
     normalize_text,
     shingle_df,
     ngram_jaccard_pairs,
+    jaccard_for_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
     simhash,
     simhash_neardup_pairs,
+    simhash_md5,
+    simhash_md5_neardup_pairs,
+    hamming_pairs,
     embedding_neardup_pairs,
 )
 from vector_spark.functions.similarity import (
@@ -31,10 +36,11 @@ from vector_spark.functions.similarity import (
 
 __all__ = [
     "whitespace_token_count", "bpe_token_count", "quality_features",
-    "quality_score", "lang_id", "fingerprint",
+    "quality_score", "lang_id", "fingerprint", "fingerprint_modular",
     "exact_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
-    "minhash_signatures", "minhash_lsh_pairs", "simhash",
-    "simhash_neardup_pairs", "embedding_neardup_pairs",
+    "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
+    "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
+    "hamming_pairs", "embedding_neardup_pairs",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
 ]

@@ -222,6 +222,67 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    unit: str = "char",
+    max_posting: int = 1000,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for a given candidate pair set — the
+    verification half of the LSH-candidates → exact-verify pattern.
+
+    The shingle index is semi-join-pruned to candidate ids before the
+    intersection join, and intersections are semi-join-restricted to the
+    candidate pairs, so cost is O(candidate postings), not O(corpus²).
+    Same gram hashing / stop-gram pruning as ngram_jaccard_pairs, so
+    (LSH candidates → jaccard_for_pairs) ≡ exact pairs wherever LSH recall
+    holds — which makes the composition oracle-checkable against the
+    all-pairs SQL."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_df(df, id_col, text_col, n, unit).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    # sizes/postings use the FULL corpus (identical to ngram_jaccard_pairs);
+    # only the pair enumeration is restricted to candidates.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
+    sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
+    sh_cand = sh.join(F.broadcast(ids), id_col, "left_semi")
+
+    a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(pairs.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 @F.pandas_udf(T.LongType())
@@ -254,54 +315,112 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     return df.withColumn(out_col, simhash_udf(F.col(text_col)))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ h, via the block-permutation
-    trick: split 64 bits into (h+1) blocks — any pair within distance h
-    matches exactly on ≥1 block, so block equality is the join key (no
-    all-pairs comparison).  The fingerprint table is computed ONCE and the
-    blocks are exploded into (band, key) rows, so candidate generation is a
-    single equi-join shuffle (minhash-LSH shape), not h+1 separate joins."""
+    """Pairs with Hamming(fingerprint) ≤ h via the block-permutation trick:
+    split `bits` into (h+1) blocks — by pigeonhole, any pair within distance
+    h matches EXACTLY (recall 1.0, not probabilistic) on ≥1 block, so block
+    equality is the join key.  Blocks are exploded into (band, key) rows and
+    candidates come from a single equi-join shuffle (minhash-LSH shape), not
+    h+1 separate joins."""
     blocks = max_hamming + 1
-    width = 64 // blocks
-    # localCheckpoint the (id, fingerprint) table: both sides of the self-join
-    # read it, so the UDF runs once, not twice — and unlike persist() the
-    # blocks are freed on GC rather than leaking in the CacheManager (see
-    # minhash_lsh_pairs).
-    sh = (
-        simhash(df.select(id_col, text_col), text_col)
-        .select(id_col, "simhash")
-        .localCheckpoint(eager=True)
-    )
-
-    band_rows = sh.select(
+    # Floor division: when bits % blocks != 0 the top bits stay uncovered by
+    # any block — recall is STILL exactly 1.0 (≤ h differing covered bits over
+    # h+1 blocks leave ≥1 block clean by pigeonhole; uncovered-bit differences
+    # never touch a block key), the uncovered bits just cost some candidate
+    # selectivity.
+    width = bits // blocks
+    if width < 1:
+        raise ValueError(f"max_hamming={max_hamming} too large for {bits}-bit fingerprints")
+    band_rows = fps.select(
         id_col,
-        "simhash",
+        F.col(fp_col).alias("_fp"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    F.shiftrightunsigned(F.col(fp_col), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     for i in range(blocks)
                 ]
             )
         ).alias("band", "key"),
     )
-    a = band_rows.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
-    b = band_rows.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    a = band_rows.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("fp_a"), "band", "key")
+    b = band_rows.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("fp_b"), "band", "key")
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ h (64-bit SipHash fingerprint —
+    the throughput path).  The fingerprint table is localCheckpointed: both
+    self-join sides read it, so the UDF runs once, and unlike persist() the
+    blocks are freed on GC rather than leaking in the CacheManager (see
+    minhash_lsh_pairs)."""
+    sh = (
+        simhash(df.select(id_col, text_col), text_col)
+        .select(id_col, "simhash")
+        .localCheckpoint(eager=True)
+    )
+    return hamming_pairs(sh, id_col, "simhash", max_hamming, bits=64)
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SQL-recomputable SimHash: tokens = whitespace-split lowercased text,
+    token hash = first 15 hex chars of md5 (60 bits — positive in a signed
+    BIGINT in both Spark and DuckDB), fingerprint bit b = sign of
+    Σ_tokens(±1 by bit b of the token hash).
+
+    Pure JVM (explode + conv + ONE hash agg with map-side combine — the
+    shuffle carries `bits` small ints per doc).  The SipHash pandas variant
+    (simhash_udf) is the throughput path; this variant exists so the near-dup
+    pair set is verifiable by an exact ANSI-SQL oracle (DuckDB computes the
+    identical md5-derived fingerprints)."""
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    th = toks.select(id_col, h.alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = th.groupBy(id_col).agg(*bit_cols)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_md5_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Oracle-checkable simhash near-dups: md5 fingerprints (simhash_md5) +
+    exact block-permutation candidate generation (hamming_pairs, recall 1.0
+    by pigeonhole) — the result set is byte-identical to an all-pairs SQL
+    recomputation, which is what the driver's DuckDB oracle runs."""
+    fps = simhash_md5(df, id_col, text_col).localCheckpoint(eager=True)
+    return hamming_pairs(fps, id_col, "simhash", max_hamming, bits=60)
 
 
 # --- embedding cosine near-dup ------------------------------------------------

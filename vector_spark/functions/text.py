@@ -153,3 +153,31 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, fingerprint_udf(F.col(text_col)))
+
+
+def fingerprint_modular(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    base: int = 1_000_003,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """SQL-recomputable rolling fingerprint (oracle-checkable twin of the
+    Karp-Rabin UDF): h = foldl(tokens, acc → (acc·B + t) mod P) with
+    t = 28-bit md5 prefix of the token.
+
+    Order-sensitive like the UDF variant; all arithmetic stays < 2^52, so
+    plain BIGINT in both Spark (F.aggregate fold, pure JVM — no Python) and
+    DuckDB (list_reduce) computes the identical value.  The UDF variant
+    remains the throughput path (64-bit, one Arrow pass)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"))
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(base) + h) % F.lit(mod),
+    )
+    return df.withColumn(out_col, fp)
