@@ -101,30 +101,60 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: per Arrow batch, compute byte-level
     stats (real) + the fake decode vector (stub).  The batch shape, schema,
-    and partition behavior are exactly what a real decoder would use."""
+    and partition behavior are exactly what a real decoder would use.
+
+    Fully vectorized per batch (no per-row Python): payloads concatenate into
+    ONE uint8 buffer with offsets; per-row 256-bin histograms (entropy) come
+    from a single fused-key bincount, and the per-row fold features (fake
+    decode) from one pad-scatter + ``np.add.reduceat`` pass — the same
+    offsets-and-reduce shape simhash_udf uses.  Measured 5.05× faster than
+    the previous iterrows loop at 5k rows/batch (steady-state best-of-6,
+    values identical; see BENCH.md §4).  Empty/NULL payloads yield entropy 0
+    and a zero feature vector."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                b = np.frombuffer(payload, dtype=np.uint8)
-                if len(b):
-                    counts = np.bincount(b, minlength=256).astype(np.float64)
-                    p = counts[counts > 0] / len(b)
-                    entropy = float(-(p * np.log2(p)).sum())
-                else:
-                    entropy = 0.0
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "media_type": row["media_type"],
-                        "n_bytes": len(b),
-                        "byte_entropy": round(entropy, 6),
-                        "feature": fake_decode(payload, dim),
-                    }
-                )
-            yield pd.DataFrame(out)
+            payloads = pdf["payload"].to_numpy()
+            n = len(pdf)
+            lens = np.fromiter(
+                (len(p) if p is not None else 0 for p in payloads), dtype=np.int64, count=n
+            )
+            flat = np.frombuffer(b"".join(p or b"" for p in payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n), lens)
+
+            # entropy: per-row 256-bin histograms via ONE fused-key bincount
+            # (row*256 + byte) — much faster than np.add.at scatter
+            counts = np.bincount(row_idx * 256 + flat, minlength=n * 256).reshape(n, 256)
+            p = counts / np.maximum(lens, 1)[:, None]
+            ent = -np.where(p > 0, p * np.log2(p, where=p > 0), 0.0).sum(axis=1)
+            ent[lens == 0] = 0.0
+
+            # fake decode ≡ pad-to-dim, reshape(-1, dim), column mean — done as
+            # ONE scatter into a zero-padded buffer + np.add.reduceat over the
+            # (total_blocks, dim) view; empty rows keep one zero block so the
+            # reduceat boundaries stay strictly increasing (→ zero vector)
+            blocks = np.maximum((lens + dim - 1) // dim, 1)
+            padded = blocks * dim
+            pad_before = np.concatenate([[0], np.cumsum(padded - lens)[:-1]])
+            dest = np.arange(len(flat), dtype=np.int64) + np.repeat(pad_before, lens)
+            buf = np.zeros(int(padded.sum()), np.float32)
+            buf[dest] = flat
+            bounds = np.concatenate([[0], np.cumsum(blocks)[:-1]])
+            feat = (
+                np.add.reduceat(buf.reshape(-1, dim), bounds, axis=0)
+                / blocks[:, None]
+                / 255.0
+            ).astype(np.float32)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_entropy": np.round(ent, 6),
+                    "feature": list(feat),
+                }
+            )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
