@@ -1,0 +1,121 @@
+"""Table-format shim (Iceberg analog): snapshot-isolated reads, atomic
+multi-sink commits, crash-between-sinks leaves no torn state, resume skips
+committed partitions (VERDICT r1 item 6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark import synth
+from vector_spark.plans import checkpoint as CP
+from vector_spark.plans import table_format as TF
+
+
+@pytest.fixture()
+def routed(spark):
+    docs = CP.with_part_key(synth.documents(spark, 400), n_parts=4, key_cols=["url"])
+    docs = docs.drop("html")
+    return {
+        "errors": docs.filter(F.col("lang") == "en"),
+        "rest": docs.filter(F.col("lang") != "en"),
+    }
+
+
+def test_multi_sink_commit_and_snapshot_read(spark, routed, tmp_path):
+    base = str(tmp_path / "out")
+    written = TF.write_multi_sink(routed, base, run_id="r1")
+    assert set(written) == {"errors", "rest"}
+    total = sum(n for parts in written.values() for n in parts.values())
+    assert total == 400
+
+    log = TF.CommitLog(base)
+    assert log.current_version() == 1  # ONE snapshot covers both sinks
+
+    a = TF.read_table(spark, base, "errors")
+    b = TF.read_table(spark, base, "rest")
+    assert a.count() + b.count() == 400
+    assert set(a.select("lang").distinct().toPandas().lang) == {"en"}
+
+
+def test_uncommitted_data_is_invisible(spark, routed, tmp_path):
+    """Data files written WITHOUT a commit (= crash before the snapshot
+    rename) are invisible to snapshot readers."""
+    base = str(tmp_path / "out")
+    routed["errors"].write.partitionBy(CP.PART_COL).parquet(os.path.join(base, "errors"))
+    assert TF.read_table(spark, base, "errors") is None  # no snapshot → nothing visible
+
+
+def test_crash_between_sinks_no_torn_state(spark, routed, tmp_path):
+    """Run 1 'crashes' after writing sink 1's data but before sink 2 — the
+    snapshot never publishes, so readers see NEITHER sink.  The rerun
+    rewrites idempotently and commits both at once."""
+    base = str(tmp_path / "out")
+
+    def crash_after_first_sink(sinks, base_):
+        # emulate: write first sink's files, then die before any commit
+        (name, df), *_ = sinks.items()
+        df.write.mode("overwrite").partitionBy(CP.PART_COL).parquet(os.path.join(base_, name))
+        raise RuntimeError("killed between sinks")
+
+    with pytest.raises(RuntimeError, match="killed between sinks"):
+        crash_after_first_sink(routed, base)
+
+    # torn? no: nothing committed, both sinks invisible
+    assert TF.CommitLog(base).current_version() == 0
+    assert TF.read_table(spark, base, "errors") is None
+    assert TF.read_table(spark, base, "rest") is None
+
+    # restart: full write succeeds; the orphaned files are overwritten
+    TF.write_multi_sink(routed, base, run_id="r2")
+    a, b = TF.read_table(spark, base, "errors"), TF.read_table(spark, base, "rest")
+    assert a.count() + b.count() == 400
+    # exactly once: no duplicated rows from the orphaned first write
+    assert a.select("url").distinct().count() == a.count()
+
+
+def test_resume_skips_committed_partitions(spark, tmp_path):
+    """Partial run commits parts {0,1}; the full rerun writes only {2,3}
+    and does NOT touch (reprocess) the committed parts' data files."""
+    base = str(tmp_path / "out")
+    docs = CP.with_part_key(synth.documents(spark, 400), n_parts=4, key_cols=["url"]).drop("html")
+
+    partial = {"t": docs.filter(F.col(CP.PART_COL) < 2)}
+    w1 = TF.write_multi_sink(partial, base, run_id="r1")
+    assert set(w1["t"]) == {"0", "1"}
+
+    mtimes_before = {}
+    for k in ("0", "1"):
+        d = os.path.join(base, "t", f"{CP.PART_COL}={k}")
+        mtimes_before[k] = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    w2 = TF.write_multi_sink({"t": docs}, base, run_id="r1-resume")
+    assert set(w2["t"]) == {"2", "3"}  # committed parts skipped
+
+    for k in ("0", "1"):
+        d = os.path.join(base, "t", f"{CP.PART_COL}={k}")
+        after = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+        assert after == mtimes_before[k]  # data files untouched — not reprocessed
+
+    got = TF.read_table(spark, base, "t")
+    assert got.count() == 400
+    assert TF.CommitLog(base).current_version() == 2
+
+
+def test_commit_log_versions_monotonic(tmp_path):
+    log = TF.CommitLog(str(tmp_path))
+    assert log.commit({"sinks": {}}) == 1
+    assert log.commit({"sinks": {}}) == 2
+    assert [s["version"] for s in log.snapshots()] == [1, 2]
+
+
+def test_noop_rerun_creates_no_snapshot(spark, tmp_path):
+    base = str(tmp_path / "out")
+    docs = CP.with_part_key(synth.documents(spark, 100), n_parts=2, key_cols=["url"]).drop("html")
+    TF.write_multi_sink({"t": docs}, base)
+    assert TF.CommitLog(base).current_version() == 1
+    again = TF.write_multi_sink({"t": docs}, base)
+    assert again == {"t": {}}
+    assert TF.CommitLog(base).current_version() == 1  # nothing written → no empty snapshot
