@@ -9,7 +9,12 @@ import hashlib
 from pyspark.sql import functions as F
 
 from vector_spark import synth
-from vector_spark.extract import extract_text_bytes, extract_text_udf, text_sha256
+from vector_spark.extract import (
+    extract_text_bytes,
+    extract_text_col,
+    extract_text_udf,
+    text_sha256,
+)
 
 
 def test_extractor_pure_function():
@@ -31,6 +36,37 @@ def test_udf_matches_local_function(spark):
     checked = docs.withColumn("et", extract_text_udf(F.col("html"))).collect()
     for r in checked:
         assert r.et == extract_text_bytes(bytes(r.html)).decode()
+
+
+def test_jvm_path_matches_reference(spark):
+    """The whole-stage-codegen extraction (extract_text_col) is byte-identical
+    to the byte-level reference extractor on the corpus AND on adversarial
+    ASCII edge cases (nested entities, unclosed tags, case-mixed script tags,
+    whitespace runs, NULL)."""
+    docs = synth.documents(spark, 500)
+    both = docs.select(
+        "html",
+        extract_text_col("html").alias("jvm"),
+        extract_text_udf(F.col("html")).alias("py"),
+    ).collect()
+    assert all(r.jvm == r.py for r in both)
+
+    tricky = [
+        b"<SCRIPT a=b>x</ScRiPt >kept",
+        b"<style\n>s</style>ok",
+        b"&amp;lt; stays &amp; &lt;goes&gt;",
+        b"a   \t\n b",
+        b"<p>unclosed",
+        b"unopened</p>",
+        b"<script>no close tag",
+        b"",
+        None,
+        "café <b>unicode</b> 中文".encode(),
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "html binary")
+    rows = df.select("html", extract_text_col("html").alias("jvm")).collect()
+    for r in rows:
+        assert r.jvm == extract_text_bytes(None if r.html is None else bytes(r.html)).decode()
 
 
 def test_sha256_invariant_vs_generator_fixture(spark):

@@ -71,6 +71,31 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_str)
 
 
+def extract_text_col(html_col) -> "F.Column":
+    """JVM fast path: the SAME extraction pipeline as `extract_text_bytes`,
+    expressed as chained regexp_replace/replace inside whole-stage codegen —
+    no Python in the loop at all.
+
+    Byte-identical to the reference extractor for VALID UTF-8 html (the
+    whole corpus): every pattern is pure ASCII, and Python-bytes regex
+    semantics coincide with Java-string semantics for ASCII classes —
+    `\\s`/`\\b`/`(?i)` are ASCII-only in BOTH Python `bytes` patterns and
+    Java regex defaults (no UNICODE_CHARACTER_CLASS/UNICODE_CASE), so
+    operating on decoded text before vs after the byte-level ops commutes.
+    Inputs with INVALID UTF-8 can differ (Java replaces per malformed
+    sequence, Python per byte) — use `extract_text_udf` when that matters.
+    Equality on the corpus + adversarial cases is pinned by
+    tests/test_extract.py::test_jvm_path_matches_reference."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = F.decode(c, "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent.decode()), F.lit(ch.decode()))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.coalesce(s, F.lit(""))
+
+
 @F.pandas_udf(T.StringType())
 def text_sha256_udf(html: pd.Series) -> pd.Series:
     return html.map(text_sha256)

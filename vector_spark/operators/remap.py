@@ -101,8 +101,23 @@ def parse_json_fields(df: DataFrame, source_col: str, schema: str) -> DataFrame:
     return df.drop("_parsed")
 
 
-def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
-    """The byte-identical html→text step (Arrow pandas UDF; the one Python hop)."""
+def extract_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+    use_jvm: bool = True,
+) -> DataFrame:
+    """The byte-identical html→text step.
+
+    Default path is pure JVM (extract_text_col — chained regexp_replace in
+    whole-stage codegen, byte-identical to the reference extractor for valid
+    UTF-8 input, which the corpus is; pinned by test_extract).  ``use_jvm=
+    False`` selects the Arrow pandas UDF, the byte-level reference
+    implementation — use it for inputs that may contain invalid UTF-8."""
+    if use_jvm:
+        from vector_spark.extract import extract_text_col
+
+        return df.withColumn(out_col, extract_text_col(html_col))
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 
 
