@@ -246,7 +246,16 @@ class Pipeline:
         o = st.options
         t = st.type
         if t == "demo_logs":
-            return src_mod.demo_logs(spark, count=int(o.get("count", 10_000)), fmt=o.get("format", "json"))
+            decoding = o.get("decoding") or {}
+            return src_mod.demo_logs(
+                spark,
+                count=int(o.get("count", 10_000)),
+                fmt=o.get("format", "json"),
+                lines=o.get("lines"),
+                sequence=bool(o.get("sequence", False)),
+                decoding_codec=decoding.get("codec", "bytes"),
+                decoding_schema=o.get("decoding_schema"),
+            )
         if t == "documents":
             return src_mod.documents_source(spark, n_rows=int(o.get("count", 10_000)))
         if t in ("file", "aws_s3", "gcp_cloud_storage"):
@@ -373,6 +382,14 @@ class Pipeline:
 
             plan = kafka_mod.sink_plan_from_options(o)
             return plan.start(df, checkpoint_dir=o.get("checkpoint_dir"))
+        if t == "http":
+            from vector_spark.plans import http_sink
+
+            plan = http_sink.plan_from_options(o)
+            if df.isStreaming:
+                return plan.writer(df, checkpoint_dir=o.get("checkpoint_dir"))
+            plan.run_batch(df)
+            return o["uri"]
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported sink type {t!r}", st.name)])
 
     def describe(self) -> str:

@@ -69,7 +69,27 @@ _PATHS = ["/", "/index.html", "/api/v1/items", "/login", "/static/app.js", "/hea
 _STATUS = [200, 200, 200, 201, 301, 404, 500, 503]
 
 
-def _format_lines(ids: np.ndarray, fmt: str) -> list[str]:
+_ERR_LEVELS = ["error", "warn", "notice", "crit"]
+_ERR_MSGS = [
+    "File does not exist",
+    "client denied by server configuration",
+    "script timed out before returning headers",
+    "upstream prematurely closed connection",
+]
+
+DEMO_FORMATS = ("json", "apache_common", "apache_error", "syslog", "bsd_syslog", "shuffle")
+
+
+def _format_lines(
+    ids: np.ndarray,
+    fmt: str,
+    lines: list[str] | None = None,
+    sequence: bool = False,
+) -> list[str]:
+    """One line per id in the reference's demo_logs formats
+    (config_panel.rs:795-806): json / apache_common / apache_error /
+    syslog (RFC 5424) / bsd_syslog (RFC 3164) / shuffle (pick from custom
+    `lines`, optional incrementing `sequence` prefix)."""
     h = synth._splitmix64(ids.astype(np.uint64) + np.uint64(synth.SEED * 13))
     h2 = synth._splitmix64(h)
     out = []
@@ -80,22 +100,44 @@ def _format_lines(ids: np.ndarray, fmt: str) -> list[str]:
         status = _STATUS[int(b) % len(_STATUS)]
         size = 100 + int(b >> np.uint64(8)) % 5000
         ts = pd.Timestamp("2026-01-01T00:00:00Z") + pd.Timedelta(seconds=int(i))
+        host = f"host-{int(a) % 20:04d}"
+        app = "app"
+        pid = 1000 + int(b) % 9000
+        pri = int(a) % 192
         if fmt == "apache_common":
             out.append(
                 f'{ip} - frank [{ts.strftime("%d/%b/%Y:%H:%M:%S +0000")}] '
                 f'"{method} {path} HTTP/1.1" {status} {size}'
             )
-        elif fmt == "syslog":
-            pri = int(a) % 192
+        elif fmt == "apache_error":
+            level = _ERR_LEVELS[int(b >> np.uint64(16)) % len(_ERR_LEVELS)]
+            msg = _ERR_MSGS[int(b >> np.uint64(24)) % len(_ERR_MSGS)]
             out.append(
-                f'<{pri}>{ts.strftime("%b %d %H:%M:%S")} host-{int(a) % 20:04d} '
-                f"app[{1000 + int(b) % 9000}]: {method} {path} -> {status}"
+                f'[{ts.strftime("%a %b %d %H:%M:%S %Y")}] [{level}] '
+                f"[client {ip}] {msg}: {path}"
+            )
+        elif fmt == "syslog":
+            # RFC 5424: <pri>1 TIMESTAMP HOST APP PROCID MSGID [SD] MSG
+            out.append(
+                f"<{pri}>1 {ts.strftime('%Y-%m-%dT%H:%M:%S.000Z')} {host} {app} "
+                f'{pid} ID{int(b) % 1000} [exampleSDID@32473 iut="3"] '
+                f"{method} {path} -> {status}"
+            )
+        elif fmt == "bsd_syslog":
+            # RFC 3164: <pri>Mmm dd hh:mm:ss host app[pid]: MSG
+            out.append(
+                f"<{pri}>{ts.strftime('%b %d %H:%M:%S')} {host} "
+                f"{app}[{pid}]: {method} {path} -> {status}"
             )
         elif fmt == "json":
             out.append(
                 '{"method": "%s", "path": "%s", "status": %d, "bytes": %d, "ip": "%s"}'
                 % (method, path, status, size, ip)
             )
+        elif fmt == "shuffle":
+            pool = lines or ["demo line"]
+            line = pool[int(a) % len(pool)]
+            out.append(f"{int(i)} {line}" if sequence else line)
         else:
             raise ValueError(f"unknown demo_logs format {fmt!r}")
     return out
@@ -106,12 +148,22 @@ def demo_logs(
     count: int = 10_000,
     fmt: str = "json",
     partitions: int | None = None,
+    lines: list[str] | None = None,
+    sequence: bool = False,
+    decoding_codec: str = "bytes",
+    decoding_schema: str | None = None,
 ) -> DataFrame:
-    """`demo_logs` source: deterministic fake log lines in the reference's
-    formats (json / apache_common / syslog), generated distributed.
+    """`demo_logs` source: deterministic fake log lines in ALL the
+    reference's formats (config_panel.rs:795-806 — json / apache_common /
+    apache_error / syslog RFC 5424 / bsd_syslog RFC 3164 / shuffle with
+    custom ``lines`` + ``sequence``), generated distributed.
 
     Returns (id long, timestamp, message string) — message is the raw line,
-    exactly as Vector's demo_logs emits into `.message`.
+    exactly as Vector's demo_logs emits into `.message`.  A non-default
+    ``decoding.codec`` (bytes/json/syslog/gelf/native_json) additionally
+    parses the line into typed event columns (codecs.decode_events).
+    Framing does not apply here — the generator emits one event per row
+    already (framing belongs to byte-stream sources; see codecs.frame_stream).
     """
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -121,12 +173,19 @@ def demo_logs(
             ids = pdf["id"].to_numpy()
             ts = pd.Series(pd.Timestamp("2026-01-01T00:00:00Z") + pd.to_timedelta(ids, unit="s"))
             yield pd.DataFrame(
-                {"id": ids, "timestamp": ts, "message": _format_lines(ids, fmt)}
+                {"id": ids, "timestamp": ts, "message": _format_lines(ids, fmt, lines, sequence)}
             )
 
-    return spark.range(0, count, numPartitions=partitions).mapInPandas(
+    out = spark.range(0, count, numPartitions=partitions).mapInPandas(
         gen, "id long, timestamp timestamp, message string"
     )
+    if decoding_codec != "bytes":
+        from vector_spark.sources import codecs
+
+        if decoding_codec == "json" and decoding_schema is None:
+            decoding_schema = "method string, path string, status int, bytes int, ip string"
+        out = codecs.decode_events(out, decoding_codec, schema=decoding_schema)
+    return out
 
 
 def documents_source(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
