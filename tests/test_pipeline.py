@@ -142,3 +142,54 @@ def test_source_override_injection(spark):
     df = spark.range(3).toDF("x")
     res = p.run(spark, overrides={"in": df})
     assert len(res["o"]) == 3
+
+
+def test_elasticsearch_sink_index_template(spark, tmp_path):
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"gen": {"type": "demo_logs", "count": 30, "format": "json"}},
+            "sinks": {
+                "es": {
+                    "type": "elasticsearch",
+                    "inputs": ["gen"],
+                    "path": str(tmp_path / "es"),
+                    "index": "vector-%Y.%m.%d",
+                }
+            },
+        }
+    )
+    p.run(spark)
+    got = spark.read.parquet(str(tmp_path / "es"))
+    assert got.count() == 30
+    # per-day index partitions with the literal prefix preserved
+    assert {r._index for r in got.select("_index").distinct().collect()} == {"vector-2026.01.01"}
+    import os
+
+    assert any(d.startswith("_index=vector-") for d in os.listdir(tmp_path / "es"))
+
+
+def test_loki_sink_labels_become_partitions(spark, tmp_path):
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"gen": {"type": "demo_logs", "count": 10, "format": "json"}},
+            "sinks": {
+                "lk": {
+                    "type": "loki",
+                    "inputs": ["gen"],
+                    "path": str(tmp_path / "lk"),
+                    "labels": {"env": "prod", "app": "web"},
+                }
+            },
+        }
+    )
+    p.run(spark)
+    got = spark.read.parquet(str(tmp_path / "lk"))
+    assert got.count() == 10
+    assert {(r.env, r.app) for r in got.select("env", "app").distinct().collect()} == {("prod", "web")}
+    # label columns ARE the partition spec → pruning on the stream selector
+    pruned = got.filter("env = 'prod'")
+    assert pruned.count() == 10

@@ -188,6 +188,69 @@ def test_streaming_throttle_state_spans_batches(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (its state-server "
+    "wire protocol); not installed in this container and pip is unavailable",
+)
+def test_streaming_throttle_tws_matches_classic(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas throttle enforces the same
+    cross-batch threshold as the applyInPandasWithState version."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+
+    def chunk(offset, n=3):
+        return pd.DataFrame(
+            {
+                "url": [f"https://h/{offset + i}" for i in range(n)],
+                "warc_ts": [base + pd.Timedelta(seconds=offset + i) for i in range(n)],
+                "html": [b""] * n,
+                "text": [""] * n,
+                "lang": ["en"] * n,
+            }
+        )
+
+    from vector_spark.schema import DOCUMENTS_SCHEMA
+
+    for name, off in (("a", 0), ("b", 10)):
+        spark.createDataFrame(chunk(off), DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir / name))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = st.document_stream(spark, str(in_dir / "*"), max_files_per_trigger=1)
+        throttled = st.streaming_throttle_tws(
+            stream, key_field="lang", ts_col="warc_ts", threshold=2, window_secs=3600
+        )
+        q = (
+            throttled.writeStream.format("memory")
+            .queryName("thr_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # 6 events in one window across 2 micro-batches, threshold 2 → 2 out
+        assert spark.sql("select count(*) c from thr_tws").collect()[0]["c"] == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def test_streaming_reduce_sessions(spark, tmp_path):
     """Native session_window reduce: events within the gap merge into one
     session; a > gap silence splits sessions; append emits closed sessions."""

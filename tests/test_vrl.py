@@ -67,6 +67,43 @@ def test_arith_and_null(ev):
     assert ev.filter(compile_condition("to_int(.service) == null")).count() == 0  # NULL == NULL → drop all
 
 
+def test_widened_function_surface(spark):
+    """Round-2 widened public-VRL subset — every function stays a JVM Column
+    (no UDF), checked by value."""
+    df = spark.createDataFrame(
+        [("  pad  ", "a,b,c", 3.7, "TRUE", None, "-")],
+        "w string, csv string, v double, b string, n string, dash string",
+    )
+    row = df.select(
+        compile_condition('strip_whitespace(.w) == "pad"').alias("strip"),
+        compile_condition('replace(.csv, ",", "|") == "a|b|c"').alias("rep"),
+        compile_condition('truncate(.csv, 3) == "a,b"').alias("trunc"),
+        compile_condition("round(.v) == 4").alias("round"),
+        compile_condition("floor(.v) == 3").alias("floor"),
+        compile_condition("ceil(.v) == 4").alias("ceil"),
+        compile_condition("to_bool(.b) == true").alias("bool"),
+        compile_condition("is_nullish(.n)").alias("null1"),
+        compile_condition("is_nullish(.dash)").alias("null2"),
+        compile_condition("is_nullish(.csv)").alias("null3"),
+        compile_condition('includes(split(.csv, ","), "b")').alias("incl"),
+        compile_condition('md5(.csv) == md5(.csv)').alias("md5"),
+        compile_condition("parse_int(.b) == null").alias("pint"),
+    ).collect()[0]
+    assert row.strip and row.rep and row.trunc
+    assert row.round and row.floor and row.ceil and row.bool
+    assert row.null1 and row.null2 and not row.null3
+    assert row.incl and row.md5
+    assert not row.pint  # NULL == NULL is NULL → falsy
+
+
+def test_widened_functions_no_udf(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    plan = df.filter(
+        compile_condition('sha2(strip_whitespace(.s)) != "" && round(length(.s)) >= 1')
+    )
+    assert "pythonudf" not in plan._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
 def test_syntax_error():
     with pytest.raises(VRLError):
         compile_condition(".level === 3")

@@ -17,7 +17,7 @@ Measurement notes (see BENCH.md for the full investigation):
   superlinear in total thread count); the first run of any JVM pays that
   storm, which is startup cost, not pipeline throughput — a 10^12-row job
   amortizes it to zero.
-* Parallelism levels are kept at 2/8 total cores because the fault-storm
+* Parallelism levels are kept at 1/4 total cores because the fault-storm
   tax grows superlinearly with *total machine concurrency* (at 32 threads
   the guest kernel spends up to 90 %% of CPU in fault handling regardless
   of process count) — a property of the virtualized host, not of the
@@ -43,7 +43,7 @@ PARTITIONS = 256
 RUNS = int(os.environ.get("VECTOR_SPARK_SCALE_RUNS", "4"))
 INPUT = os.environ.get("VECTOR_SPARK_SCALE_INPUT", f"/tmp/vector_spark_scale_input_{ROWS}")
 # (executors, cores_per_executor, mem_mb)
-LEVELS = [(1, 2, 8192), (4, 2, 8192)]
+LEVELS = [(1, 1, 6144), (4, 1, 6144)]
 
 
 def build_zip() -> str:
@@ -102,14 +102,31 @@ def run_level(execs: int, cores: int, mem: int, zpath: str) -> dict:
 def main() -> None:
     zpath = build_zip()
     ensure_input(zpath)
-    results = [run_level(e, c, m, zpath) for e, c, m in LEVELS]
-    rn, r4n = results
+    # ALTERNATE the two levels across ROUNDS submissions (N,4N,N,4N,…) and
+    # take the best run per level across all rounds: the sandbox's page-fault
+    # tax drifts over tens of minutes, so an all-N-then-all-4N schedule biases
+    # whichever level ran in the slower window; alternation samples both
+    # levels from the same windows.  Within a submission, --repeat runs share
+    # warmed executor JVMs (steady state), exactly as before.
+    rounds = int(os.environ.get("VECTOR_SPARK_SCALE_ROUNDS", "2"))
+    per_level: list[dict] = [None, None]  # type: ignore[list-item]
+    for _ in range(rounds):
+        for idx, (e, c, m) in enumerate(LEVELS):
+            r = run_level(e, c, m, zpath)
+            best = per_level[idx]
+            if best is None or r["sec"] < best["sec"]:
+                r["all_runs"] = (best.get("all_runs", []) if best else []) + r.get("all_runs", [])
+                per_level[idx] = r
+            else:
+                best["all_runs"] = best.get("all_runs", []) + r.get("all_runs", [])
+    rn, r4n = per_level
     assert rn["route_counts"] == r4n["route_counts"], (rn, r4n)
     eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / (LEVELS[1][0] / LEVELS[0][0])
     summary = {
         "rows": ROWS,
         "input_partitions": PARTITIONS,
         "runs_per_level": RUNS,
+        "alternated_rounds": rounds,
         "n_executors": LEVELS[0][0],
         "4n_executors": LEVELS[1][0],
         "cores_per_executor": LEVELS[0][1],

@@ -26,6 +26,8 @@ backstop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,9 +45,18 @@ FLAGSHIP_ROUTES = {
 }
 
 
-def parse_stage(docs: DataFrame) -> DataFrame:
+def parse_stage(docs: DataFrame, extract_jvm: bool | None = None) -> DataFrame:
     docs = parse_url(docs, "url")
-    docs = extract_text(docs, "html", "extracted_text")
+    if extract_jvm is None:
+        # Two byte-identical extraction paths (see operators/remap.py): the
+        # Arrow UDF's Python workers OVERLAP the JVM task cores (a win when
+        # executors use a slice of the machine — the production shape), while
+        # the pure-codegen chain wins when task slots already saturate the
+        # machine and extra Python processes would only contend (local[32]).
+        # Pick by that ratio, exactly as a tuned job config would.
+        sc = docs.sparkSession.sparkContext
+        extract_jvm = sc.defaultParallelism >= 0.75 * (os.cpu_count() or 8)
+    docs = extract_text(docs, "html", "extracted_text", use_jvm=extract_jvm)
     return docs.withColumn("content_bytes", F.octet_length("extracted_text"))
 
 

@@ -369,7 +369,16 @@ class Pipeline:
         t = st.type
         if t == "console":
             return sink_mod.console_sink(df, limit=o.get("limit"), codec=o.get("codec", "json"))
-        if t in ("file", "parquet", "aws_s3", "elasticsearch", "loki"):
+        if t == "elasticsearch":
+            sink_mod.elasticsearch_sink(
+                df, o["path"], index_template=o.get("index", "vector-%Y.%m.%d"),
+                ts_col=o.get("ts_col", "timestamp"), mode=o.get("mode", "overwrite"),
+            )
+            return o["path"]
+        if t == "loki":
+            sink_mod.loki_sink(df, o["path"], labels=o.get("labels"), mode=o.get("mode", "overwrite"))
+            return o["path"]
+        if t in ("file", "parquet", "aws_s3"):
             sink_mod.file_sink(df, o["path"], codec=o.get("codec", "parquet"),
                                partition_by=o.get("partition_by"), mode=o.get("mode", "overwrite"))
             return o["path"]

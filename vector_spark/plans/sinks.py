@@ -66,6 +66,68 @@ def blackhole_sink(df: DataFrame) -> int:
     return df.count()
 
 
+_STRFTIME_TO_JAVA = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%M", "mm"))
+
+
+def strftime_to_java(template: str) -> str:
+    """Vector's strftime path/index templates → java date-format pattern.
+    Literal runs are quoted so e.g. `vector-` survives as text."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(template):
+        for sym, java in _STRFTIME_TO_JAVA:
+            if template.startswith(sym, i):
+                flush()
+                out.append(java)
+                i += len(sym)
+                break
+        else:
+            lit.append(template[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def elasticsearch_sink(
+    df: DataFrame,
+    path: str,
+    index_template: str = "vector-%Y.%m.%d",
+    ts_col: str = "timestamp",
+    mode: str = "overwrite",
+) -> None:
+    """`elasticsearch` sink analog (config_panel.rs:1969-2003): the per-day
+    index template becomes a derived `_index` partition column — readers get
+    the same per-index pruning an ES alias gives, from a parquet scan."""
+    out = df.withColumn("_index", F.date_format(F.col(ts_col), strftime_to_java(index_template)))
+    out.write.mode(mode).partitionBy("_index").parquet(path)
+
+
+def loki_sink(
+    df: DataFrame,
+    path: str,
+    labels: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """`loki` sink analog (config_panel.rs:2007-2036): the static label k=v
+    map becomes constant columns AND the partition spec — Loki's
+    stream-selector lookup ≙ partition pruning on the label columns."""
+    out = df
+    label_cols = []
+    for k, v in (labels or {}).items():
+        out = out.withColumn(k, F.lit(v))
+        label_cols.append(k)
+    writer = out.write.mode(mode)
+    if label_cols:
+        writer = writer.partitionBy(*label_cols)
+    writer.parquet(path)
+
+
 def write_routed(
     tagged: DataFrame,
     base_path: str,

@@ -265,6 +265,71 @@ def streaming_throttle(
     )
 
 
+def streaming_throttle_tws(
+    stream: DataFrame,
+    key_field: str,
+    ts_col: str = "warc_ts",
+    threshold: int = 10,
+    window_secs: float = 1.0,
+) -> DataFrame:
+    """T5 throttle on the Spark 4 `transformWithStateInPandas` API — the
+    successor of applyInPandasWithState (streaming_throttle keeps the classic
+    API; both enforce identical semantics, asserted by test_streaming).
+
+    Differences that matter here: state is a named ValueState on a
+    StatefulProcessorHandle (composable — a future operator can add a
+    ListState next to it), timeMode="None" replaces the timeoutConf enum, and
+    rows arrive as an iterator of pandas chunks exactly like before — the
+    cross-chunk concat+sort is still required for event-time order.
+
+    NOTE: the TWS state-server wire protocol needs ``google.protobuf`` at
+    runtime; this container ships pyspark 4.1.2 WITHOUT protobuf (and no pip),
+    so the e2e test is skipif-gated on the import.  The plan compiles either
+    way; on a normal cluster install this runs as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = stream.schema
+
+    class ThrottleProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "throttle_win", "win_start double, emitted int"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._state.get() if self._state.exists() else None
+            win_start, emitted = (cur[0], cur[1]) if cur is not None else (None, 0)
+            chunks = list(rows)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+                keep = np.zeros(len(pdf), dtype=bool)
+                ts_epoch = pdf[ts_col].astype("int64").to_numpy() / 1e9
+                for i, t in enumerate(ts_epoch):
+                    if win_start is None or t - win_start >= window_secs:
+                        win_start, emitted = t, 0
+                    if emitted < threshold:
+                        keep[i] = True
+                        emitted += 1
+                if keep.any():
+                    yield pdf[keep]
+            self._state.update(
+                (float(win_start) if win_start is not None else 0.0, int(emitted))
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(key_field)).transformWithStateInPandas(
+        statefulProcessor=ThrottleProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
 def streaming_reduce_sessions(
     stream: DataFrame,
     keys: list[str],

@@ -273,6 +273,36 @@ class _Parser:
             return F.lit(base == f"is_{self.event_kind}")
         if base == "abs":
             return F.abs(args[0])
+        # --- widened public-VRL subset (vector.dev/docs/reference/vrl/functions),
+        # every one a 1:1 JVM Column expression — stays pushdown-eligible:
+        if base == "strip_whitespace":
+            return F.trim(args[0].cast("string"))
+        if base == "replace":
+            # VRL replace(value, pattern, with) — literal replacement
+            return F.replace(args[0].cast("string"), args[1], args[2])
+        if base == "truncate":
+            return F.substring(args[0].cast("string"), F.lit(1), args[1].cast("int"))
+        if base == "sha2" or base == "sha256":
+            return F.sha2(args[0].cast("string").cast("binary"), 256)
+        if base == "md5":
+            return F.md5(args[0].cast("string").cast("binary"))
+        if base == "to_bool":
+            return args[0].try_cast("boolean")
+        if base == "round":
+            return F.round(args[0])
+        if base == "floor":
+            return F.floor(args[0])
+        if base == "ceil":
+            return F.ceil(args[0])
+        if base == "includes":
+            return F.array_contains(args[0], args[1])
+        if base == "split":
+            return F.split(args[0].cast("string"), args[1])
+        if base == "is_nullish":
+            s = args[0].cast("string")
+            return args[0].isNull() | (F.trim(s) == "") | (F.trim(s) == "-")
+        if base == "parse_int":
+            return args[0].try_cast("long")
         raise VRLError(f"unsupported VRL function {name!r}")
 
 
