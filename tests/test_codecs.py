@@ -142,3 +142,26 @@ def test_pipeline_demo_logs_full_option_surface(spark):
     assert p.validate() == []
     res = p.run(spark)
     assert all(e["severity"] <= 3 for e in res["out"])
+
+
+def test_file_source_with_octet_counting_framing(spark, tmp_path):
+    from vector_spark.sources import file_source
+
+    raw = tmp_path / "frames.bin"
+    raw.write_bytes(b"5 hello3 foo11 hello world")
+    df = file_source(spark, str(raw), framing="octet_counting")
+    assert [r.message for r in df.collect()] == ["hello", "foo", "hello world"]
+
+
+def test_file_source_framing_plus_json_decode(spark, tmp_path):
+    import json as _json
+
+    from vector_spark.sources import file_source
+
+    events = [{"m": "a", "n": 1}, {"m": "b", "n": 2}]
+    frames = [_json.dumps(e).encode() for e in events]
+    buf = b"".join(b"%d %s" % (len(f), f) for f in frames)
+    raw = tmp_path / "ev.bin"
+    raw.write_bytes(buf)
+    df = file_source(spark, str(raw), codec="json", schema="m string, n int", framing="octet_counting")
+    assert {(r.m, r.n) for r in df.collect()} == {("a", 1), ("b", 2)}

@@ -193,3 +193,30 @@ def test_loki_sink_labels_become_partitions(spark, tmp_path):
     # label columns ARE the partition spec → pruning on the stream selector
     pruned = got.filter("env = 'prod'")
     assert pruned.count() == 10
+
+
+def test_enrichment_table_from_csv_file(spark, tmp_path):
+    from vector_spark.plans.pipeline import Pipeline
+
+    csv = tmp_path / "geo.csv"
+    csv.write_text("ip,country\n10.0.0.1,DE\n10.0.0.2,FR\n")
+    p = Pipeline.from_dict(
+        {
+            "enrichment_tables": {
+                "geo": {"type": "file", "file": {"path": str(csv), "encoding": {"type": "csv"}}}
+            },
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "enriched": {"type": "enrich", "inputs": ["ev"], "table": "geo", "on": "ip"}
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["enriched"]}},
+        }
+    )
+    assert p.validate() == []
+    res = p.test(
+        spark,
+        [{"ip": "10.0.0.1", "msg": "x"}, {"ip": "10.9.9.9", "msg": "y"}],
+    )
+    by_ip = {e["ip"]: e for e in res["output_events"]}
+    assert by_ip["10.0.0.1"]["country"] == "DE"
+    assert by_ip["10.9.9.9"]["country"] is None  # lookup miss → NULL, like Vector

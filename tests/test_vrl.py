@@ -109,3 +109,17 @@ def test_syntax_error():
         compile_condition(".level === 3")
     with pytest.raises(VRLError):
         compile_condition("unknown_fn(.x)")
+
+
+def test_timestamp_and_key_value_functions(spark):
+    df = spark.createDataFrame(
+        [("2026-01-02 03:04:05", "a=1 b=two c=3")], "ts string, kv string"
+    )
+    row = df.select(
+        compile_condition("to_unix_timestamp(to_timestamp(.ts)) == 1767323045").alias("unix"),
+        compile_condition('parse_key_value(.kv)').alias("m"),
+        compile_condition('parse_key_value(.kv, " ", "=")').alias("m2"),
+    ).collect()[0]
+    assert row.unix
+    assert row.m == {"a": "1", "b": "two", "c": "3"}
+    assert row.m2 == row.m

@@ -360,7 +360,20 @@ class Pipeline:
             return synth.host_geo(spark)
         if t == "lang_dict":
             return synth.lang_dict(spark)
-        if t in ("file", "parquet"):
+        if t == "file":
+            # Vector's enrichment-table shape: [enrichment_tables.x] type="file",
+            # file.path + file.encoding.type (csv is Vector's standard format)
+            f = spec.get("file") or {}
+            path = f.get("path") or spec.get("path")
+            enc = (f.get("encoding") or {}).get("type", spec.get("encoding", "csv"))
+            if enc == "csv":
+                return spark.read.csv(path, header=True, schema=spec.get("schema"),
+                                      inferSchema=spec.get("schema") is None)
+            if enc == "parquet":
+                return spark.read.parquet(path)
+            raise PipelineError([ValidationIssue(
+                "INVALID_INPUT", f"enrichment table {name!r}: unknown encoding {enc!r}")])
+        if t == "parquet":
             return spark.read.parquet(spec["path"])
         raise PipelineError([ValidationIssue("INVALID_INPUT", f"unknown enrichment table {name!r}")])
 

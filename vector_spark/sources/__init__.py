@@ -30,9 +30,33 @@ def parquet_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def file_source(spark: SparkSession, path: str, codec: str = "text", schema=None) -> DataFrame:
-    """`file` source: include-glob → lines (framing=newline_delimited) or
-    typed rows (decoding.codec=json/csv)."""
+def file_source(
+    spark: SparkSession,
+    path: str,
+    codec: str = "text",
+    schema=None,
+    framing: str | None = None,
+    framing_delimiter: str = ",",
+) -> DataFrame:
+    """`file` source: include-glob → lines (framing=newline_delimited is the
+    default text behavior) or typed rows (decoding.codec=json/csv).
+
+    A non-default ``framing`` (character_delimited / length_delimited /
+    octet_counting) reads whole files as byte streams (``binaryFile``) and
+    splits events per codecs.frame_stream; the decoded `message` column then
+    goes through codecs.decode_events when a decoding codec is given."""
+    if framing and framing not in ("bytes", "newline_delimited"):
+        from vector_spark.sources import codecs as codecs_mod
+
+        raw = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(F.col("content").alias("value"))
+        )
+        framed = codecs_mod.frame_stream(raw, framing, delimiter=framing_delimiter)
+        if codec in ("text", "bytes"):
+            return framed
+        return codecs_mod.decode_events(framed, codec, schema=schema)
     if codec == "text":
         return spark.read.text(path).withColumnRenamed("value", "message")
     if codec == "json":

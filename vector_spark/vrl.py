@@ -303,6 +303,17 @@ class _Parser:
             return args[0].isNull() | (F.trim(s) == "") | (F.trim(s) == "-")
         if base == "parse_int":
             return args[0].try_cast("long")
+        if base == "to_timestamp":
+            return args[0].try_cast("timestamp")
+        if base == "to_unix_timestamp":
+            return F.unix_timestamp(args[0].try_cast("timestamp"))
+        if base == "from_unix_timestamp":
+            return F.timestamp_seconds(args[0].try_cast("long"))
+        if base == "parse_key_value":
+            # VRL parse_key_value(value, field_delimiter: " ", kv_delimiter: "=")
+            pair = args[1] if len(args) > 1 else F.lit(" ")
+            kv = args[2] if len(args) > 2 else F.lit("=")
+            return F.str_to_map(args[0].cast("string"), pair, kv)
         raise VRLError(f"unsupported VRL function {name!r}")
 
 
