@@ -242,6 +242,10 @@ def jaccard_for_pairs(
     (LSH candidates → jaccard_for_pairs) ≡ exact pairs wherever LSH recall
     holds — which makes the composition oracle-checkable against the
     all-pairs SQL."""
+    # No forced broadcast on the candidate side: near-dup candidates can be
+    # a few percent of the corpus (way past driver memory at 10^9 docs).
+    # Plain semi-joins let AQE pick broadcast when the runtime size is small
+    # — which it is in tests — and a shuffled semi-join otherwise.
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -255,14 +259,14 @@ def jaccard_for_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
     sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
-    sh_cand = sh.join(F.broadcast(ids), id_col, "left_semi")
+    sh_cand = sh.join(ids, id_col, "left_semi")
 
     a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .join(F.broadcast(pairs.select("id_a", "id_b")), ["id_a", "id_b"], "left_semi")
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
