@@ -73,3 +73,16 @@ def test_determinism_across_parallelism(spark, tmp_path_factory):
         aggs = {tuple(r) for r in plan["agg"].collect()}
         outs.append((rows, aggs))
     assert outs[0] == outs[1]
+
+
+def test_flagship_publishes_atomic_snapshot(result):
+    """flagship.run commits ONE table-format snapshot covering both sinks —
+    the routed and agg tables become visible together or not at all."""
+    from vector_spark.plans.table_format import CommitLog
+
+    res, out = result
+    log = CommitLog(out)
+    assert log.current_version() >= 1
+    snap = log.snapshots()[-1]
+    assert set(snap["sinks"]) == {"routed", "agg"}
+    assert sum(snap["sinks"]["routed"]["parts"].values()) == res["docs"]

@@ -119,3 +119,62 @@ def spark_session_holder(spark):
     """Module-held session for hypothesis (function-scoped fixtures clash
     with @given)."""
     return spark
+
+
+# --------------------------------------------------------- datadog_search
+
+_dd_field = st.sampled_from(["status", "host", "duration", "user_id"])
+_dd_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+
+
+@st.composite
+def _dd_queries(draw):
+    """Grammar-directed random datadog_search queries."""
+    def atom():
+        kind = draw(st.integers(0, 5))
+        f, w = draw(_dd_field), draw(_dd_word)
+        if kind == 0:
+            return w                                  # bare term
+        if kind == 1:
+            return f'"{w} {draw(_dd_word)}"'          # phrase
+        if kind == 2:
+            return f"{f}:{w}"                         # equality
+        if kind == 3:
+            return f"{f}:{w}*"                        # wildcard
+        if kind == 4:
+            return f"{f}:*"                           # existence
+        return f"{f}:>={draw(st.integers(0, 999))}"   # comparison
+
+    parts = [atom() for _ in range(draw(st.integers(1, 4)))]
+    ops = [draw(st.sampled_from([" AND ", " OR ", " "])) for _ in parts[1:]]
+    q = parts[0]
+    for op, p in zip(ops, parts[1:]):
+        neg = draw(st.sampled_from(["", "-", "NOT "]))
+        q += op + neg + p
+    if draw(st.booleans()):
+        q = f"({q})"
+    return q
+
+
+@given(_dd_queries())
+@settings(max_examples=300, deadline=None)
+def test_datadog_search_grammar_always_compiles(q):
+    """Every grammar-derived query compiles to a Column without raising —
+    the parser is total over its documented surface."""
+    from vector_spark.datadog_search import compile_datadog_search
+
+    col = compile_datadog_search(q)
+    assert col is not None
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_datadog_search_arbitrary_input_never_crashes_unexpectedly(q):
+    """Arbitrary input either compiles or raises the typed parse error —
+    never an unhandled exception."""
+    from vector_spark.datadog_search import DatadogSearchError, compile_datadog_search
+
+    try:
+        compile_datadog_search(q)
+    except DatadogSearchError:
+        pass

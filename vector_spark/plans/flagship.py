@@ -132,6 +132,26 @@ def run(
     agg_tbl = spark.read.parquet(f"{out_dir}/agg")
     per_route = agg_tbl.groupBy("route").agg(F.sum("event_count").alias("n")).collect()
     route_counts = {r["route"]: r["n"] for r in per_route}
+
+    # Publish ONE atomic snapshot covering BOTH sinks (table_format commit
+    # log — the Iceberg-analog metadata swap).  Both data writes above are
+    # restartable/idempotent; visibility flips here, all-or-nothing, so a
+    # crash anywhere before this line leaves no torn multi-sink state.  Cost:
+    # one small json write + rename — the same commit profile Iceberg has —
+    # reusing the route counts the job already computed (no extra Spark job).
+    if out_dir.startswith("/") or out_dir.startswith("file:"):
+        from vector_spark.plans.table_format import CommitLog
+
+        CommitLog(out_dir).commit(
+            {
+                "operation": "flagship_run",
+                "sinks": {
+                    "routed": {"parts": {r: int(n) for r, n in route_counts.items()}},
+                    "agg": {"parts": {r: int(n) for r, n in route_counts.items()}},
+                },
+            }
+        )
+
     result = {
         "docs": sum(route_counts.values()),
         "route_counts": route_counts,
