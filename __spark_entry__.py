@@ -176,6 +176,15 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket", "count")
 
 
+# T9d distribution metric: deterministic (sorted) raw sample set per tag-set
+def q_metric_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric_distribution
+
+    ev = _ev(spark, sf_dir)
+    out = log_to_metric_distribution(ev, "value_dist", "value", tags=["event_type"])
+    return out.select("event_type", "count", "sum", "samples")
+
+
 # T10 metric_to_log: reshape metrics back to log rows
 def q_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.operators import log_to_metric, metric_to_log
@@ -396,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_log_to_metric": q_log_to_metric,
         "t9b_metric_summary": q_metric_summary,
         "t9c_metric_histogram": q_metric_histogram,
+        "t9d_metric_distribution": q_metric_distribution,
         "t10_metric_to_log": q_metric_to_log,
         "t11_tag_cardinality": q_tag_cardinality,
         "enrich_broadcast_join": q_enrich_join,
@@ -559,6 +569,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(COUNT(event_id) AS DOUBLE) AS value
             FROM events GROUP BY event_type
+        """,
+        "t9d_metric_distribution": """
+            SELECT event_type,
+                   COUNT(value) AS count,
+                   ROUND(SUM(value), 6) AS sum,
+                   list(CAST(value AS DOUBLE) ORDER BY CAST(value AS DOUBLE)) AS samples
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         "t9b_metric_summary": """
             SELECT event_type,

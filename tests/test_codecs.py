@@ -165,3 +165,48 @@ def test_file_source_framing_plus_json_decode(spark, tmp_path):
     raw.write_bytes(buf)
     df = file_source(spark, str(raw), codec="json", schema="m string, n int", framing="octet_counting")
     assert {(r.m, r.n) for r in df.collect()} == {("a", 1), ("b", 2)}
+
+
+# ------------------------------------------------------ socket-family sources
+
+def test_statsd_parse_wire_format(spark):
+    from vector_spark.sources import statsd_parse
+
+    lines = ["gorets:1|c", "glork:320|ms|@0.1", "gauges.mem:1024.5|g", "uniq:42|s", "not statsd"]
+    df = spark.createDataFrame([(ln,) for ln in lines], "message string")
+    rows = {r.name: r for r in statsd_parse(df).collect() if r.name}
+    assert rows["gorets"].value == 1.0 and rows["gorets"].metric_type == "c"
+    assert rows["glork"].sample_rate == 0.1 and rows["glork"].metric_type == "ms"
+    assert rows["gauges.mem"].value == 1024.5 and rows["gauges.mem"].metric_type == "g"
+    assert rows["uniq"].metric_type == "s" and rows["uniq"].sample_rate == 1.0
+    assert len(rows) == 4  # the non-statsd line yields NULL name
+
+
+def test_socket_source_compiles_streaming_plan(spark):
+    from vector_spark.sources import socket_source, syslog_source
+
+    df = socket_source(spark, "127.0.0.1:19999")
+    assert df.isStreaming and df.columns == ["message"]
+    sys_df = syslog_source(spark, "127.0.0.1:19998")
+    assert sys_df.isStreaming
+    assert {"severity", "host", "appname", "message"} <= set(sys_df.columns)
+
+
+def test_socket_source_rejects_non_tcp(spark):
+    from vector_spark.sources import socket_source
+
+    with pytest.raises(ValueError, match="TCP-only"):
+        socket_source(spark, mode="udp")
+
+
+def test_pipeline_socket_sources_build(spark):
+    p = Pipeline.from_dict(
+        {
+            "sources": {"s": {"type": "statsd", "address": "127.0.0.1:18125", "mode": "tcp"}},
+            "sinks": {"out": {"type": "memory", "inputs": ["s"]}},
+        }
+    )
+    assert p.validate() == []
+    built = p.build(spark)
+    assert built["out"].isStreaming
+    assert {"name", "value", "metric_type", "sample_rate"} <= set(built["out"].columns)

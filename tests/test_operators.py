@@ -215,3 +215,16 @@ def test_log_to_metric_histogram(spark):
     assert rows[("a", "le_10.0")] == 2
     assert rows[("a", "le_25.0")] == 1
     assert rows[("a", "le_inf")] == 1
+
+
+def test_log_to_metric_distribution(spark):
+    from vector_spark.operators import log_to_metric_distribution
+
+    df = spark.createDataFrame(
+        [("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", None)],
+        "tag string, value double",
+    )
+    rows = {r.tag: r for r in log_to_metric_distribution(df, "m", "value", tags=["tag"]).collect()}
+    assert rows["a"].samples == [1.0, 2.0, 3.0]  # sorted → deterministic
+    assert rows["a"]["count"] == 3 and rows["a"]["sum"] == 6.0
+    assert rows["b"].samples == [5.0] and rows["b"]["count"] == 1  # NULL excluded

@@ -34,6 +34,7 @@ from vector_spark.operators.reduce import reduce_events
 from vector_spark.operators.aggregate import aggregate, sink_aggregate
 from vector_spark.operators.metrics_conv import (
     log_to_metric,
+    log_to_metric_distribution,
     log_to_metric_histogram,
     log_to_metric_summary,
     metric_to_log,
@@ -48,6 +49,6 @@ __all__ = [
     "tag_routes", "split", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
-    "log_to_metric_summary", "log_to_metric_histogram",
+    "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
 ]

@@ -112,6 +112,28 @@ def log_to_metric_histogram(
     return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("incremental"))
 
 
+def log_to_metric_distribution(
+    df: DataFrame,
+    metric_name: str,
+    field: str,
+    tags: list[str] | None = None,
+) -> DataFrame:
+    """MetricValue::Distribution (shared/src/messages.rs:145-183): the raw
+    sample set per tag-set (count, sum, sorted samples).  ``sort_array`` on
+    the collected list makes the output deterministic — collect_list order
+    is not — which also makes it oracle-checkable (DuckDB list(x ORDER BY x)).
+    At 100 TB you'd cap or sketch the sample list; the operator contract is
+    the per-tag-set sample distribution."""
+    tag_cols = tags or []
+    df = df.where(F.col(field).isNotNull())
+    out = df.groupBy(*tag_cols).agg(
+        F.count(field).alias("count"),
+        F.round(F.sum(field), 6).alias("sum"),
+        F.sort_array(F.collect_list(F.col(field).cast("double"))).alias("samples"),
+    )
+    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("incremental"))
+
+
 def metric_to_log(df: DataFrame) -> DataFrame:
     """Metric rows → log-shaped rows: tags flatten into a message, the metric
     value/kind become fields (pure projection)."""

@@ -264,6 +264,21 @@ class Pipeline:
             return src_mod.parquet_source(spark, o["path"])
         if t in ("stdin", "memory"):
             return src_mod.memory_source(spark, o.get("events", []))
+        if t in ("socket", "syslog", "statsd", "vector"):
+            fn = {
+                "socket": src_mod.socket_source,
+                "syslog": src_mod.syslog_source,
+                "statsd": src_mod.statsd_source,
+                "vector": src_mod.vector_source,
+            }[t]
+            kwargs = {"mode": o.get("mode", "tcp")}
+            if "address" in o:
+                kwargs["address"] = o["address"]
+            if t == "socket":
+                decoding = o.get("decoding") or {}
+                kwargs["codec"] = decoding.get("codec", "bytes")
+                kwargs["schema"] = o.get("decoding_schema")
+            return fn(spark, **kwargs)
         if t == "kafka":
             from vector_spark.streaming import kafka as kafka_mod
 

@@ -215,3 +215,78 @@ def demo_logs(
 def documents_source(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
     """The Common-Crawl-style primary table (BASELINE input_hint shape)."""
     return synth.documents(spark, n_rows, partitions)
+
+
+# --- socket-family sources ---------------------------------------------------
+
+def socket_source(
+    spark: SparkSession,
+    address: str = "0.0.0.0:9000",
+    mode: str = "tcp",
+    codec: str = "bytes",
+    schema: str | None = None,
+) -> DataFrame:
+    """`socket` source (config_panel.rs: SocketSourceForm — mode tcp/udp/unix,
+    address default 0.0.0.0:9000) → Structured Streaming's socket source.
+
+    Spark's socket source is TCP-only; udp/unix raise a clear error rather
+    than silently degrading.  Lines decode per ``codec`` (codecs module)."""
+    if mode != "tcp":
+        raise ValueError(
+            f"socket mode {mode!r}: Spark's socket source is TCP-only "
+            "(udp/unix need a host agent in front, e.g. socat → tcp)"
+        )
+    host, _, port = address.rpartition(":")
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", host or "127.0.0.1")
+        .option("port", int(port))
+        .load()
+        .withColumnRenamed("value", "message")
+    )
+    if codec != "bytes":
+        from vector_spark.sources import codecs as codecs_mod
+
+        stream = codecs_mod.decode_events(stream, codec, schema=schema)
+    return stream
+
+
+def syslog_source(spark: SparkSession, address: str = "0.0.0.0:514", mode: str = "tcp") -> DataFrame:
+    """`syslog` source (SyslogSourceForm, default 0.0.0.0:514): socket lines
+    decoded with the syslog codec (RFC 5424 with 3164 fallback)."""
+    return socket_source(spark, address, mode, codec="syslog")
+
+
+def vector_source(spark: SparkSession, address: str = "0.0.0.0:9000", mode: str = "tcp") -> DataFrame:
+    """`vector` source: Vector-to-Vector transport; the JSON rendering of the
+    native event envelope decodes with the native_json codec (the protobuf
+    variant is documented out of scope in codecs.py)."""
+    return socket_source(spark, address, mode, codec="native_json")
+
+
+#: statsd wire format: name:value|type[|@sample_rate]
+_STATSD_RE = r"^([^:|]+):([-+]?[0-9.]+)\|(c|g|ms|s|h)(?:\|@([0-9.]+))?$"
+
+
+def statsd_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """statsd lines → metric rows (name, value, metric_type, sample_rate) —
+    pure regexp_extract, codegen.  Non-matching lines yield NULL name (route
+    them to an error output with filter_with_dropped)."""
+    msg = F.col(message_col)
+    return df.select(
+        *[c for c in df.columns if c != message_col],
+        F.nullif(F.regexp_extract(msg, _STATSD_RE, 1), F.lit("")).alias("name"),
+        F.regexp_extract(msg, _STATSD_RE, 2).try_cast("double").alias("value"),
+        F.nullif(F.regexp_extract(msg, _STATSD_RE, 3), F.lit("")).alias("metric_type"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(msg, _STATSD_RE, 4), F.lit("")).try_cast("double"),
+            F.lit(1.0),
+        ).alias("sample_rate"),
+    )
+
+
+def statsd_source(spark: SparkSession, address: str = "0.0.0.0:8125", mode: str = "tcp") -> DataFrame:
+    """`statsd` source (StatsdSourceForm, default 0.0.0.0:8125; reference
+    default mode is udp — Spark is TCP-only, so pass mode='tcp' and front
+    udp with an agent)."""
+    return statsd_parse(socket_source(spark, address, mode))
