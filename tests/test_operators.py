@@ -228,3 +228,85 @@ def test_log_to_metric_distribution(spark):
     assert rows["a"].samples == [1.0, 2.0, 3.0]  # sorted → deterministic
     assert rows["a"]["count"] == 3 and rows["a"]["sum"] == 6.0
     assert rows["b"].samples == [5.0] and rows["b"]["count"] == 1  # NULL excluded
+
+
+def test_route_all_matches_semantics(spark):
+    """Upstream-Vector route: an event lands in EVERY matching output."""
+    from vector_spark.operators import route_all_matches
+
+    df = spark.createDataFrame(
+        [(1, "error", 50), (2, "error", 5), (3, "info", 50), (4, "info", 5)],
+        "id long, level string, value long",
+    )
+    outs = route_all_matches(
+        df, {"errors": '.level == "error"', "high": ".value >= 30"}, persist=False
+    )
+    assert {r.id for r in outs["errors"].collect()} == {1, 2}
+    assert {r.id for r in outs["high"].collect()} == {1, 3}      # id 1 in BOTH
+    assert {r.id for r in outs["_unmatched"].collect()} == {4}
+    # route flag columns don't leak into outputs
+    assert set(outs["errors"].columns) == {"id", "level", "value"}
+
+
+def test_pipeline_route_all_matches_mode(spark):
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "r": {
+                    "type": "route",
+                    "inputs": ["ev"],
+                    "mode": "all_matches",
+                    "route": {"errors": '.level == "error"', "big": ".value >= 10"},
+                }
+            },
+            "sinks": {
+                "e": {"type": "memory", "inputs": ["r.errors"]},
+                "b": {"type": "memory", "inputs": ["r.big"]},
+            },
+        }
+    )
+    built = p.build(
+        spark,
+        overrides={"ev": spark.createDataFrame(
+            [("error", 20), ("info", 20), ("error", 1)], "level string, value long")},
+    )
+    from vector_spark.plans.sinks import console_sink
+
+    e_rows = console_sink(built["e"])
+    b_rows = console_sink(built["b"])
+    assert len(e_rows) == 2      # both error rows
+    assert len(b_rows) == 2      # both value>=10 rows (one is ALSO an error)
+
+
+def test_pipeline_log_to_metric_list(spark):
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "m": {
+                    "type": "log_to_metric",
+                    "inputs": ["ev"],
+                    "metrics": [
+                        {"name": "events_total", "field": "value", "type": "counter"},
+                        {"name": "value_sum", "field": "value", "type": "counter",
+                         "increment_by_value": True},
+                    ],
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["m"]}},
+        }
+    )
+    built = p.build(
+        spark,
+        overrides={"ev": spark.createDataFrame([(1.0,), (2.0,)], "value double")},
+    )
+    from vector_spark.plans.sinks import console_sink
+
+    rows = {r["name"]: r for r in console_sink(built["out"])}
+    assert rows["events_total"]["value"] == 2.0
+    assert rows["value_sum"]["value"] == 3.0

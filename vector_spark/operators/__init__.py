@@ -26,7 +26,7 @@ from vector_spark.operators.remap import (
     split_errors,
 )
 from vector_spark.operators.filter import filter_events, filter_with_dropped
-from vector_spark.operators.route import tag_routes, split, UNMATCHED
+from vector_spark.operators.route import tag_routes, split, route_all_matches, UNMATCHED
 from vector_spark.operators.sample import sample, sample_mod
 from vector_spark.operators.throttle import throttle
 from vector_spark.operators.dedupe import dedupe
@@ -46,7 +46,7 @@ __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
     "parse_json_fields", "extract_text", "split_errors",
     "filter_events", "filter_with_dropped",
-    "tag_routes", "split", "UNMATCHED",
+    "tag_routes", "split", "route_all_matches", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
     "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",

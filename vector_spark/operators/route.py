@@ -61,3 +61,45 @@ def split(
         tagged = tagged.persist()
     names = list(route_names) + ([UNMATCHED] if include_unmatched else [])
     return {name: tagged.filter(F.col(route_col) == name) for name in names}
+
+
+def route_all_matches(
+    df: DataFrame,
+    routes: dict[str, str | Column],
+    event_kind: str = "log",
+    include_unmatched: bool = True,
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Upstream-Vector route semantics: an event goes to EVERY output whose
+    condition matches (not just the first), plus `_unmatched` when none do
+    — vector.dev's route transform explicitly allows multi-route matches.
+
+    One pass over the input: every condition is evaluated in the same
+    projection (a boolean column per route — no per-route rescan of the
+    source; the persisted parent is shared by the N output filters exactly
+    like `split`).  `tag_routes` (single `route` column, first-match-wins)
+    remains the partition-friendly variant used by the flagship fan-out
+    write — a partition column can hold only one value per row, so
+    multi-match outputs pay either row duplication (here: only in outputs
+    that actually match) or a second write."""
+    flags = df
+    flag_cols: dict[str, str] = {}
+    for name, cond in routes.items():
+        c = cond if isinstance(cond, Column) else compile_condition(cond, event_kind=event_kind)
+        flag_col = f"_route_{name}"
+        flags = flags.withColumn(flag_col, F.coalesce(c, F.lit(False)))
+        flag_cols[name] = flag_col
+    if persist:
+        flags = flags.persist()
+    out = {
+        name: flags.filter(F.col(col)).drop(*flag_cols.values())
+        for name, col in flag_cols.items()
+    }
+    if include_unmatched:
+        none_match = ~F.coalesce(
+            F.greatest(*[F.col(c) for c in flag_cols.values()]) if len(flag_cols) > 1
+            else F.col(next(iter(flag_cols.values()))),
+            F.lit(False),
+        ) if flag_cols else F.lit(True)
+        out[UNMATCHED] = flags.filter(none_match).drop(*flag_cols.values())
+    return out

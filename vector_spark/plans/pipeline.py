@@ -318,6 +318,11 @@ class Pipeline:
                 df, o["condition"], condition_type=o.get("condition_type", "vrl")
             )
         if t == "route":
+            if o.get("mode", "first_match") == "all_matches":
+                # upstream-Vector semantics: event → every matching output
+                from vector_spark.operators import route_all_matches
+
+                return route_all_matches(df, o["route"])
             tagged = tag_routes(df, o["route"])
             return split(tagged, list(o["route"].keys()))
         if t == "sample":
@@ -349,11 +354,16 @@ class Pipeline:
                                   keys=tuple(o.get("keys", ("lang", "host"))),
                                   bytes_col=o.get("bytes_col", "content_bytes"))
         if t == "log_to_metric":
-            m = o.get("metrics", [o])[0]
-            return log_to_metric(df, m.get("name", "events_total"), m.get("field", "message"),
-                                 metric_type=m.get("type", "counter"),
-                                 increment_by_value=bool(m.get("increment_by_value", False)),
-                                 tags=m.get("tags"), ts_col=m.get("ts_col"))
+            # Vector's form takes a LIST of metric configs; the outputs are a
+            # union of metrics-shaped rows (all share METRIC_EVENT_SCHEMA)
+            out = None
+            for m in o.get("metrics", [o]):
+                one = log_to_metric(df, m.get("name", "events_total"), m.get("field", "message"),
+                                    metric_type=m.get("type", "counter"),
+                                    increment_by_value=bool(m.get("increment_by_value", False)),
+                                    tags=m.get("tags"), ts_col=m.get("ts_col"))
+                out = one if out is None else out.unionByName(one)
+            return out
         if t == "metric_to_log":
             return metric_to_log(df)
         if t == "tag_cardinality_limit":
