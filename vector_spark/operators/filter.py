@@ -25,7 +25,10 @@ from vector_spark.vrl import compile_condition
 
 
 def _to_column(
-    condition: str | Column, event_kind: str = "log", condition_type: str = "vrl"
+    condition: str | Column,
+    event_kind: str = "log",
+    condition_type: str = "vrl",
+    columns: set[str] | None = None,
 ) -> Column:
     if isinstance(condition, Column):
         return condition
@@ -34,7 +37,9 @@ def _to_column(
 
         return compile_datadog_search(condition)
     if condition_type in ("vrl", "is_log", "is_metric", "is_trace"):
-        return compile_condition(condition, event_kind=event_kind)
+        # passing the schema gives Vector's schemaless semantics: a path the
+        # event doesn't carry is NULL, not an analysis error
+        return compile_condition(condition, event_kind=event_kind, columns=columns)
     raise ValueError(f"unknown condition_type {condition_type!r}")
 
 
@@ -45,7 +50,7 @@ def filter_events(
     condition_type: str = "vrl",
 ) -> DataFrame:
     """Keep rows where the condition is TRUE (three-valued: NULL drops)."""
-    return df.filter(_to_column(condition, event_kind, condition_type))
+    return df.filter(_to_column(condition, event_kind, condition_type, set(df.columns)))
 
 
 def filter_with_dropped(
@@ -56,7 +61,7 @@ def filter_with_dropped(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept, dropped) — dropped includes NULL-condition rows,
     mirroring VRL abort-on-error accounting."""
-    cond = _to_column(condition, event_kind, condition_type)
+    cond = _to_column(condition, event_kind, condition_type, set(df.columns))
     kept = df.filter(cond)
     dropped = df.filter(~F.coalesce(cond, F.lit(False)))
     return kept, dropped

@@ -456,7 +456,7 @@ def _parse_remap_source(source: str) -> dict[str, str]:
     assignments: dict[str, str] = {}
     for line in source.replace(";", "\n").splitlines():
         line = line.strip()
-        if not line:
+        if not line or line.startswith("#"):  # VRL comments (production/vector.toml:27)
             continue
         if "=" not in line or not line.startswith("."):
             raise PipelineError([ValidationIssue("INVALID_INPUT", f"unsupported remap statement {line!r}")])

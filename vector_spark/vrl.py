@@ -51,6 +51,7 @@ class VRLError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>[ \t]+)
+  | (?P<comment>\#[^\n]*)
   | (?P<newline>[;\n]+)
   | (?P<rawstr>r'(?:[^'\\]|\\.)*')
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
@@ -79,18 +80,24 @@ def _tokenize(src: str) -> list[Tok]:
             raise VRLError(f"VRL syntax error at offset {pos}: {src[pos:pos+20]!r}")
         pos = m.end()
         kind = m.lastgroup
-        if kind == "ws":
+        if kind in ("ws", "comment"):  # VRL `#` line comments (demo configs use them)
             continue
         toks.append(Tok(kind, m.group()))
     return toks
 
 
 class _Parser:
-    def __init__(self, toks: list[Tok], event_kind: str = "log"):
+    def __init__(
+        self,
+        toks: list[Tok],
+        event_kind: str = "log",
+        columns: set[str] | None = None,
+    ):
         self.toks = toks
         self.i = 0
         self.env: dict[str, Column] = {}
         self.event_kind = event_kind
+        self.columns = columns
 
     def peek(self) -> Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -207,7 +214,17 @@ class _Parser:
                 raise VRLError("expected ')'")
             return inner
         if t.kind == "path":
-            return F.col(t.value[1:])
+            name = t.value[1:]
+            # Vector events are SCHEMALESS: a path that doesn't exist is null
+            # at runtime (then absorbed by `??`/exists()).  Our events are
+            # typed DataFrames, so when the caller supplies the schema we map
+            # missing paths to NULL literals instead of letting Spark raise
+            # UNRESOLVED_COLUMN — e.g. the reference's production config
+            # filters on `.status`, which its json demo events don't carry
+            # (dev/configs/production/vector.toml:32-39).
+            if self.columns is not None and name.split(".")[0] not in self.columns:
+                return F.lit(None)
+            return F.col(name)
         if t.kind == "string":
             return F.lit(_unescape(t.value[1:-1]))
         if t.kind == "rawstr":
@@ -321,6 +338,14 @@ def _unescape(s: str) -> str:
     return s.encode().decode("unicode_escape")
 
 
-def compile_condition(src: str, event_kind: str = "log") -> Column:
-    """Compile a VRL condition/program to one Spark Column (boolean or value)."""
-    return _Parser(_tokenize(src), event_kind).program()
+def compile_condition(
+    src: str,
+    event_kind: str = "log",
+    columns: set[str] | None = None,
+) -> Column:
+    """Compile a VRL condition/program to one Spark Column (boolean or value).
+
+    ``columns``: the event schema, when known — paths outside it become NULL
+    literals (Vector's schemaless missing-field semantics) instead of Spark
+    analysis errors."""
+    return _Parser(_tokenize(src), event_kind, columns).program()
