@@ -135,3 +135,43 @@ source_col = "message"
     assert len(all_rows) == 300
     assert 0 < len(err_rows) < len(all_rows)
     assert all(e["status"] >= 400 for e in err_rows)
+
+
+# dev/configs/staging/vector.toml — verbatim except count
+STAGING_TOML = """
+[api]
+enabled = true
+address = "0.0.0.0:8686"
+playground = true
+
+[sources.demo_logs]
+type = "demo_logs"
+format = "syslog"
+interval = 2
+count = 150
+
+[transforms.add_metadata]
+type = "remap"
+inputs = ["demo_logs"]
+source = '''
+# Add staging metadata
+.environment = "staging"
+.processed_at = now()
+'''
+
+[sinks.console]
+type = "memory"
+inputs = ["add_metadata"]
+encoding.codec = "text"
+target = "stdout"
+"""
+
+
+def test_reference_staging_toml_runs(spark):
+    p = Pipeline.from_toml(STAGING_TOML)
+    assert [i for i in p.validate() if i.severity == "error"] == []
+    res = p.run(spark)
+    rows = res["console"]
+    assert len(rows) == 150
+    assert all(e["environment"] == "staging" for e in rows)
+    assert all(e["message"].startswith("<") for e in rows)  # RFC 5424 lines
