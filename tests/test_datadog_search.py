@@ -99,3 +99,21 @@ def test_parse_errors():
         compile_datadog_search("(status:error")
     with pytest.raises(DatadogSearchError):
         compile_datadog_search("status:error OR")
+
+
+def test_missing_attribute_matches_nothing_when_schema_known(spark):
+    """Schemaless semantics: a query on an attribute the events don't carry
+    matches nothing (like Datadog) instead of raising UNRESOLVED_COLUMN."""
+    df = spark.createDataFrame([("x", "error")], "message string, status string")
+    kept = filter_events(df, "user_id:*", condition_type="datadog_search")
+    assert kept.count() == 0
+    kept2 = filter_events(df, "user_id:alice OR status:error", condition_type="datadog_search")
+    assert kept2.count() == 1  # the present attribute still matches
+
+
+def test_wildcard_with_backslash_literal(spark):
+    df = spark.createDataFrame(
+        [(r"C:\temp\f.txt",), ("Ctemp.txt",)], "path string"
+    )
+    got = {r.path for r in filter_events(df, r"path:C:\temp*", condition_type="datadog_search").collect()}
+    assert got == {r"C:\temp\f.txt"}  # backslash is literal, not a LIKE escape

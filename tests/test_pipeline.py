@@ -220,3 +220,30 @@ def test_enrichment_table_from_csv_file(spark, tmp_path):
     by_ip = {e["ip"]: e for e in res["output_events"]}
     assert by_ip["10.0.0.1"]["country"] == "DE"
     assert by_ip["10.9.9.9"]["country"] is None  # lookup miss → NULL, like Vector
+
+
+def test_filter_condition_type_is_kind_checks(spark):
+    """is_log/is_metric/is_trace condition types carry no source text; the
+    filter IS the event-kind predicate (config_panel.rs:1461-1467)."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "logs_only": {"type": "filter", "inputs": ["ev"], "condition_type": "is_log"},
+                "metrics_only": {"type": "filter", "inputs": ["ev"], "condition_type": "is_metric"},
+            },
+            "sinks": {
+                "l": {"type": "memory", "inputs": ["logs_only"]},
+                "m": {"type": "memory", "inputs": ["metrics_only"]},
+            },
+        }
+    )
+    built = p.build(
+        spark, overrides={"ev": spark.createDataFrame([("a",), ("b",)], "message string")}
+    )
+    from vector_spark.plans.sinks import console_sink
+
+    assert len(console_sink(built["l"])) == 2  # log events pass is_log
+    assert console_sink(built["m"]) == []      # and fail is_metric

@@ -118,7 +118,7 @@ def test_timestamp_and_key_value_functions(spark):
     row = df.select(
         compile_condition("to_unix_timestamp(to_timestamp(.ts)) == 1767323045").alias("unix"),
         compile_condition('parse_key_value(.kv)').alias("m"),
-        compile_condition('parse_key_value(.kv, " ", "=")').alias("m2"),
+        compile_condition('parse_key_value(.kv, "=", " ")').alias("m2"),
     ).collect()[0]
     assert row.unix
     assert row.m == {"a": "1", "b": "two", "c": "3"}

@@ -72,6 +72,7 @@ def _tokenize(src: str) -> list[str]:
 class _Parser:
     tokens: list[str]
     pos: int = 0
+    columns: set[str] | None = None
 
     def peek(self) -> str | None:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
@@ -122,11 +123,23 @@ class _Parser:
         return self.atom(self.next())
 
     def atom(self, tok: str) -> Column:
+        if (
+            self.columns is not None
+            and DEFAULT_FIELD not in self.columns
+            and not re.match(r"^([@\w.][\w.@]*):", tok)
+        ):
+            return F.lit(False)  # full-text term but no message column
         if tok.startswith('"'):
             return _phrase_match(DEFAULT_FIELD, _unquote(tok))
         m = re.match(r"^([@\w.][\w.@]*):(.*)$", tok, re.DOTALL)
         if m:
-            return _field_match(m.group(1).lstrip("@"), m.group(2))
+            field = m.group(1).lstrip("@")
+            # Schemaless events (same semantics as the VRL compiler): an
+            # attribute the event doesn't carry matches nothing — not an
+            # UNRESOLVED_COLUMN analysis error.
+            if self.columns is not None and field.split(".")[0] not in self.columns:
+                return F.lit(False)
+            return _field_match(field, m.group(2))
         return _phrase_match(DEFAULT_FIELD, tok, word=True)
 
 
@@ -167,8 +180,15 @@ def _field_match(field: str, raw: str) -> Column:
         return {">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v}[op]
     val = _unquote(raw) if raw.startswith('"') else raw
     if "*" in val:
-        # LIKE-style wildcard; escape SQL wildcards in the literal part
-        like = val.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+        # LIKE-style wildcard; escape the escape char FIRST, then SQL
+        # wildcards, in the literal part (a raw backslash would otherwise be
+        # consumed as LIKE's escape character)
+        like = (
+            val.replace("\\", "\\\\")
+            .replace("%", r"\%")
+            .replace("_", r"\_")
+            .replace("*", "%")
+        )
         return col.like(like)
     if _NUM_RE.match(val):
         return _coerce(col, val) == _lit(val)
@@ -183,12 +203,16 @@ def _lit(val: str) -> Column:
     return F.lit(float(val)) if _NUM_RE.match(val) else F.lit(val)
 
 
-def compile_datadog_search(src: str) -> Column:
-    """Public entry: datadog_search query string → boolean Column."""
+def compile_datadog_search(src: str, columns: set[str] | None = None) -> Column:
+    """Public entry: datadog_search query string → boolean Column.
+
+    ``columns``: the event schema when known — attribute matches on fields
+    outside it compile to FALSE (schemaless no-match semantics) instead of
+    Spark analysis errors."""
     tokens = _tokenize(src)
     if not tokens:
         return F.lit(True)  # Datadog: empty query matches everything
-    p = _Parser(tokens)
+    p = _Parser(tokens, columns=columns)
     out = p.expr()
     if p.peek() is not None:
         raise DatadogSearchError(f"trailing tokens at {p.tokens[p.pos:]!r}")

@@ -80,6 +80,63 @@ def shingle_df(
     return with_s.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def _jaccard_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    unit: str,
+    max_posting: int,
+    threshold: float,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Shared core of exact Jaccard: shingle+hash → sizes → stop-gram prune →
+    intersection join → jaccard ≥ τ.  When ``pairs`` is given, the index and
+    the intersections are semi-join-restricted to the candidate set (the
+    LSH-verify shape); the gram hashing / pruning / arithmetic is ONE code
+    path, so direct computation and candidate verification cannot drift
+    apart (the dedup_minhash_lsh oracle depends on their equivalence)."""
+    sh = shingle_df(df, id_col, text_col, n, unit).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
+    # posting prune is corpus-global by definition; set sizes are per-doc, so
+    # with a candidate set they only need computing for candidate ids.
+    posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
+    if pairs is not None:
+        # no forced broadcast: candidates can be a few percent of the corpus
+        # (past driver memory at 10^9 docs); AQE picks broadcast when small
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, id_col, "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    if pairs is not None:
+        inter = inter.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    inter = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -97,36 +154,7 @@ def ngram_jaccard_pairs(
     64-bit xxhash of the gram, not the gram string — same intersection
     counts, a fraction of the shuffle bytes.
     """
-    sh = shingle_df(df, id_col, text_col, n, unit).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
-    sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
-
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_pipeline(df, id_col, text_col, n, unit, max_posting, threshold)
 
 
 def minhash_signatures(
@@ -157,6 +185,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float | None = 0.7,
     unit: str = "char",
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -177,9 +206,16 @@ def minhash_lsh_pairs(
     # the (lazy) result.  localCheckpoint blocks are owned by the RDD and freed
     # by the ContextCleaner when the result is GC'd, so repeated calls in a
     # long-lived session don't accumulate storage.
+    #
+    # Trade-off (deliberate): localCheckpoint severs lineage and its blocks
+    # are unreplicated — losing an executor mid-query fails the job instead
+    # of recomputing, and the signature job runs eagerly at construction.
+    # On clusters with preemptible executors, prefer materialize="persist"
+    # and own the unpersist in the caller.
     sig = minhash_signatures(df, id_col, text_col, n, k, unit).select(
         id_col, F.array(*[F.col(f"h{j}") for j in range(k)]).alias("sig")
-    ).localCheckpoint(eager=True)
+    )
+    sig = sig.persist() if materialize == "persist" else sig.localCheckpoint(eager=True)
 
     band_rows = sig.select(
         id_col,
@@ -235,55 +271,13 @@ def jaccard_for_pairs(
     """Exact Jaccard computed ONLY for a given candidate pair set — the
     verification half of the LSH-candidates → exact-verify pattern.
 
-    The shingle index is semi-join-pruned to candidate ids before the
-    intersection join, and intersections are semi-join-restricted to the
-    candidate pairs, so cost is O(candidate postings), not O(corpus²).
-    Same gram hashing / stop-gram pruning as ngram_jaccard_pairs, so
-    (LSH candidates → jaccard_for_pairs) ≡ exact pairs wherever LSH recall
-    holds — which makes the composition oracle-checkable against the
-    all-pairs SQL."""
-    # No forced broadcast on the candidate side: near-dup candidates can be
-    # a few percent of the corpus (way past driver memory at 10^9 docs).
-    # Plain semi-joins let AQE pick broadcast when the runtime size is small
-    # — which it is in tests — and a shuffled semi-join otherwise.
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = shingle_df(df, id_col, text_col, n, unit).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
-    )
-    # sizes/postings use the FULL corpus (identical to ngram_jaccard_pairs);
-    # only the pair enumeration is restricted to candidates.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    posting_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
-    sh = sh.join(posting_counts.filter(F.col("pc") <= max_posting), "shingle", "inner").drop("pc")
-    sh_cand = sh.join(ids, id_col, "left_semi")
-
-    a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    Delegates to the SAME pipeline as ngram_jaccard_pairs with the index and
+    intersections semi-join-restricted to candidates, so cost is
+    O(candidate postings), not O(corpus²), and (LSH candidates →
+    jaccard_for_pairs) ≡ exact pairs wherever LSH recall holds — which makes
+    the composition oracle-checkable against the all-pairs SQL."""
+    return _jaccard_pipeline(
+        df, id_col, text_col, n, unit, max_posting, threshold, pairs=pairs
     )
 
 
@@ -371,18 +365,19 @@ def hamming_pairs(
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ h (64-bit SipHash fingerprint —
     the throughput path).  The fingerprint table is localCheckpointed: both
     self-join sides read it, so the UDF runs once, and unlike persist() the
     blocks are freed on GC rather than leaking in the CacheManager (see
     minhash_lsh_pairs)."""
-    sh = (
-        simhash(df.select(id_col, text_col), text_col)
-        .select(id_col, "simhash")
-        .localCheckpoint(eager=True)
-    )
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    sh = sh.persist() if materialize == "persist" else sh.localCheckpoint(eager=True)
     return hamming_pairs(sh, id_col, "simhash", max_hamming, bits=64)
 
 
@@ -417,13 +412,18 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 
 
 
 def simhash_md5_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Oracle-checkable simhash near-dups: md5 fingerprints (simhash_md5) +
     exact block-permutation candidate generation (hamming_pairs, recall 1.0
     by pigeonhole) — the result set is byte-identical to an all-pairs SQL
     recomputation, which is what the driver's DuckDB oracle runs."""
-    fps = simhash_md5(df, id_col, text_col).localCheckpoint(eager=True)
+    fps = simhash_md5(df, id_col, text_col)
+    fps = fps.persist() if materialize == "persist" else fps.localCheckpoint(eager=True)
     return hamming_pairs(fps, id_col, "simhash", max_hamming, bits=60)
 
 

@@ -137,7 +137,10 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             padded = blocks * dim
             pad_before = np.concatenate([[0], np.cumsum(padded - lens)[:-1]])
             dest = np.arange(len(flat), dtype=np.int64) + np.repeat(pad_before, lens)
-            buf = np.zeros(int(padded.sum()), np.float32)
+            # float64 accumulation like fake_decode — float32 sums lose
+            # integer exactness past 2^24 (≈1 MB payload columns), which
+            # would break value-equality with the per-row reference
+            buf = np.zeros(int(padded.sum()), np.float64)
             buf[dest] = flat
             bounds = np.concatenate([[0], np.cumsum(blocks)[:-1]])
             feat = (

@@ -35,8 +35,13 @@ def _to_column(
     if condition_type == "datadog_search":
         from vector_spark.datadog_search import compile_datadog_search
 
-        return compile_datadog_search(condition)
-    if condition_type in ("vrl", "is_log", "is_metric", "is_trace"):
+        return compile_datadog_search(condition, columns=columns)
+    if condition_type in ("is_log", "is_metric", "is_trace"):
+        # Kind-check condition types carry NO source text (the form's
+        # vrl|datadog_search|is_log|is_metric|is_trace enum): the filter is
+        # the event-kind predicate itself, schema-constant in our typed build.
+        return F.lit(condition_type == f"is_{event_kind}")
+    if condition_type == "vrl":
         # passing the schema gives Vector's schemaless semantics: a path the
         # event doesn't carry is NULL, not an analysis error
         return compile_condition(condition, event_kind=event_kind, columns=columns)

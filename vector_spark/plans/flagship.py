@@ -142,7 +142,11 @@ def run(
     if out_dir.startswith("/") or out_dir.startswith("file:"):
         from vector_spark.plans.table_format import CommitLog
 
-        CommitLog(out_dir).commit(
+        # strip the scheme: os.path on "file:/tmp/out" would treat it as a
+        # RELATIVE path and drop the log in $CWD/file:/... where no reader
+        # looks
+        local_dir = out_dir.removeprefix("file:")
+        CommitLog(local_dir).commit(
             {
                 "operation": "flagship_run",
                 "sinks": {

@@ -314,8 +314,9 @@ class Pipeline:
                 out = remap(out, o.get("assignments") or _parse_remap_source(o["source"]))
             return out
         if t == "filter":
+            # is_log/is_metric/is_trace condition types carry no source text
             return filter_events(
-                df, o["condition"], condition_type=o.get("condition_type", "vrl")
+                df, o.get("condition", ""), condition_type=o.get("condition_type", "vrl")
             )
         if t == "route":
             if o.get("mode", "first_match") == "all_matches":

@@ -126,13 +126,19 @@ def write_multi_sink(
     log = CommitLog(base)
     done = log.committed()
     written: dict[str, dict[str, int]] = {}
+    # NULL part keys: Spark writes them under this directory name; we commit
+    # them under the same key so read_table finds the data, and the resume
+    # filter is NULL-safe (a bare `~isin(...)` is NULL for NULL keys, which
+    # would silently drop those rows from every rerun).
+    null_key = "__HIVE_DEFAULT_PARTITION__"
     for name, df in sinks.items():
         committed_keys = set(done.get(name, {}))
         todo = df
         if committed_keys:
-            todo = df.filter(~F.col(part_col).cast("string").isin(*committed_keys))
+            key = F.coalesce(F.col(part_col).cast("string"), F.lit(null_key))
+            todo = df.filter(~key.isin(*committed_keys))
         counts = {
-            str(r[part_col]): r["n"]
+            (null_key if r[part_col] is None else str(r[part_col])): r["n"]
             for r in todo.groupBy(part_col).agg(F.count(F.lit(1)).alias("n")).collect()
         }
         if counts:

@@ -327,9 +327,11 @@ class _Parser:
         if base == "from_unix_timestamp":
             return F.timestamp_seconds(args[0].try_cast("long"))
         if base == "parse_key_value":
-            # VRL parse_key_value(value, field_delimiter: " ", kv_delimiter: "=")
-            pair = args[1] if len(args) > 1 else F.lit(" ")
-            kv = args[2] if len(args) > 2 else F.lit("=")
+            # VRL signature (vector.dev function reference):
+            # parse_key_value(value, key_value_delimiter: "=",
+            #                 field_delimiter: " ")
+            kv = args[1] if len(args) > 1 else F.lit("=")
+            pair = args[2] if len(args) > 2 else F.lit(" ")
             return F.str_to_map(args[0].cast("string"), pair, kv)
         raise VRLError(f"unsupported VRL function {name!r}")
 
