@@ -123,3 +123,21 @@ def test_timestamp_and_key_value_functions(spark):
     assert row.unix
     assert row.m == {"a": "1", "b": "two", "c": "3"}
     assert row.m2 == row.m
+
+
+def test_parse_and_format_timestamp(spark):
+    df = spark.createDataFrame([("02/01/2026 03:04:05",)], "raw string")
+    row = df.select(
+        compile_condition(
+            'to_unix_timestamp(parse_timestamp(.raw, "%d/%m/%Y %H:%M:%S")) == 1767323045'
+        ).alias("parsed"),
+        compile_condition(
+            'format_timestamp(parse_timestamp(.raw, "%d/%m/%Y %H:%M:%S"), "%Y-%m-%d") == "2026-01-02"'
+        ).alias("fmt"),
+    ).collect()[0]
+    assert row.parsed and row.fmt
+
+
+def test_parse_timestamp_requires_literal_pattern(spark):
+    with pytest.raises(VRLError, match="literal format"):
+        compile_condition("parse_timestamp(.raw, .fmt)")

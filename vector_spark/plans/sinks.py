@@ -66,7 +66,7 @@ def blackhole_sink(df: DataFrame) -> int:
     return df.count()
 
 
-_STRFTIME_TO_JAVA = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%M", "mm"))
+_STRFTIME_TO_JAVA = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%M", "mm"), ("%S", "ss"))
 
 
 def strftime_to_java(template: str) -> str:

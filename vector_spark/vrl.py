@@ -239,20 +239,32 @@ class _Parser:
                 return F.lit(None)
             if self.accept("op", "("):
                 args: list[Column] = []
+                raws: list[str | None] = []
                 if not self.accept("op", ")"):
                     while True:
+                        start = self.i
                         args.append(self.expr())
+                        # raw literal capture: some functions (timestamp
+                        # patterns) need the PATTERN STRING, not a Column —
+                        # recorded when the whole argument was one string token
+                        raws.append(
+                            _unescape(self.toks[start].value[1:-1])
+                            if self.i - start == 1 and self.toks[start].kind == "string"
+                            else None
+                        )
                         if self.accept("op", ")"):
                             break
                         if not self.accept("op", ","):
                             raise VRLError("expected ',' or ')' in call")
-                return self._call(name, args)
+                return self._call(name, args, raws)
             if name in self.env:
                 return self.env[name]
             raise VRLError(f"unknown identifier {name!r}")
         raise VRLError(f"unexpected token {t!r}")
 
-    def _call(self, name: str, args: list[Column]) -> Column:
+    def _call(
+        self, name: str, args: list[Column], raws: list[str | None] | None = None
+    ) -> Column:
         base = name.rstrip("!")  # `f!` = fallible-abort; NULL-on-error in Column form
         if base == "exists":
             return args[0].isNotNull()
@@ -326,6 +338,20 @@ class _Parser:
             return F.unix_timestamp(args[0].try_cast("timestamp"))
         if base == "from_unix_timestamp":
             return F.timestamp_seconds(args[0].try_cast("long"))
+        if base in ("parse_timestamp", "format_timestamp"):
+            # VRL: parse_timestamp(value, format: strftime) → timestamp;
+            # format_timestamp(ts, format) → string.  The strftime pattern
+            # must be a LITERAL (captured raw by the parser) so it converts
+            # to a java date-format pattern at compile time.
+            raw = raws[1] if raws and len(raws) > 1 else None
+            if raw is None:
+                raise VRLError(f"{base} needs a literal format string")
+            from vector_spark.plans.sinks import strftime_to_java
+
+            fmt = strftime_to_java(raw)
+            if base == "parse_timestamp":
+                return F.try_to_timestamp(args[0].cast("string"), F.lit(fmt))
+            return F.date_format(args[0].cast("timestamp"), fmt)
         if base == "parse_key_value":
             # VRL signature (vector.dev function reference):
             # parse_key_value(value, key_value_delimiter: "=",
