@@ -178,3 +178,24 @@ def test_datadog_search_arbitrary_input_never_crashes_unexpectedly(q):
         compile_datadog_search(q)
     except DatadogSearchError:
         pass
+
+
+# ---------------------------------------------------------------- framing
+
+@given(st.lists(st.binary(max_size=64), min_size=0, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_framing_roundtrip_encodings(frames):
+    """encode-then-frame is the identity for both length-prefixed framings
+    (pure-python halves of the UDFs, property-checked)."""
+    import struct
+
+    from vector_spark.sources.codecs import _length_delimited_udf, _octet_counting_udf
+
+    ld = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+    oc = b"".join(b"%d " % len(f) + f for f in frames)
+    expect = [f.decode("utf-8", errors="replace") for f in frames]
+    # call the inner splitters via the udf's wrapped function on a pd.Series
+    import pandas as pd
+
+    assert list(_length_delimited_udf.func(pd.Series([ld]))[0]) == expect
+    assert list(_octet_counting_udf.func(pd.Series([oc]))[0]) == expect

@@ -353,3 +353,34 @@ def test_streaming_reduce_ends_when_spans_batches(spark, tmp_path):
         assert [(r.lang, r.value_sum, r.events_merged) for r in rows] == [("en", 4.0, 4)]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_stateless_operators_compose_on_streams(spark, tmp_path):
+    """filter / route tag / sample / datadog_search / remap are plain
+    DataFrame transforms — the SAME operator code runs on a stream and
+    yields identical results to the batch run over the same input."""
+    from vector_spark.operators import filter_events, sample, tag_routes
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf = synth.documents_pdf(300)
+    pdf.to_parquet(in_dir / "a.parquet")
+
+    def transform(df):
+        out = tag_routes(df, {"en": '.lang == "en"', "rest": "true"})
+        out = filter_events(out, 'starts_with(.url, "https")')
+        return sample(out, 3, key="url").select("url", "route")
+
+    stream = st.document_stream(spark, str(in_dir))
+    q = (
+        transform(stream).writeStream.format("memory")
+        .queryName("stateless_ops")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("select * from stateless_ops").collect()}
+    batch = {tuple(r) for r in transform(spark.createDataFrame(pdf)).collect()}
+    assert streamed == batch and len(batch) > 0

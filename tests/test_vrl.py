@@ -141,3 +141,16 @@ def test_parse_and_format_timestamp(spark):
 def test_parse_timestamp_requires_literal_pattern(spark):
     with pytest.raises(VRLError, match="literal format"):
         compile_condition("parse_timestamp(.raw, .fmt)")
+
+
+def test_ip_cidr_contains(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.2.0.1",), ("192.168.0.5",), ("garbage",), (None,)],
+        "ip string",
+    )
+    kept = {r.ip for r in df.filter(
+        compile_condition('ip_cidr_contains("10.1.0.0/16", .ip)')
+    ).collect()}
+    assert kept == {"10.1.2.3"}
+    allv4 = df.filter(compile_condition('ip_cidr_contains("0.0.0.0/0", .ip)')).count()
+    assert allv4 == 3  # every VALID ip matches /0; garbage and NULL drop

@@ -352,6 +352,31 @@ class _Parser:
             if base == "parse_timestamp":
                 return F.try_to_timestamp(args[0].cast("string"), F.lit(fmt))
             return F.date_format(args[0].cast("timestamp"), fmt)
+        if base == "ip_cidr_contains":
+            # VRL ip_cidr_contains(cidr, ip) — IPv4, pure Column arithmetic:
+            # both sides fold dotted-quad → uint32, then compare the top
+            # `prefix` bits.  Invalid input → NULL → filter-false.
+            def ip_to_long(c: Column) -> Column:
+                parts = F.split(c.cast("string"), r"\.")
+                valid = F.size(parts) == 4
+                octets = [F.element_at(parts, i + 1).try_cast("long") for i in range(4)]
+                num = octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3]
+                ok = valid
+                for o in octets:
+                    ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
+                return F.when(ok, num)
+
+            cidr = args[0].cast("string")
+            base_ip = ip_to_long(F.element_at(F.split(cidr, "/"), 1))
+            prefix = F.element_at(F.split(cidr, "/"), 2).try_cast("int")
+            ip_num = ip_to_long(args[1])
+            # same /prefix network ⇔ xor differs only in the low 32-prefix
+            # bits ⇔ xor < 2^(32-prefix)  (shiftright needs a literal count,
+            # so compare against the power instead)
+            return F.when(
+                prefix.isNotNull() & (prefix >= 0) & (prefix <= 32),
+                base_ip.bitwiseXOR(ip_num) < F.pow(F.lit(2.0), (F.lit(32) - prefix)),
+            )
         if base == "parse_key_value":
             # VRL signature (vector.dev function reference):
             # parse_key_value(value, key_value_delimiter: "=",
