@@ -247,3 +247,26 @@ def test_filter_condition_type_is_kind_checks(spark):
 
     assert len(console_sink(built["l"])) == 2  # log events pass is_log
     assert console_sink(built["m"]) == []      # and fail is_metric
+
+
+def test_remap_del_statement(spark):
+    """VRL `del(.field)` in a remap source drops the column."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "clean": {
+                    "type": "remap",
+                    "inputs": ["ev"],
+                    "source": '.env = "prod"\ndel(.secret)',
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["clean"]}},
+        }
+    )
+    res = p.test(spark, [{"message": "m", "secret": "hunter2"}])
+    ev = res["output_events"][0]
+    assert ev["env"] == "prod"
+    assert "secret" not in ev

@@ -24,6 +24,7 @@ persisted once so the fan-out shares a single materialized scan.
 
 from __future__ import annotations
 
+import re
 import tomllib
 from dataclasses import dataclass, field
 from typing import Any
@@ -458,6 +459,10 @@ def _parse_remap_source(source: str) -> dict[str, str]:
     for line in source.replace(";", "\n").splitlines():
         line = line.strip()
         if not line or line.startswith("#"):  # VRL comments (production/vector.toml:27)
+            continue
+        m = re.match(r"^del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\)$", line)
+        if m:  # VRL del(.field) → drop the column (remap maps None to drop)
+            assignments[m.group(1)] = None
             continue
         if "=" not in line or not line.startswith("."):
             raise PipelineError([ValidationIssue("INVALID_INPUT", f"unsupported remap statement {line!r}")])
