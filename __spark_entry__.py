@@ -176,13 +176,26 @@ def q_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket", "count")
 
 
-# T9d distribution metric: deterministic (sorted) raw sample set per tag-set
+# T9d distribution metric: deterministic (sorted) raw sample set per tag-set.
+# The sample set is emitted as a fixed-precision CSV scalar (`samples_csv`)
+# rather than array<double> because the driver's oracle canonicalizer sorts
+# cells with pandas and cannot hash list-typed values (the r2 red row).  The
+# array-returning operator stays the API surface; this query is the
+# hash-checkable projection of it.  Spark decimal(18,6)→string and DuckDB
+# DECIMAL(18,6)→VARCHAR render identically ("1.500000"), verified both ways.
 def q_metric_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.operators import log_to_metric_distribution
 
     ev = _ev(spark, sf_dir)
     out = log_to_metric_distribution(ev, "value_dist", "value", tags=["event_type"])
-    return out.select("event_type", "count", "sum", "samples")
+    return out.select(
+        "event_type",
+        "count",
+        "sum",
+        F.array_join(
+            F.transform("samples", lambda x: x.cast("decimal(18,6)").cast("string")), ","
+        ).alias("samples_csv"),
+    )
 
 
 # T10 metric_to_log: reshape metrics back to log rows
@@ -574,7 +587,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(value) AS count,
                    ROUND(SUM(value), 6) AS sum,
-                   list(CAST(value AS DOUBLE) ORDER BY CAST(value AS DOUBLE)) AS samples
+                   array_to_string(
+                     list(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+                          ORDER BY CAST(value AS DOUBLE)),
+                     ',') AS samples_csv
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type
         """,

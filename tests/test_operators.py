@@ -230,6 +230,42 @@ def test_log_to_metric_distribution(spark):
     assert rows["b"].samples == [5.0] and rows["b"]["count"] == 1  # NULL excluded
 
 
+def test_log_to_metric_distribution_capped(spark):
+    """max_samples bounds the sample list; count/sum stay exact; the kept
+    subset is deterministic (hash order) across repeated runs."""
+    from vector_spark.operators import log_to_metric_distribution
+
+    data = [("a", float(i)) for i in range(100)] + [("b", 7.0)]
+    df = spark.createDataFrame(data, "tag string, value double")
+    out = log_to_metric_distribution(df, "m", "value", tags=["tag"], max_samples=10)
+    rows = {r.tag: r for r in out.collect()}
+    assert len(rows["a"].samples) == 10          # cap kicked in
+    assert rows["a"]["count"] == 100             # count over ALL rows
+    assert rows["a"]["sum"] == sum(range(100))   # sum over ALL rows
+    assert rows["b"].samples == [7.0]            # under-cap group untouched
+    # deterministic: a second run keeps the identical subset
+    rows2 = {r.tag: r for r in out.collect()}
+    assert rows2["a"].samples == rows["a"].samples
+    # the kept subset is a real subset of the group's values
+    assert set(rows["a"].samples) <= {float(i) for i in range(100)}
+
+
+def test_log_to_metric_distribution_sketch(spark):
+    """percentile_approx sketch variant: exact count/sum, quantiles within
+    sketch tolerance of the exact answer."""
+    from vector_spark.operators import log_to_metric_distribution_sketch
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "tag string, value double"
+    )
+    r = log_to_metric_distribution_sketch(df, "m", "value", tags=["tag"]).collect()[0]
+    assert r["count"] == 100 and r["sum"] == 5050.0
+    assert abs(r["q5"] - 50.0) <= 1.0
+    assert abs(r["q9"] - 90.0) <= 1.0
+    assert abs(r["q99"] - 99.0) <= 1.0
+    assert r["kind"] == "absolute"
+
+
 def test_route_all_matches_semantics(spark):
     """Upstream-Vector route: an event lands in EVERY matching output."""
     from vector_spark.operators import route_all_matches

@@ -35,6 +35,7 @@ from vector_spark.operators.aggregate import aggregate, sink_aggregate
 from vector_spark.operators.metrics_conv import (
     log_to_metric,
     log_to_metric_distribution,
+    log_to_metric_distribution_sketch,
     log_to_metric_histogram,
     log_to_metric_summary,
     metric_to_log,
@@ -50,5 +51,6 @@ __all__ = [
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
     "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",
+    "log_to_metric_distribution_sketch",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
 ]

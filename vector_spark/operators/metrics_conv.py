@@ -12,7 +12,7 @@ metric_to_log is a pure projection (no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,21 +117,79 @@ def log_to_metric_distribution(
     metric_name: str,
     field: str,
     tags: list[str] | None = None,
+    max_samples: int | None = None,
 ) -> DataFrame:
     """MetricValue::Distribution (shared/src/messages.rs:145-183): the raw
     sample set per tag-set (count, sum, sorted samples).  ``sort_array`` on
     the collected list makes the output deterministic — collect_list order
     is not — which also makes it oracle-checkable (DuckDB list(x ORDER BY x)).
-    At 100 TB you'd cap or sketch the sample list; the operator contract is
-    the per-tag-set sample distribution."""
+
+    ``max_samples`` bounds per-group state for scale: `count`/`sum` stay
+    exact over every row, but `samples` keeps only the ``max_samples`` rows
+    with the smallest xxhash64(value) per tag-set — a deterministic uniform
+    subsample (hash order is value order-independent, and hash ties imply
+    equal values, so the kept multiset is reproducible).  The cap runs as a
+    window row_number — a spillable per-group sort, never an unbounded
+    collect_list buffer.  For quantiles-only use at 100 TB, prefer
+    :func:`log_to_metric_distribution_sketch` (mergeable fixed-size sketch,
+    no sample list at all)."""
+    tag_cols = tags or []
+    df = df.where(F.col(field).isNotNull())
+    if max_samples is None:
+        out = df.groupBy(*tag_cols).agg(
+            F.count(field).alias("count"),
+            F.round(F.sum(field), 6).alias("sum"),
+            F.sort_array(F.collect_list(F.col(field).cast("double"))).alias("samples"),
+        )
+    else:
+        part_cols = [F.col(c) for c in tag_cols] or [F.lit(1)]
+        w = Window.partitionBy(*part_cols).orderBy(
+            F.xxhash64(F.col(field).cast("double")), F.col(field)
+        )
+        capped = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_kept",
+                F.when(F.col("_rn") <= max_samples, F.col(field).cast("double")),
+            )
+        )
+        out = capped.groupBy(*tag_cols).agg(
+            F.count(field).alias("count"),
+            F.round(F.sum(field), 6).alias("sum"),
+            F.sort_array(F.collect_list("_kept")).alias("samples"),
+        )
+    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("incremental"))
+
+
+def log_to_metric_distribution_sketch(
+    df: DataFrame,
+    metric_name: str,
+    field: str,
+    tags: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch variant of the distribution metric: constant per-group state.
+
+    Instead of the raw sample list, emits `percentile_approx` points (Spark's
+    Greenwald-Khanna mergeable quantile sketch — map-side partial sketches
+    merge in one shuffle, state O(accuracy) per group regardless of rows).
+    Contract vs the exact operator: quantile error ≤ 1/accuracy of rank,
+    `count`/`sum` remain exact.  This is the 100 TB default; the exact
+    operator is for bounded tag-sets or audits."""
     tag_cols = tags or []
     df = df.where(F.col(field).isNotNull())
     out = df.groupBy(*tag_cols).agg(
         F.count(field).alias("count"),
         F.round(F.sum(field), 6).alias("sum"),
-        F.sort_array(F.collect_list(F.col(field).cast("double"))).alias("samples"),
+        *[
+            F.round(
+                F.percentile_approx(F.col(field).cast("double"), F.lit(q), F.lit(accuracy)), 6
+            ).alias(f"q{str(q).replace('0.', '')}")
+            for q in quantiles
+        ],
     )
-    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("incremental"))
+    return out.withColumn("name", F.lit(metric_name)).withColumn("kind", F.lit("absolute"))
 
 
 def metric_to_log(df: DataFrame) -> DataFrame:
