@@ -196,6 +196,46 @@ def test_ivf_recall_with_pruning(spark):
     assert sum(scanned_per_query) < 0.5 * len(pts) * len(queries)
 
 
+def test_ivf_index_build_search_split(spark, tmp_path):
+    """build_ivf_index + ivf_search (the build-once/search-many packaging)
+    returns exactly what the inline train+assign+ivf_topk path returns, and
+    the search plan is a partition-pruned scan of the probed cells only."""
+    rng = np.random.default_rng(7)
+    pts = rng.standard_normal((300, 16))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    queries = {i: [float(x) for x in pts[i]] for i in (1, 42)}
+
+    idx = str(tmp_path / "ivf_idx")
+    cents = VF.build_ivf_index(emb, idx, nlist=8, iters=2)
+    from_index = VF.ivf_search(spark, idx, queries, k=5, nprobe=3)
+    inline = VF.ivf_topk(VF.assign_cells(emb, cents), cents, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, from_index.collect())) == sorted(map(tuple, inline.collect()))
+
+    # the index read prunes partitions: the parquet scan's partition filter
+    # carries the driver-computed cell IN (...) predicate
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # reload path: centroids round-trip through the sidecar file
+    _, cents2 = VF.load_ivf_index(spark, idx)
+    assert np.allclose(cents, cents2)
+
+
+def test_train_centroids_update_strategies_agree(spark):
+    """The posexplode (high-dim) update and the column-fan update compute the
+    same centroids, at a small dim and at one where the column fan would be
+    256 agg columns wide."""
+    for dim in (16, 256):
+        rng = np.random.default_rng(11 + dim)
+        pts = rng.standard_normal((120, dim))
+        rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+        a = VF.train_centroids(emb, 6, "vec_id", "embedding", iters=2, update="columns")
+        b = VF.train_centroids(emb, 6, "vec_id", "embedding", iters=2, update="posexplode")
+        assert np.allclose(a, b, atol=1e-9)
+
+
 def test_embedding_neardup_planted(spark):
     v = [float(x) for x in np.eye(8)[0]]
     v2 = [float(x) for x in np.eye(8)[1]]

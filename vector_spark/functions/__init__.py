@@ -32,6 +32,9 @@ from vector_spark.functions.similarity import (
     ivf_topk,
     train_centroids,
     assign_cells,
+    build_ivf_index,
+    load_ivf_index,
+    ivf_search,
 )
 
 __all__ = [
@@ -43,4 +46,5 @@ __all__ = [
     "hamming_pairs", "embedding_neardup_pairs",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
+    "build_ivf_index", "load_ivf_index", "ivf_search",
 ]

@@ -129,6 +129,7 @@ def train_centroids(
     corpus_id: str,
     vec_col: str,
     iters: int = 5,
+    update: str = "auto",
 ) -> np.ndarray:
     """Distributed spherical k-means (Lloyd's), the real IVF training loop.
 
@@ -137,8 +138,14 @@ def train_centroids(
                emits at most nlist (cell, partial_sum_vec, count) rows, so the
                map-side combine is explicit and the shuffle carries
                O(partitions × nlist × dim) numbers, independent of corpus size.
-      update — groupBy(cell) elementwise sum (JVM hash agg over ≤ nlist keys),
-               then the ONLY collect: nlist rows of dim+1 doubles.
+      update — two strategies, ``update=`` "columns" | "posexplode" | "auto":
+               * columns: groupBy(cell) with one F.sum(element_at) column per
+                 dimension — fewest shuffle rows, but the agg fans out to
+                 `dim` columns (fine at dim≲64, pathological at 768).
+               * posexplode: explode psum to (cell, pos, v) and run ONE
+                 F.sum over nlist×dim keys — agg width constant in dim, the
+                 collect is still ≤ nlist×dim tiny scalars (12k at
+                 nlist=16,dim=768).  "auto" picks posexplode when dim > 64.
     Init is a deterministic pseudo-random sample: the nlist vectors with the
     smallest xxhash64(id) — TakeOrderedAndProject, no full sort, no RNG state.
     Empty cells keep their previous centroid.  Centroids are L2-normalized
@@ -146,6 +153,7 @@ def train_centroids(
     spark = corpus.sparkSession
     first_vec = corpus.select(vec_col).first()[0]
     dim = len(first_vec)
+    use_explode = update == "posexplode" or (update == "auto" and dim > 64)
     init_rows = (
         corpus.select(corpus_id, vec_col)
         .orderBy(F.xxhash64(F.col(corpus_id)), F.col(corpus_id))
@@ -184,20 +192,33 @@ def train_centroids(
                     }
                 )
 
-        agg = (
-            vecs.mapInPandas(partials, out_schema)
-            .groupBy("cell")
-            .agg(
+        part = vecs.mapInPandas(partials, out_schema)
+        new = cents.copy()
+        if use_explode:
+            agg = (
+                part.select("cell", F.posexplode("psum").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("v").alias("s"))
+            )
+            sums = np.zeros((nlist, dim))
+            seen = np.zeros(nlist, dtype=bool)
+            for r in agg.collect():  # ≤ nlist×dim tiny scalar rows
+                sums[r["cell"], r["pos"]] = r["s"]
+                seen[r["cell"]] = True
+            for c_ix in np.nonzero(seen)[0]:
+                nrm = np.linalg.norm(sums[c_ix])
+                if nrm > 1e-12:
+                    new[c_ix] = sums[c_ix] / nrm
+        else:
+            agg = part.groupBy("cell").agg(
                 *[F.sum(F.element_at("psum", d + 1)).alias(f"s{d}") for d in range(dim)],
                 F.sum("cnt").alias("cnt"),
             )
-        )
-        new = cents.copy()
-        for r in agg.collect():  # ≤ nlist tiny rows
-            v = np.array([r[f"s{d}"] for d in range(dim)])
-            nrm = np.linalg.norm(v)
-            if nrm > 1e-12:
-                new[r["cell"]] = v / nrm
+            for r in agg.collect():  # ≤ nlist tiny rows
+                v = np.array([r[f"s{d}"] for d in range(dim)])
+                nrm = np.linalg.norm(v)
+                if nrm > 1e-12:
+                    new[r["cell"]] = v / nrm
         cents = new
         bc.unpersist()
     return cents
@@ -229,8 +250,11 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, brute-force inside them.
 
-    At scale the corpus is WRITTEN partitioned by `cell`, so the probe is a
-    partition-pruned scan of nprobe/nlist of the data.
+    The probe cells are known driver-side, so the corpus is filtered with an
+    explicit ``cell IN (...)`` BEFORE the join — against an index written
+    ``partitionBy("cell")`` this is partition pruning (only nprobe/nlist of
+    the files are ever opened); against an in-memory frame it is still a
+    pushed-down scan filter.
     """
     spark = corpus_with_cells.sparkSession
     qids = sorted(query_vecs)
@@ -246,7 +270,9 @@ def ivf_topk(
     probe_df = spark.createDataFrame(
         probe_rows, "query_id long, cell int, _qvec array<double>"
     )
-    scored = corpus_with_cells.join(F.broadcast(probe_df), "cell").withColumn(
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    pruned = corpus_with_cells.filter(F.col("cell").isin(probed_cells))
+    scored = pruned.join(F.broadcast(probe_df), "cell").withColumn(
         "cosine", cosine_expr(vec_col, "_qvec")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(corpus_id))
@@ -254,6 +280,65 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", corpus_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# --- persistent IVF index (build once / search many) ---------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> np.ndarray:
+    """Train centroids, assign cells, and WRITE the corpus ``partitionBy("cell")``.
+
+    This is the index-build half of IVF — run once per corpus version, like
+    any ANN index build.  Searches then read ``path`` with partition pruning
+    (nprobe/nlist of the files).  Centroids persist as `_centroids.json`
+    inside the index directory so a search session needs no retraining; at
+    cluster scale that file lives on the same object store as the data (it is
+    nlist×dim floats — KBs).  Parquet ignores underscore-prefixed files, so
+    the sidecar is invisible to readers of the table itself."""
+    import json
+    import os
+
+    cents = train_centroids(corpus, nlist, corpus_id, vec_col, iters=iters)
+    assign_cells(corpus, cents, vec_col).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Open a built IVF index: (cell-partitioned DataFrame, centroid matrix)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    return spark.read.parquet(path), cents
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a built index: centroid routing driver-side, then a
+    partition-pruned scan of only the probed cells (`PartitionFilters:
+    cell IN (...)` in the parquet scan node)."""
+    corpus, cents = load_ivf_index(spark, index_path)
+    return ivf_topk(
+        corpus, cents, query_vecs, k=k, nprobe=nprobe, corpus_id=corpus_id, vec_col=vec_col
     )
 
 
