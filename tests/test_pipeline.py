@@ -270,3 +270,47 @@ def test_remap_del_statement(spark):
     ev = res["output_events"][0]
     assert ev["env"] == "prod"
     assert "secret" not in ev
+
+
+def test_lua_stage_compiles_to_map_events(spark):
+    """`type = "lua"` builds via the map_events pandas-batch hook (NOT a Lua
+    interpreter) — the palette's last transform type compiles."""
+    from vector_spark.operators import register_map_hook
+
+    def upper_msg(pdf):
+        pdf = pdf.copy()
+        pdf["message"] = pdf["message"].str.upper()
+        return pdf
+
+    register_map_hook("upper_msg", upper_msg)
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "shout": {"type": "lua", "inputs": ["ev"], "hook": "upper_msg"}
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["shout"]}},
+        }
+    )
+    res = p.test(spark, [{"message": "hello"}, {"message": "world"}])
+    assert sorted(e["message"] for e in res["output_events"]) == ["HELLO", "WORLD"]
+
+
+def test_lua_stage_rejects_raw_lua_source(spark):
+    """An actual Lua script fails loudly at build time instead of being
+    silently skipped or mangled."""
+    p = Pipeline.from_dict(
+        {
+            "sources": {"ev": {"type": "memory", "events": []}},
+            "transforms": {
+                "script": {
+                    "type": "lua",
+                    "inputs": ["ev"],
+                    "source": 'function process(event)\n  return event\nend',
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["script"]}},
+        }
+    )
+    with pytest.raises(PipelineError, match="[Ll]ua"):
+        p.test(spark, [{"message": "x"}])

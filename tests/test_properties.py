@@ -193,9 +193,19 @@ def test_framing_roundtrip_encodings(frames):
 
     ld = b"".join(struct.pack(">I", len(f)) + f for f in frames)
     oc = b"".join(b"%d " % len(f) + f for f in frames)
-    expect = [f.decode("utf-8", errors="replace") for f in frames]
+    expect = [(f.decode("utf-8", errors="replace"), False) for f in frames]
     # call the inner splitters via the udf's wrapped function on a pd.Series
     import pandas as pd
 
     assert list(_length_delimited_udf.func(pd.Series([ld]))[0]) == expect
     assert list(_octet_counting_udf.func(pd.Series([oc]))[0]) == expect
+
+    # corrupt tail: a truncated length-prefixed frame is NOT silently
+    # dropped — the clean frames still decode and the remainder surfaces as
+    # exactly one error=true sentinel carrying the undecodable bytes
+    for buf, udf in ((ld + b"\x00\x00\x00\xffoops", _length_delimited_udf),
+                     (oc + b"notalength", _octet_counting_udf)):
+        got = list(udf.func(pd.Series([buf]))[0])
+        assert got[:-1] == expect
+        tail_frame, tail_err = got[-1]
+        assert tail_err is True and tail_frame != ""

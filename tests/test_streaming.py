@@ -384,3 +384,62 @@ def test_stateless_operators_compose_on_streams(spark, tmp_path):
     streamed = {tuple(r) for r in spark.sql("select * from stateless_ops").collect()}
     batch = {tuple(r) for r in transform(spark.createDataFrame(pdf)).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_statsd_log_to_metric(spark, tmp_path):
+    """The statsd → log_to_metric streaming demo: raw statsd wire lines
+    arrive as a file stream, parse via the codegen regex, aggregate per
+    (window, name, type) with watermarked state.  Counters upscale by
+    sample rate; timers emit summary components; malformed lines drop."""
+    import datetime as dt
+
+    from vector_spark.sources import statsd_parse
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    lines = [
+        (t0, "api.requests:1|c"),
+        (t0 + dt.timedelta(seconds=1), "api.requests:1|c|@0.5"),   # → +2
+        (t0 + dt.timedelta(seconds=2), "api.latency:120|ms"),
+        (t0 + dt.timedelta(seconds=3), "api.latency:80|ms"),
+        (t0 + dt.timedelta(seconds=11), "api.requests:3|c"),       # next bucket
+        (t0 + dt.timedelta(seconds=4), "garbage not statsd"),      # dropped
+    ]
+    in_dir = tmp_path / "statsd_in"
+    in_dir.mkdir()
+    def write_chunk(rows, name):
+        pdf = pd.DataFrame(rows, columns=["timestamp", "message"])
+        pdf["timestamp"] = pdf["timestamp"].astype("datetime64[us]")  # Spark reads µs
+        pdf.to_parquet(in_dir / name)
+
+    write_chunk(lines, "b0.parquet")
+    # append mode emits a window only after the watermark passes it: a later
+    # sentinel event, arriving as its own micro-batch (maxFilesPerTrigger=1),
+    # advances the watermark beyond both data buckets
+    write_chunk([(t0 + dt.timedelta(seconds=120), "tick:1|c")], "b1.parquet")
+
+    stream = (
+        spark.readStream.schema("timestamp timestamp, message string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    metrics = st.streaming_log_to_metric(statsd_parse(stream), ts_col="timestamp")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("statsd_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    st.run_available_now(q)
+    rows = {
+        (r.bucket.second + r.bucket.minute * 60, r.name, r.metric_type): r
+        for r in spark.sql("SELECT * FROM statsd_metrics").collect()
+    }
+    # bucket [0,10): counter 1 + 1/0.5 = 3.0 ; timer count 2 sum 200 min 80 max 120
+    c0 = rows[(0, "api.requests", "c")]
+    assert c0.counter_total == 3.0 and c0["count"] == 2
+    t = rows[(0, "api.latency", "ms")]
+    assert (t["count"], t["sum"], t["min"], t["max"]) == (2, 200.0, 80.0, 120.0)
+    # bucket [10,20): the late counter lands in its own window
+    assert rows[(10, "api.requests", "c")].counter_total == 3.0
+    # malformed line contributed to NO group
+    assert all(name != "" and name is not None for _, name, _t in rows)

@@ -143,6 +143,32 @@ def test_parse_timestamp_requires_literal_pattern(spark):
         compile_condition("parse_timestamp(.raw, .fmt)")
 
 
+def test_parse_timestamp_month_name_and_day_of_year(spark):
+    """%b/%a/%j/%y specifiers map to real patterns (previously they were
+    silently quoted as literals, making every parse NULL)."""
+    df = spark.createDataFrame([("10/Oct/2000:13:55:36",)], "raw string")
+    row = df.select(
+        compile_condition(
+            'format_timestamp(parse_timestamp(.raw, "%d/%b/%Y:%H:%M:%S"), "%Y-%m-%d") == "2000-10-10"'
+        ).alias("ok"),
+        compile_condition(
+            'format_timestamp(parse_timestamp(.raw, "%d/%b/%Y:%H:%M:%S"), "logs-%y.%j") == "logs-00.284"'
+        ).alias("es_index"),
+    ).collect()[0]
+    assert row.ok and row.es_index
+
+
+def test_strftime_rejects_unknown_specifier():
+    from vector_spark.plans.sinks import strftime_to_java
+
+    assert strftime_to_java("vector-%Y.%m.%d") == "'vector-'yyyy'.'MM'.'dd"
+    assert strftime_to_java("100%%") == "'100%'"
+    with pytest.raises(ValueError, match="unsupported strftime"):
+        strftime_to_java("logs-%Q")
+    with pytest.raises(ValueError, match="dangling"):
+        strftime_to_java("logs-%")
+
+
 def test_ip_cidr_contains(spark):
     df = spark.createDataFrame(
         [("10.1.2.3",), ("10.2.0.1",), ("192.168.0.5",), ("garbage",), (None,)],

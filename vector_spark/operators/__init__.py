@@ -40,6 +40,7 @@ from vector_spark.operators.metrics_conv import (
     log_to_metric_summary,
     metric_to_log,
 )
+from vector_spark.operators.map_events import map_events, register_map_hook
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit
 from vector_spark.operators.enrich import enrich, salted_join, salted_repartition
 
@@ -52,5 +53,6 @@ __all__ = [
     "aggregate", "sink_aggregate", "log_to_metric", "metric_to_log",
     "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",
     "log_to_metric_distribution_sketch",
+    "map_events", "register_map_hook",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
 ]

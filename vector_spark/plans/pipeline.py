@@ -374,6 +374,20 @@ class Pipeline:
         if t == "enrich":
             table = self._load_enrichment(spark, o["table"])
             return enrich(df, table, on=o["on"], how=o.get("how", "left"))
+        if t in ("lua", "map_events"):
+            # Vector's lua slot → pandas-batch hook (NOT a Lua interpreter —
+            # see operators/map_events.py).  `hook` takes a registered name
+            # or "module:function"; a raw Lua `source` fails loudly here.
+            from vector_spark.operators.map_events import map_events
+
+            spec = o.get("hook") or o.get("source")
+            if spec is None:
+                raise PipelineError([ValidationIssue(
+                    "MISSING_TYPE", f"lua/map_events stage '{st.name}' needs a `hook`", st.name)])
+            try:
+                return map_events(df, spec, schema=o.get("schema"))
+            except ValueError as e:
+                raise PipelineError([ValidationIssue("MISSING_TYPE", str(e), st.name)]) from e
         if t == "test_basic":
             return df
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported transform type {t!r}", st.name)])

@@ -66,12 +66,28 @@ def blackhole_sink(df: DataFrame) -> int:
     return df.count()
 
 
-_STRFTIME_TO_JAVA = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%M", "mm"), ("%S", "ss"))
+# chrono-style strftime specifier → Spark/Java DateTimeFormatter pattern.
+# %f family follows chrono (Vector's strftime impl): %f = nanoseconds,
+# %3f/%6f/%9f = fixed-width fractions.  Composite shorthands (%F %T %D %R)
+# expand to their component patterns.
+_STRFTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss",
+    "j": "DDD", "b": "MMM", "B": "MMMM", "h": "MMM",
+    "a": "EEE", "A": "EEEE", "p": "a",
+    "z": "xx", "Z": "z",
+    "f": "SSSSSSSSS", "3f": "SSS", "6f": "SSSSSS", "9f": "SSSSSSSSS",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "D": "MM/dd/yy", "R": "HH:mm",
+}
 
 
 def strftime_to_java(template: str) -> str:
-    """Vector's strftime path/index templates → java date-format pattern.
-    Literal runs are quoted so e.g. `vector-` survives as text."""
+    """Vector's strftime path/index/timestamp templates → java date-format
+    pattern.  Literal runs are quoted so e.g. `vector-` survives as text;
+    `%%` is a literal percent.  An unrecognized `%X` raises instead of
+    silently passing through as literal text — a sink index template or a
+    VRL parse_timestamp format with a typo'd specifier should fail loudly at
+    compile time, not produce garbage index names / all-NULL parses."""
     out, lit = [], []
 
     def flush():
@@ -81,15 +97,28 @@ def strftime_to_java(template: str) -> str:
 
     i = 0
     while i < len(template):
-        for sym, java in _STRFTIME_TO_JAVA:
-            if template.startswith(sym, i):
-                flush()
-                out.append(java)
-                i += len(sym)
-                break
-        else:
-            lit.append(template[i])
+        ch = template[i]
+        if ch != "%":
+            lit.append(ch)
             i += 1
+            continue
+        if i + 1 >= len(template):
+            raise ValueError(f"dangling '%' at end of strftime template {template!r}")
+        nxt = template[i + 1]
+        if nxt == "%":
+            lit.append("%")
+            i += 2
+            continue
+        if nxt in "369" and i + 2 < len(template) and template[i + 2] == "f":
+            key, i = nxt + "f", i + 3
+        else:
+            key, i = nxt, i + 2
+        if key not in _STRFTIME_TO_JAVA:
+            raise ValueError(
+                f"unsupported strftime specifier '%{key}' in template {template!r}"
+            )
+        flush()
+        out.append(_STRFTIME_TO_JAVA[key])
     flush()
     return "".join(out)
 

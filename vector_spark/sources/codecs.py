@@ -40,36 +40,57 @@ DECODING_CODECS = ("bytes", "json", "syslog", "gelf", "native", "native_json")
 
 # ------------------------------------------------------------------ framing
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
+# Length-prefixed framers emit (frame, error) pairs: a malformed or truncated
+# tail is NOT silently dropped — it surfaces as one final frame with
+# error=true carrying the undecodable remainder, so callers can route it
+# like any other decode failure instead of reading corrupt input as clean
+# data loss.
+_FRAMES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("frame", T.StringType()),
+            T.StructField("error", T.BooleanType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_FRAMES_SCHEMA)
 def _length_delimited_udf(chunks: pd.Series) -> pd.Series:
     """u32 big-endian length prefix per frame (Vector's length_delimited)."""
 
-    def split(buf: bytes | None) -> list[str]:
-        out, pos = [], 0
+    def split(buf: bytes | None) -> list[tuple[str, bool]]:
+        out: list[tuple[str, bool]] = []
+        pos = 0
         buf = buf or b""
         while pos + 4 <= len(buf):
             (n,) = struct.unpack_from(">I", buf, pos)
-            pos += 4
-            out.append(buf[pos : pos + n].decode("utf-8", errors="replace"))
-            pos += n
+            if pos + 4 + n > len(buf):
+                break  # truncated payload → remainder sentinel below
+            out.append((buf[pos + 4 : pos + 4 + n].decode("utf-8", errors="replace"), False))
+            pos += 4 + n
+        if pos < len(buf):
+            out.append((buf[pos:].decode("utf-8", errors="replace"), True))
         return out
 
     return chunks.map(split)
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
+@F.pandas_udf(_FRAMES_SCHEMA)
 def _octet_counting_udf(chunks: pd.Series) -> pd.Series:
     """RFC 6587 octet counting: ASCII frame length, a space, then the frame."""
 
-    def split(buf: bytes | None) -> list[str]:
-        out, pos = [], 0
+    def split(buf: bytes | None) -> list[tuple[str, bool]]:
+        out: list[tuple[str, bool]] = []
+        pos = 0
         buf = buf or b""
         while pos < len(buf):
             sp = buf.find(b" ", pos)
-            if sp < 0 or not buf[pos:sp].isdigit():
-                break
+            if sp < 0 or not buf[pos:sp].isdigit() or sp + 1 + int(buf[pos:sp]) > len(buf):
+                out.append((buf[pos:].decode("utf-8", errors="replace"), True))
+                return out
             n = int(buf[pos:sp])
-            out.append(buf[sp + 1 : sp + 1 + n].decode("utf-8", errors="replace"))
+            out.append((buf[sp + 1 : sp + 1 + n].decode("utf-8", errors="replace"), False))
             pos = sp + 1 + n
         return out
 
@@ -93,10 +114,16 @@ def frame_stream(
     elif method == "character_delimited":
         # \Q...\E: literal-quote the delimiter (F.split's pattern is a regex)
         parts = F.split(as_str, "\\Q" + delimiter + "\\E", -1)
-    elif method == "length_delimited":
-        parts = _length_delimited_udf(raw.cast("binary"))
-    elif method == "octet_counting":
-        parts = _octet_counting_udf(raw.cast("binary"))
+    elif method in ("length_delimited", "octet_counting"):
+        udf = _length_delimited_udf if method == "length_delimited" else _octet_counting_udf
+        # (frame, error) pairs: clean frames get framing_error=false; a
+        # malformed/truncated tail becomes one framing_error=true row.
+        out = df.withColumn("_f", F.explode(udf(raw.cast("binary")))).select(
+            *[c for c in df.columns],
+            F.col("_f.frame").alias(out_col),
+            F.col("_f.error").alias("framing_error"),
+        )
+        return out.drop(value_col) if value_col != out_col else out
     else:
         raise ValueError(f"unknown framing method {method!r}")
     out = df.withColumn(out_col, F.explode(parts))

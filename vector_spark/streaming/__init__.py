@@ -137,6 +137,60 @@ def streaming_sample(stream: DataFrame, rate: int, id_col: str) -> DataFrame:
     return stream.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0)
 
 
+def streaming_log_to_metric(
+    stream: DataFrame,
+    ts_col: str = "timestamp",
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """T9 on a stream: statsd-shaped rows (name, value, metric_type,
+    sample_rate — the statsd_parse output) → per-(window, name, type)
+    metric emission.  The statsd source + this agg is Vector's
+    statsd → log_to_metric → flush-interval path as one native windowed
+    aggregation: watermark bounds state, append mode emits each bucket
+    exactly once.
+
+    Per-type semantics (statsd wire protocol):
+      c  — counter: sum(value / sample_rate)  (sample-rate upscaling)
+      ms — timer:   count / sum / min / max   (summary components)
+      g  — gauge:   min/max bracket the window (a true 'last' is
+           arrival-order dependent — not reproducible in a shuffled
+           windowed agg, so it is intentionally not offered)
+      s  — set:     approx_count_distinct (exact distinct is unsupported
+           state-wise in streaming aggs; the sketch is the scale answer)
+    """
+    return (
+        stream.where(F.col("name").isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, interval).alias("bucket"),
+            "name",
+            "metric_type",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("metric_type") == "c", F.col("value") / F.col("sample_rate"))
+            ).alias("counter_total"),
+            F.count("value").alias("count"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.approx_count_distinct("value").alias("distinct_values"),
+        )
+        .select(
+            F.col("bucket").start.alias("bucket"),
+            "name",
+            "metric_type",
+            "counter_total",
+            "count",
+            "sum",
+            "min",
+            "max",
+            "distinct_values",
+        )
+    )
+
+
 # ------------------------------------------------------------------- sinks
 
 def streaming_flagship(
