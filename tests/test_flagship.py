@@ -75,7 +75,7 @@ def test_determinism_across_parallelism(spark, tmp_path_factory):
     assert outs[0] == outs[1]
 
 
-def test_flagship_publishes_atomic_snapshot(result):
+def test_flagship_publishes_atomic_snapshot(result, spark):
     """flagship.run commits ONE table-format snapshot covering both sinks —
     the routed and agg tables become visible together or not at all."""
     from vector_spark.plans.table_format import CommitLog
@@ -86,3 +86,14 @@ def test_flagship_publishes_atomic_snapshot(result):
     snap = log.snapshots()[-1]
     assert set(snap["sinks"]) == {"routed", "agg"}
     assert sum(snap["sinks"]["routed"]["parts"].values()) == res["docs"]
+    # each sink's parts record ITS OWN cardinality: the agg table has one row
+    # per (route,lang,host,hour) group, far fewer than routed events
+    agg_actual = {
+        r["route"]: r["n"]
+        for r in spark.read.parquet(f"{out}/agg").groupBy("route").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {k: int(v) for k, v in snap["sinks"]["agg"]["parts"].items()} == {
+        k: int(v) for k, v in agg_actual.items()
+    }
+    assert sum(agg_actual.values()) < res["docs"]

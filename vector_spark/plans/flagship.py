@@ -130,8 +130,15 @@ def run(
     agg.write.mode("overwrite").partitionBy("route").parquet(f"{out_dir}/agg")
 
     agg_tbl = spark.read.parquet(f"{out_dir}/agg")
-    per_route = agg_tbl.groupBy("route").agg(F.sum("event_count").alias("n")).collect()
+    # One tiny job yields both ledgers: routed-sink row counts (sum of
+    # event_count) and the agg sink's OWN per-route row counts — the commit
+    # log below must record each sink's real cardinality, not reuse the
+    # routed counts for both.
+    per_route = agg_tbl.groupBy("route").agg(
+        F.sum("event_count").alias("n"), F.count(F.lit(1)).alias("agg_rows")
+    ).collect()
     route_counts = {r["route"]: r["n"] for r in per_route}
+    agg_counts = {r["route"]: r["agg_rows"] for r in per_route}
 
     # Publish ONE atomic snapshot covering BOTH sinks (table_format commit
     # log — the Iceberg-analog metadata swap).  Both data writes above are
@@ -151,7 +158,7 @@ def run(
                 "operation": "flagship_run",
                 "sinks": {
                     "routed": {"parts": {r: int(n) for r, n in route_counts.items()}},
-                    "agg": {"parts": {r: int(n) for r, n in route_counts.items()}},
+                    "agg": {"parts": {r: int(n) for r, n in agg_counts.items()}},
                 },
             }
         )

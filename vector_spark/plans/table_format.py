@@ -112,6 +112,7 @@ def write_multi_sink(
     base: str,
     part_col: str = PART_COL,
     run_id: str | None = None,
+    on_event=None,
 ) -> dict[str, dict[str, int]]:
     """Resumable, atomically-committed multi-sink write.
 
@@ -122,7 +123,14 @@ def write_multi_sink(
        only point where anything becomes visible
 
     Returns {sink: {part_key: rows}} written in THIS invocation.
+
+    ``on_event`` is a fault-injection hook for chaos tests: it is called
+    with "before_write:<sink>" / "after_write:<sink>" / "before_commit" at
+    the corresponding points; a hook that raises simulates a crash there.
+    Production callers leave it None — the protocol's correctness must not
+    depend on anything the hook does.
     """
+    notify = on_event or (lambda _evt: None)
     log = CommitLog(base)
     done = log.committed()
     written: dict[str, dict[str, int]] = {}
@@ -142,11 +150,14 @@ def write_multi_sink(
             for r in todo.groupBy(part_col).agg(F.count(F.lit(1)).alias("n")).collect()
         }
         if counts:
+            notify(f"before_write:{name}")
             todo.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy(part_col).parquet(os.path.join(base, name))
+            notify(f"after_write:{name}")
         written[name] = counts
     if any(written.values()):
+        notify("before_commit")
         log.commit(
             {
                 "operation": "append",
