@@ -349,18 +349,32 @@ def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_index_path(sf_dir: str, nlist: int) -> str:
     """Deterministic per-corpus-version index location: keyed on the source
-    path and its mtime/size so a regenerated testdata table invalidates the
-    cached index (the build-once contract of any ANN index)."""
+    path, its stat signature, AND a content prefix hash, so a regenerated
+    testdata table invalidates the cached index even when timestamps/sizes
+    are preserved (cp -p / rsync -a).  The build-once contract of any ANN
+    index."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha256(src.encode())
+
+    def _feed(path: str) -> None:
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_mtime_ns}:{st.st_size}".encode())
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                h.update(f.read(65536))
+
     try:
-        st = os.stat(src)
-        ver = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+        if os.path.isdir(src):
+            for name in sorted(os.listdir(src)):
+                _feed(os.path.join(src, name))
+        else:
+            _feed(src)
     except OSError:
-        ver = src
-    key = hashlib.sha256(ver.encode()).hexdigest()[:16]
-    return f"/tmp/vector_spark_ivf_{nlist}_{key}"
+        # source unreadable: any query over it fails anyway; don't cache a key
+        pass
+    return f"/tmp/vector_spark_ivf_{nlist}_{h.hexdigest()[:16]}"
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +393,18 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query).  Centroids from distributed spherical k-means, not an id sample.
     index_path = _ivf_index_path(sf_dir, nlist=16)
     if not os.path.exists(os.path.join(index_path, "_centroids.json")):
-        build_ivf_index(emb, index_path, nlist=16, iters=3)
+        # Build into a private dir, publish with one atomic rename: a
+        # concurrent builder (bench + checker racing) either wins the rename
+        # or discards its build — never two overlapping writes into the
+        # published index.
+        import shutil
+
+        tmp = f"{index_path}.build-{os.getpid()}"
+        build_ivf_index(emb, tmp, nlist=16, iters=3)
+        try:
+            os.rename(tmp, index_path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another process published first
     return ivf_search(spark, index_path, queries, k=5, nprobe=4)
 
 

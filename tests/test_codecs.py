@@ -210,3 +210,31 @@ def test_pipeline_socket_sources_build(spark):
     built = p.build(spark)
     assert built["out"].isStreaming
     assert {"name", "value", "metric_type", "sample_rate"} <= set(built["out"].columns)
+
+
+def test_frame_stream_in_place_column_and_uniform_schema(spark):
+    """Regression: value_col == out_col must replace the column (no ambiguous
+    duplicate), and every framing method emits the same schema including
+    framing_error."""
+    import struct
+
+    from vector_spark.sources import codecs
+
+    payload = struct.pack(">I", 2) + b"hi"
+    df = spark.createDataFrame([(payload,)], "message binary")
+    out = codecs.frame_stream(df, "length_delimited", value_col="message", out_col="message")
+    assert out.columns.count("message") == 1
+    # downstream reference to the column must not be ambiguous
+    assert [r.message for r in out.filter(F.col("message") == "hi").collect()] == ["hi"]
+
+    schemas = set()
+    for method, val in (
+        ("bytes", b"x"),
+        ("newline_delimited", b"a\nb"),
+        ("character_delimited", b"a,b"),
+        ("length_delimited", payload),
+        ("octet_counting", b"2 hi"),
+    ):
+        d = spark.createDataFrame([(val,)], "value binary")
+        schemas.add(tuple(sorted(codecs.frame_stream(d, method).columns)))
+    assert len(schemas) == 1  # uniform: unions across framing methods stay valid

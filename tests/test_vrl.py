@@ -180,3 +180,21 @@ def test_ip_cidr_contains(spark):
     assert kept == {"10.1.2.3"}
     allv4 = df.filter(compile_condition('ip_cidr_contains("0.0.0.0/0", .ip)')).count()
     assert allv4 == 3  # every VALID ip matches /0; garbage and NULL drop
+
+
+def test_parse_timestamp_rejects_weekday_specifiers(spark):
+    """Spark's CORRECTED-mode parser bans 'E' patterns in parsing; the VRL
+    compiler surfaces that at compile time with the reason, instead of a
+    per-row execution error."""
+    with pytest.raises(VRLError, match="weekday"):
+        compile_condition(
+            'parse_timestamp(.raw, "%a, %d %b %Y %H:%M:%S") != null'
+        )
+    # formatting with weekday is fine
+    df = spark.createDataFrame([("2026-01-05 00:00:00",)], "raw string")
+    row = df.select(
+        compile_condition(
+            'format_timestamp(to_timestamp(.raw), "%a %Y-%m-%d") == "Mon 2026-01-05"'
+        ).alias("ok")
+    ).collect()[0]
+    assert row.ok

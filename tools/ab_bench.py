@@ -34,8 +34,19 @@ def run_bench(repo_dir: str, sf_dir: str, cpus: str) -> dict:
         text=True,
         timeout=1800,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py in {repo_dir} failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    # bench.py's contract is ONE JSON line on stdout; take the last line that
+    # parses, so a stray trailing warning can't poison the result
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"no JSON line in bench.py stdout from {repo_dir}")
 
 
 def main() -> None:

@@ -150,6 +150,8 @@ def train_centroids(
     smallest xxhash64(id) — TakeOrderedAndProject, no full sort, no RNG state.
     Empty cells keep their previous centroid.  Centroids are L2-normalized
     (cosine/spherical variant) every step."""
+    if update not in ("auto", "columns", "posexplode"):
+        raise ValueError(f"update must be auto|columns|posexplode, got {update!r}")
     spark = corpus.sparkSession
     first_vec = corpus.select(vec_col).first()[0]
     dim = len(first_vec)

@@ -11,7 +11,8 @@ Mirrors the reference's pipeline model end to end:
     output, ≙ Connection.from_port (config.rs:224-226)
   * validation error codes: MISSING_TYPE / INVALID_INPUT / NO_SOURCES /
     NO_SINKS / UNKNOWN_KEY / MISSING_INPUTS, matching
-    vectorize-cli/src/validation/mod.rs:170-345
+    vectorize-cli/src/validation/mod.rs:170-345; plus BAD_HOOK (ours) for
+    unresolvable lua/map_events hooks
   * functional-test mode: replace the source with literal sample events and
     every sink with one collecting output, ≙ generate_test_config
     (functional_test.rs:221-296)
@@ -383,11 +384,11 @@ class Pipeline:
             spec = o.get("hook") or o.get("source")
             if spec is None:
                 raise PipelineError([ValidationIssue(
-                    "MISSING_TYPE", f"lua/map_events stage '{st.name}' needs a `hook`", st.name)])
+                    "BAD_HOOK", f"lua/map_events stage '{st.name}' needs a `hook`", st.name)])
             try:
                 return map_events(df, spec, schema=o.get("schema"))
             except ValueError as e:
-                raise PipelineError([ValidationIssue("MISSING_TYPE", str(e), st.name)]) from e
+                raise PipelineError([ValidationIssue("BAD_HOOK", str(e), st.name)]) from e
         if t == "test_basic":
             return df
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported transform type {t!r}", st.name)])

@@ -104,11 +104,18 @@ def frame_stream(
     delimiter: str = ",",
     out_col: str = "message",
 ) -> DataFrame:
-    """Byte-stream column → one row per framed event (string `out_col`)."""
+    """Byte-stream column → one row per framed event (string `out_col`).
+
+    Every method emits the same schema, including a `framing_error` boolean:
+    false for clean frames, true for the one sentinel row carrying a
+    malformed/truncated tail in the length-prefixed methods (the delimiter
+    methods cannot detect malformed input, so theirs is always false —
+    uniform schema keeps multi-source unions valid)."""
     raw = F.col(value_col)
     as_str = raw.cast("string")
     if method == "bytes":
-        return df.withColumn(out_col, as_str)
+        out = df.withColumn(out_col, as_str).withColumn("framing_error", F.lit(False))
+        return out.drop(value_col) if value_col != out_col else out
     if method == "newline_delimited":
         parts = F.split(as_str, r"\r?\n")
     elif method == "character_delimited":
@@ -118,15 +125,16 @@ def frame_stream(
         udf = _length_delimited_udf if method == "length_delimited" else _octet_counting_udf
         # (frame, error) pairs: clean frames get framing_error=false; a
         # malformed/truncated tail becomes one framing_error=true row.
+        keep = [c for c in df.columns if c != out_col]
         out = df.withColumn("_f", F.explode(udf(raw.cast("binary")))).select(
-            *[c for c in df.columns],
+            *keep,
             F.col("_f.frame").alias(out_col),
             F.col("_f.error").alias("framing_error"),
         )
         return out.drop(value_col) if value_col != out_col else out
     else:
         raise ValueError(f"unknown framing method {method!r}")
-    out = df.withColumn(out_col, F.explode(parts))
+    out = df.withColumn(out_col, F.explode(parts)).withColumn("framing_error", F.lit(False))
     if method in ("newline_delimited",):
         out = out.filter(F.col(out_col) != "")
     return out.drop(value_col) if value_col != out_col else out

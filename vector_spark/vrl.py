@@ -350,6 +350,19 @@ class _Parser:
 
             fmt = strftime_to_java(raw)
             if base == "parse_timestamp":
+                # Spark's CORRECTED-mode parser rejects day-of-week patterns
+                # ('E' is format-only since 3.0) — fail at compile time with
+                # the reason, not per-row at execution.  Weekday text is
+                # redundant for parsing; strip it from the format (the
+                # reference's chrono parser also treats %a as a consistency
+                # check only).
+                if "%a" in raw or "%A" in raw:  # the only specifiers mapping to 'E'
+                    raise VRLError(
+                        f"parse_timestamp: weekday specifiers (%a/%A) are "
+                        f"format-only in Spark's datetime parser — remove "
+                        f"them from {raw!r} (weekday adds no information to "
+                        f"a parse)"
+                    )
                 return F.try_to_timestamp(args[0].cast("string"), F.lit(fmt))
             return F.date_format(args[0].cast("timestamp"), fmt)
         if base == "ip_cidr_contains":
