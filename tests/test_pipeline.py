@@ -314,3 +314,20 @@ def test_lua_stage_rejects_raw_lua_source(spark):
     )
     with pytest.raises(PipelineError, match="[Ll]ua"):
         p.test(spark, [{"message": "x"}])
+
+
+def test_console_sink_encoding_codecs(spark):
+    """console sink encoding.codec ∈ {json, text, logfmt} — logfmt quotes
+    values with spaces/quotes/equals and omits NULL fields."""
+    from vector_spark.plans.sinks import console_sink
+
+    df = spark.createDataFrame(
+        [("hello world", "error", 7, None)],
+        "message string, level string, n int, extra string",
+    )
+    js = console_sink(df)
+    assert js[0]["message"] == "hello world"
+    txt = console_sink(df, codec="text")
+    assert txt == ["hello world"]
+    lf = console_sink(df, codec="logfmt")
+    assert lf == ['message="hello world" level=error n=7']

@@ -24,12 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def logfmt_expr(df: DataFrame, columns: list[str] | None = None):
+    """logfmt encoding as ONE codegen Column: `key=value` pairs space-joined,
+    values containing spaces / quotes / '=' double-quoted with embedded
+    quotes escaped, NULL fields omitted (concat_ws skips nulls) — the
+    reference console/file `encoding.codec = logfmt`
+    (config_panel.rs:1865-1893)."""
+    parts = []
+    for c in columns or df.columns:
+        v = F.col(c).cast("string")
+        needs_quote = v.contains(" ") | v.contains('"') | v.contains("=")
+        quoted = F.concat(F.lit('"'), F.regexp_replace(v, '"', '\\\\"'), F.lit('"'))
+        val = F.when(needs_quote, quoted).otherwise(v)
+        parts.append(F.when(v.isNotNull(), F.concat(F.lit(c + "="), val)))
+    return F.concat_ws(" ", *parts)
+
+
 def console_sink(df: DataFrame, limit: int | None = None, codec: str = "json") -> list:
-    """Collect rows (the test/preview sink). codec=json → list of dicts."""
+    """Collect rows (the test/preview sink).  codec per the reference's
+    console form: json → list of dicts, text → the message column as
+    strings, logfmt → key=value lines."""
     if limit is not None:
         df = df.limit(limit)
     if codec == "json":
         return [r.asDict(recursive=True) for r in df.collect()]
+    if codec == "text":
+        col = "message" if "message" in df.columns else df.columns[0]
+        return [r[0] for r in df.select(F.col(col).cast("string")).collect()]
+    if codec == "logfmt":
+        return [r[0] for r in df.select(logfmt_expr(df)).collect()]
     return df.collect()
 
 
