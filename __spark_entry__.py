@@ -337,6 +337,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5_neardup_pairs(docs, "doc_id", max_hamming=3)
 
 
+def q_dedup_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full production dedup composition: MinHash-LSH candidates → exact
+    # Jaccard verify (τ=0.9, the scheme-guaranteed-recall cut) → greedy
+    # keep-canonical filter dropping the id_b side of every pair.  Returns
+    # the SURVIVING corpus (ids + a stable content digest) so the oracle
+    # checks the retained set, not just the pair list.
+    from vector_spark.functions import jaccard_for_pairs, minhash_lsh_pairs, neardup_filter
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, "doc_id", n=3, k=64, bands=16, threshold=None, unit="word")
+    pairs = jaccard_for_pairs(docs, cand, "doc_id", n=3, unit="word", threshold=0.9)
+    kept = neardup_filter(docs, pairs, "doc_id")
+    return kept.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"))
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import brute_force_topk
 
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_neardup_filter": q_dedup_neardup_filter,
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce,
         "sim_ivf_topk": q_sim_ivf,
@@ -787,6 +803,14 @@ def oracle_sql() -> dict[str, str]:
         # bound is asserted in tests/test_functions.py instead.
         # τ=0.9: the cut where 16-band LSH recall ≈ 1 by scheme, not by corpus
         "dedup_minhash_lsh": _JACCARD_ORACLE_TMPL.format(tau=0.9),
+        # retained corpus after dropping the id_b side of every τ=0.9 pair
+        "dedup_neardup_filter": f"""
+            WITH pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9)})
+            SELECT d.doc_id,
+                   sha256(COALESCE(d.text, '')) AS text_sha
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+        """,
         "dedup_simhash": _simhash_md5_oracle(),
         "text_fingerprint": """
             SELECT doc_id,

@@ -284,3 +284,16 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_neardup_filter_keeps_canonical(spark):
+    """Greedy keep-canonical: the id_b side of every pair drops; chain
+    a-b, b-c (no a-c) drops both b and c; untouched docs survive."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in VF.neardup_filter(docs, pairs, "doc_id").collect()}
+    assert kept == {0, 3, 4}

@@ -24,6 +24,7 @@ from vector_spark.functions.dedup import (
     simhash_md5_neardup_pairs,
     hamming_pairs,
     embedding_neardup_pairs,
+    neardup_filter,
 )
 from vector_spark.functions.similarity import (
     cosine_expr,
@@ -43,7 +44,7 @@ __all__ = [
     "exact_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
-    "hamming_pairs", "embedding_neardup_pairs",
+    "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
     "build_ivf_index", "load_ivf_index", "ivf_search",

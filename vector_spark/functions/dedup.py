@@ -281,6 +281,30 @@ def jaccard_for_pairs(
     )
 
 
+def neardup_filter(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Greedy keep-canonical near-dup removal — the step a training-data
+    pipeline runs AFTER pair detection: for every (id_a < id_b) pair, drop
+    the id_b side, keeping the smallest id of each directly-linked group.
+
+    One `left_anti` join against the distinct drop set (AQE broadcasts it
+    when small; otherwise a shuffled anti-join — either way a single pass
+    over the corpus, no iteration).  Greedy-by-pair, not connected
+    components: in a chain a–b, b–c (without a–c), c drops even though its
+    only similar doc b is itself dropped — the standard first-pass dedup
+    trade-off (union-find canonicalization is iterative and rarely worth it
+    at this stage).  Deterministic given a deterministic pair set, and
+    SQL-expressible, so the composition (LSH pairs → filter) stays
+    oracle-checkable."""
+    drops = pairs.select(F.col(id_b).alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 @F.pandas_udf(T.LongType())
