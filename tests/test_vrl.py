@@ -198,3 +198,43 @@ def test_parse_timestamp_rejects_weekday_specifiers(spark):
         ).alias("ok")
     ).collect()[0]
     assert row.ok
+
+
+def test_parse_regex_named_captures(spark):
+    """parse_regex → map of named captures, NULL on non-match; unnamed
+    groups in the pattern don't shift the named indexes."""
+    df = spark.createDataFrame([("GET /api/v1 200", "nope")], "req string, bad string")
+    m = df.select(
+        compile_condition(
+            r'parse_regex(.req, r'"'"'(?P<method>\w+) (\/\S*) (?P<status>\d+)'"'"')'
+        ).alias("m"),
+        compile_condition(
+            r'parse_regex(.bad, r'"'"'(?P<status>\d+)'"'"')'
+        ).alias("nomatch"),
+    ).collect()[0]
+    assert m.m == {"method": "GET", "status": "200"}
+    assert m.nomatch is None
+
+
+def test_parse_grok_apache_line(spark):
+    """parse_grok with real %{NAME:field} syntax over an apache-style line."""
+    line = '127.0.0.1 frank 200 1234 "GET /index.html" 2026-01-02T03:04:05Z'
+    df = spark.createDataFrame([(line,)], "msg string")
+    m = df.select(
+        compile_condition(
+            'parse_grok(.msg, "%{IP:client} %{USER:user} %{INT:status} '
+            '%{INT:bytes} %{QS:request} %{TIMESTAMP_ISO8601:ts}")'
+        ).alias("m")
+    ).collect()[0].m
+    assert m["client"] == "127.0.0.1"
+    assert m["user"] == "frank"
+    assert m["status"] == "200"
+    assert m["request"] == '"GET /index.html"'
+    assert m["ts"] == "2026-01-02T03:04:05Z"
+
+
+def test_parse_grok_unknown_pattern_fails_compile():
+    with pytest.raises(VRLError, match="unknown grok pattern"):
+        compile_condition('parse_grok(.msg, "%{NOPE:x}")')
+    with pytest.raises(VRLError, match="no named capture"):
+        compile_condition('parse_grok(.msg, "%{IP} only")')

@@ -247,11 +247,14 @@ class _Parser:
                         # raw literal capture: some functions (timestamp
                         # patterns) need the PATTERN STRING, not a Column —
                         # recorded when the whole argument was one string token
-                        raws.append(
-                            _unescape(self.toks[start].value[1:-1])
-                            if self.i - start == 1 and self.toks[start].kind == "string"
-                            else None
-                        )
+                        # "string" unescapes; "rawstr" (r'…' regex literal)
+                        # is taken verbatim — parse_regex/parse_grok patterns
+                        if self.i - start == 1 and self.toks[start].kind == "string":
+                            raws.append(_unescape(self.toks[start].value[1:-1]))
+                        elif self.i - start == 1 and self.toks[start].kind == "rawstr":
+                            raws.append(self.toks[start].value[2:-1])
+                        else:
+                            raws.append(None)
                         if self.accept("op", ")"):
                             break
                         if not self.accept("op", ","):
@@ -397,7 +400,119 @@ class _Parser:
             kv = args[1] if len(args) > 1 else F.lit("=")
             pair = args[2] if len(args) > 2 else F.lit(" ")
             return F.str_to_map(args[0].cast("string"), pair, kv)
+        if base in ("parse_regex", "parse_grok"):
+            # VRL parse_regex(value, r'(?P<name>…)') / parse_grok(value,
+            # "%{PATTERN:field} …") → map<string,string> of named captures,
+            # NULL when the pattern doesn't match (VRL's fallible parse →
+            # `??` recoverable).  The pattern must be a literal so the
+            # regex compiles ONCE at plan time into pure regexp_extract
+            # columns (codegen) — never a per-row Python regex.
+            raw = raws[1] if raws and len(raws) > 1 else None
+            if raw is None:
+                raise VRLError(f"{base} needs a literal pattern string")
+            rx = grok_to_regex(raw) if base == "parse_grok" else raw
+            java_rx, names = _strip_named_groups(rx)
+            if not names:
+                raise VRLError(f"{base}: pattern has no named capture groups")
+            s = args[0].cast("string")
+            entries = [
+                x
+                for nm, idx in names.items()
+                for x in (F.lit(nm), F.regexp_extract(s, java_rx, idx))
+            ]
+            return F.when(s.rlike(java_rx), F.create_map(*entries))
         raise VRLError(f"unsupported VRL function {name!r}")
+
+
+#: grok pattern library — the core subset of the upstream grok names that
+#: Vector's parse_grok examples use (vector.dev/docs/reference/vrl/functions
+#: #parse_grok); each expands to a plain regex (no backtracking surprises).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "IPORHOST": r"[\w.\-]+",
+    "HOSTNAME": r"[\w.\-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4}",
+    "QS": r'"[^"]*"',
+    "QUOTEDSTRING": r'"[^"]*"',
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> str:
+    """`%{NAME:field}` → `(?P<field>rx)`, `%{NAME}` → `(?:rx)`; text between
+    tokens passes through as regex (upstream grok semantics).  Unknown
+    pattern names fail at compile time."""
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        rx = GROK_PATTERNS.get(name)
+        if rx is None:
+            raise VRLError(f"parse_grok: unknown grok pattern %{{{name}}}")
+        return f"(?P<{field}>{rx})" if field else f"(?:{rx})"
+
+    return _GROK_TOKEN.sub(sub, pattern)
+
+
+def _strip_named_groups(rx: str) -> tuple[str, dict[str, int]]:
+    """Replace (?P<name>/(?<name> groups with plain capturing groups and
+    return (java-safe regex, {name: 1-based capture index}).  Names are
+    resolved to NUMERIC indexes because Java group names reject
+    underscores, which log field names use constantly.  The scanner counts
+    every capturing group (named or not) and skips escapes and character
+    classes, so unnamed groups in the pattern keep their positions."""
+    out: list[str] = []
+    names: dict[str, int] = {}
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(rx):
+        ch = rx[i]
+        if ch == "\\" and i + 1 < len(rx):
+            out.append(rx[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", rx[i:])
+            if m and not rx.startswith(("(?<=", "(?<!"), i):
+                idx += 1
+                names[m.group(1)] = idx
+                out.append("(")
+                i += m.end()
+                continue
+            if not rx.startswith("(?", i):
+                idx += 1
+            out.append(ch)
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), names
 
 
 def _unescape(s: str) -> str:
