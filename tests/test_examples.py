@@ -26,3 +26,26 @@ def test_observability_example_runs(spark):
     metrics = {r["name"]: r for r in res["metrics_out"]}
     assert any(k == "errors_total" for k in metrics)
     assert any(k == "error_bytes" for k in metrics)
+
+
+def test_edge_parse_example_runs(spark):
+    """Round-3 surface as one runnable pipeline: grok remap + lua-slot hook
+    + logfmt console sink."""
+    from vector_spark.operators import register_map_hook
+
+    register_map_hook(
+        "edge_tag_batch", lambda pdf: pdf.assign(message=pdf.message.str.lower())
+    )
+    p = Pipeline.from_toml(open("examples/edge_parse.toml").read())
+    assert [i for i in p.validate() if i.severity == "error"] == []
+    res = p.run(spark)
+
+    lines = res["out"]
+    assert lines and all(isinstance(l, str) for l in lines)
+    # the grok map rendered through logfmt, and the lua-slot hook really ran
+    # (messages lowercased batch-wise before the filter)
+    assert all("req=" in l for l in lines)
+    assert all(("status -> 5" in l) or ("status -> 4" in l) for l in lines)
+    # hook ran: the raw message is lowercased ("delete /login" etc.), while
+    # the grok map (extracted before the hook) keeps the original case
+    assert any('\\"delete' in l or '\\"post' in l or '\\"get' in l for l in lines)
