@@ -352,6 +352,25 @@ def q_dedup_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"))
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster-level dedup: min-label connected components over the verified
+    # τ=0.9 pair graph.  Output = one row per near-dup COMPONENT (its
+    # canonical min id, member count, and the sorted member list as a CSV
+    # scalar) — checkable against DuckDB's recursive-CTE transitive closure.
+    from vector_spark.functions import connected_components, jaccard_for_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, "doc_id", n=3, k=64, bands=16, threshold=None, unit="word")
+    pairs = jaccard_for_pairs(docs, cand, "doc_id", n=3, unit="word", threshold=0.9)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")), ","
+        ).alias("members_csv"),
+    )
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import brute_force_topk
 
@@ -500,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
+        "dedup_cc_components": q_dedup_cc,
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce,
         "sim_ivf_topk": q_sim_ivf,
@@ -803,6 +823,29 @@ def oracle_sql() -> dict[str, str]:
         # bound is asserted in tests/test_functions.py instead.
         # τ=0.9: the cut where 16-band LSH recall ≈ 1 by scheme, not by corpus
         "dedup_minhash_lsh": _JACCARD_ORACLE_TMPL.format(tau=0.9),
+        # connected components of the τ=0.9 pair graph: transitive closure by
+        # recursive CTE (UNION dedups, so it terminates), component label =
+        # min over node ∪ reachable set — exactly the min-label fixpoint the
+        # Spark propagation loop computes
+        "dedup_cc_components": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+            labels AS (
+              SELECT src AS node, LEAST(src, MIN(dst)) AS component
+              FROM reach GROUP BY src)
+            SELECT component AS canonical_id,
+                   COUNT(*) AS n_members,
+                   array_to_string(list(CAST(node AS VARCHAR) ORDER BY node), ',')
+                     AS members_csv
+            FROM labels GROUP BY component
+        """,
         # retained corpus after dropping the id_b side of every τ=0.9 pair
         "dedup_neardup_filter": f"""
             WITH pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9)})

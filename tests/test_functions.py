@@ -297,3 +297,24 @@ def test_neardup_filter_keeps_canonical(spark):
     )
     kept = {r.doc_id for r in VF.neardup_filter(docs, pairs, "doc_id").collect()}
     assert kept == {0, 3, 4}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: chains collapse to their min id; disjoint
+    cliques stay separate; every node of a component gets the same label."""
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6), (6, 7), (7, 8), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in VF.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 8: 5, 10: 10, 11: 10}
+
+
+def test_neardup_filter_cc_vs_greedy(spark):
+    """The CC filter keeps one doc per COMPONENT; greedy keeps one per
+    direct pair — on edges (1,3),(2,3) they differ exactly as documented."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    greedy = {r.doc_id for r in VF.neardup_filter(docs, pairs, "doc_id").collect()}
+    cc = {r.doc_id for r in VF.neardup_filter_cc(docs, pairs, "doc_id").collect()}
+    assert greedy == {1, 2, 4}
+    assert cc == {1, 4}

@@ -25,6 +25,8 @@ from vector_spark.functions.dedup import (
     hamming_pairs,
     embedding_neardup_pairs,
     neardup_filter,
+    connected_components,
+    neardup_filter_cc,
 )
 from vector_spark.functions.similarity import (
     cosine_expr,
@@ -45,6 +47,7 @@ __all__ = [
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",
+    "connected_components", "neardup_filter_cc",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
     "build_ivf_index", "load_ivf_index", "ivf_search",

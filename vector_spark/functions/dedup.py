@@ -281,6 +281,82 @@ def jaccard_for_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Distributed connected components over the near-dup pair graph by
+    min-label propagation: every node's label converges to the smallest id
+    reachable from it.  Returns (node, component).
+
+    Per iteration: one join (push each node's current label to its
+    neighbors) + one min-aggregate — both plain shuffles on the node id, so
+    an iteration is two exchanges over O(edges) rows.  Convergence is
+    checked with a cheap changed-count aggregate and the loop stops early;
+    rounds needed = graph diameter, which for near-dup clusters (cliques and
+    short chains) is 1-3 in practice.  For adversarially long chains at
+    100 TB, swap the body for large-star/small-star (O(log n) rounds, same
+    join/agg primitives — Kiveris et al., "Connected Components in
+    MapReduce"); the propagation loop here is the simple variant that is
+    exactly right for dedup graphs.  localCheckpoint per round truncates
+    the lineage so the plan doesn't grow with iterations."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # materialize ONCE: the pair set is usually the output of a whole
+        # LSH+verify pipeline, and every propagation round joins against
+        # edges — without this the upstream pipeline would re-execute per
+        # iteration
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        pushed = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_filter_cc(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected-components canonical dedup: keep exactly ONE document per
+    near-dup component (the smallest id), not merely per pair.  Differs from
+    the greedy :func:`neardup_filter` on graphs where a doc pairs only with
+    already-dropped docs (e.g. edges (1,3),(2,3): greedy keeps {1,2}, CC
+    keeps {1} — 2 and 3 share a component through 3)."""
+    comp = connected_components(pairs, id_a, id_b)
+    drops = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def neardup_filter(
     df: DataFrame,
     pairs: DataFrame,
