@@ -346,3 +346,37 @@ def test_pipeline_log_to_metric_list(spark):
     rows = {r["name"]: r for r in console_sink(built["out"])}
     assert rows["events_total"]["value"] == 2.0
     assert rows["value_sum"]["value"] == 3.0
+
+
+def test_reduce_array_merge_strategies(spark):
+    """Vector's remaining reduce merge strategies: concat_newline,
+    shortest_array, longest_array, flat_unique."""
+    from vector_spark.operators import reduce_events
+
+    df = spark.createDataFrame(
+        [
+            ("g", "l1", ["a", "b"]),
+            ("g", "l2", ["b"]),
+            ("g", "l3", ["c", "a", "d"]),
+        ],
+        "k string, line string, tags array<string>",
+    )
+    out = reduce_events(
+        df, ["k"],
+        {"line": "concat_newline", "tags": "flat_unique"},
+    ).collect()[0]
+    assert out.line == "l1\nl2\nl3"
+    assert sorted(out.tags) == ["a", "b", "c", "d"]
+
+    arrs = reduce_events(
+        df.withColumnRenamed("tags", "t"),
+        ["k"],
+        {"t": "shortest_array"},
+    ).collect()[0]
+    assert arrs.t == ["b"]
+    arrs = reduce_events(
+        df.withColumnRenamed("tags", "t"),
+        ["k"],
+        {"t": "longest_array"},
+    ).collect()[0]
+    assert arrs.t == ["c", "a", "d"]

@@ -16,7 +16,8 @@ Spark design:
     to the session it closes; then groupBy(keys, session_id).
 
 Merge strategies supported (named after Vector's reduce merge strategies):
-  first/last/sum/max/min/avg/count/concat/array/discard/retain.
+  first/last/sum/max/min/avg/count/concat/concat_newline/array/
+  shortest_array/longest_array/flat_unique/discard/retain.
 """
 
 from __future__ import annotations
@@ -44,8 +45,16 @@ def _strategy(col: str, how: str) -> Column:
         return F.count(col).alias(col)
     if how == "concat":
         return F.concat_ws(" ", F.collect_list(col)).alias(col)
+    if how == "concat_newline":
+        return F.concat_ws("\n", F.collect_list(col)).alias(col)
     if how == "array":
         return F.collect_list(col).alias(col)
+    if how == "shortest_array":
+        return F.min_by(col, F.size(col)).alias(col)
+    if how == "longest_array":
+        return F.max_by(col, F.size(col)).alias(col)
+    if how == "flat_unique":
+        return F.array_distinct(F.flatten(F.collect_list(col))).alias(col)
     if how == "discard":
         # Vector: "discard all but the first value found" (nulls included —
         # unlike `first`, which skips nulls to mirror scalar merge defaults).
