@@ -318,3 +318,15 @@ def test_neardup_filter_cc_vs_greedy(spark):
     cc = {r.doc_id for r in VF.neardup_filter_cc(docs, pairs, "doc_id").collect()}
     assert greedy == {1, 2, 4}
     assert cc == {1, 4}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A diameter-4 chain with max_iters=2 must raise, not return
+    under-merged labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        VF.connected_components(pairs, max_iters=2)
+    comp = {r.node: r.component for r in VF.connected_components(pairs, max_iters=10).collect()}
+    assert set(comp.values()) == {1}

@@ -331,3 +331,18 @@ def test_console_sink_encoding_codecs(spark):
     assert txt == ["hello world"]
     lf = console_sink(df, codec="logfmt")
     assert lf == ['message="hello world" level=error n=7']
+
+
+def test_logfmt_escapes_and_unknown_codec(spark):
+    """logfmt quotes any whitespace (incl. newlines — one event stays one
+    line), escapes backslashes before quotes; unknown codec raises."""
+    from vector_spark.plans.sinks import console_sink
+
+    df = spark.createDataFrame(
+        [("line1\nline2", 'a "b\\', "plain")], "m string, q string, p string"
+    )
+    (line,) = console_sink(df, codec="logfmt")
+    assert "\n" not in line                       # folded to \n escape
+    assert line == 'm="line1\\nline2" q="a \\"b\\\\" p=plain'
+    with pytest.raises(ValueError, match="unknown console encoding"):
+        console_sink(df, codec="logmft")

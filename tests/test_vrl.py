@@ -238,3 +238,8 @@ def test_parse_grok_unknown_pattern_fails_compile():
         compile_condition('parse_grok(.msg, "%{NOPE:x}")')
     with pytest.raises(VRLError, match="no named capture"):
         compile_condition('parse_grok(.msg, "%{IP} only")')
+
+
+def test_parse_regex_duplicate_group_name_rejected():
+    with pytest.raises(VRLError, match="duplicate capture group"):
+        compile_condition(r"parse_regex(.m, r'(?P<v>\d+)|(?P<v>\w+)')")

@@ -335,6 +335,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Exhausting max_iters without convergence means the labels are NOT
+        # component ids — returning them silently would under-merge
+        # clusters.  A dedup graph hitting this has adversarial diameter:
+        # raise with the remedy rather than corrupt the result.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters or use a "
+            f"large-star/small-star variant for high-diameter graphs"
+        )
     return labels
 
 

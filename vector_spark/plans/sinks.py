@@ -33,8 +33,16 @@ def logfmt_expr(df: DataFrame, columns: list[str] | None = None):
     parts = []
     for c in columns or df.columns:
         v = F.col(c).cast("string")
-        needs_quote = v.contains(" ") | v.contains('"') | v.contains("=")
-        quoted = F.concat(F.lit('"'), F.regexp_replace(v, '"', '\\\\"'), F.lit('"'))
+        # quote on ANY whitespace (incl. newlines/tabs — the sink is
+        # line-oriented), quotes, '=' or backslashes; escape backslashes
+        # FIRST, then quotes, then fold newlines/tabs to \n/\t so one event
+        # stays one line
+        needs_quote = v.rlike('[\\s"=\\\\]')
+        esc = F.regexp_replace(v, r"\\", r"\\\\")
+        esc = F.regexp_replace(esc, '"', '\\\\"')
+        esc = F.regexp_replace(esc, "\n", "\\\\n")
+        esc = F.regexp_replace(esc, "\t", "\\\\t")
+        quoted = F.concat(F.lit('"'), esc, F.lit('"'))
         val = F.when(needs_quote, quoted).otherwise(v)
         parts.append(F.when(v.isNotNull(), F.concat(F.lit(c + "="), val)))
     return F.concat_ws(" ", *parts)
@@ -53,7 +61,9 @@ def console_sink(df: DataFrame, limit: int | None = None, codec: str = "json") -
         return [r[0] for r in df.select(F.col(col).cast("string")).collect()]
     if codec == "logfmt":
         return [r[0] for r in df.select(logfmt_expr(df)).collect()]
-    return df.collect()
+    if codec == "rows":
+        return df.collect()
+    raise ValueError(f"unknown console encoding codec {codec!r} (json|text|logfmt|rows)")
 
 
 def file_sink(

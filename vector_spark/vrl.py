@@ -501,6 +501,16 @@ def _strip_named_groups(rx: str) -> tuple[str, dict[str, int]]:
             m = re.match(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>", rx[i:])
             if m and not rx.startswith(("(?<=", "(?<!"), i):
                 idx += 1
+                if m.group(1) in names:
+                    # An alternation reusing a field name (%{INT:v}|%{WORD:v})
+                    # would map the name to whichever group LAST appeared —
+                    # the non-participating branch extracts "" and the match
+                    # silently vanishes.  Fail at compile time instead.
+                    raise VRLError(
+                        f"duplicate capture group name {m.group(1)!r} — Spark "
+                        f"regexp_extract addresses groups by index, so each "
+                        f"field name may capture in only one branch"
+                    )
                 names[m.group(1)] = idx
                 out.append("(")
                 i += m.end()
