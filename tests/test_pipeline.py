@@ -346,3 +346,15 @@ def test_logfmt_escapes_and_unknown_codec(spark):
     assert line == 'm="line1\\nline2" q="a \\"b\\\\" p=plain'
     with pytest.raises(ValueError, match="unknown console encoding"):
         console_sink(df, codec="logmft")
+
+
+def test_file_sink_logfmt_codec(spark, tmp_path):
+    from vector_spark.plans.sinks import file_sink
+
+    df = spark.createDataFrame(
+        [("hello world", "error", "a")], "message string, level string, part string"
+    )
+    out = str(tmp_path / "lf")
+    file_sink(df, out, codec="logfmt", partition_by=["part"])
+    lines = [r.value for r in spark.read.text(f"{out}/part=a").collect()]
+    assert lines == ['message="hello world" level=error']

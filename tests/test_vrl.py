@@ -243,3 +243,28 @@ def test_parse_grok_unknown_pattern_fails_compile():
 def test_parse_regex_duplicate_group_name_rejected():
     with pytest.raises(VRLError, match="duplicate capture group"):
         compile_condition(r"parse_regex(.m, r'(?P<v>\d+)|(?P<v>\w+)')")
+
+
+def test_parse_syslog_and_apache_log(spark):
+    """VRL parse_syslog / parse_apache_log return field maps sharing the
+    decoder/operator regexes; non-matching input yields NULL."""
+    df = spark.createDataFrame(
+        [(
+            "<34>1 2026-01-02T03:04:05Z host1 app 123 ID47 - took fire",
+            '10.0.0.1 - frank [10/Oct/2000:13:55:36 +0000] "GET /x HTTP/1.0" 200 2326',
+        )],
+        "sl string, ap string",
+    )
+    row = df.select(
+        compile_condition("parse_syslog(.sl)").alias("sl"),
+        compile_condition('parse_apache_log(.ap, "common")').alias("ap"),
+        compile_condition("parse_syslog(.ap)").alias("not_syslog"),
+    ).collect()[0]
+    assert row.sl["host"] == "host1" and row.sl["appname"] == "app"
+    assert row.sl["severity"] == "2" and row.sl["facility"] == "4"  # pri 34
+    assert row.sl["message"] == "took fire"
+    assert row.ap["client_ip"] == "10.0.0.1" and row.ap["status"] == "200"
+    assert row.ap["method"] == "GET" and row.ap["size"] == "2326"
+    assert row.not_syslog is None
+    with pytest.raises(VRLError, match="only the 'common'"):
+        compile_condition('parse_apache_log(.ap, "combined")')

@@ -84,6 +84,16 @@ def file_sink(
         writer.json(path)
     elif codec == "text":
         writer.text(path)
+    elif codec == "logfmt":
+        # one codegen expression per row → text lines (reference file-sink
+        # encoding.codec=logfmt); re-derive the writer: the projection must
+        # happen before partition columns are consumed
+        out = df.select(*(partition_by or []), logfmt_expr(df, [c for c in df.columns if c not in (partition_by or [])]).alias("value"))
+        w = out.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.text(path)
+        return
     elif codec == "csv":
         writer.csv(path, header=True)
     else:

@@ -400,6 +400,40 @@ class _Parser:
             kv = args[1] if len(args) > 1 else F.lit("=")
             pair = args[2] if len(args) > 2 else F.lit(" ")
             return F.str_to_map(args[0].cast("string"), pair, kv)
+        if base == "parse_syslog":
+            # VRL parse_syslog(value) → map of syslog fields; RFC 5424 with
+            # 3164 fallback, sharing the decoder's regex pair (codegen,
+            # NULL map on non-syslog lines → `??`-recoverable).
+            from vector_spark.sources.codecs import _RFC3164, _RFC5424, _syslog_columns
+
+            msg = args[0].cast("string")
+            names = ["facility", "severity", "syslog_ts", "host", "appname", "procid", "message"]
+            entries = [
+                x
+                for n, c in zip(names, _syslog_columns(msg))
+                for x in (F.lit(n), c.cast("string"))
+            ]
+            return F.when(msg.rlike(_RFC5424) | msg.rlike(_RFC3164), F.create_map(*entries))
+        if base == "parse_apache_log":
+            # VRL parse_apache_log(value, format: "common") → map; shares
+            # the operator layer's APACHE_COMMON_RE so remap-option and
+            # VRL-function paths cannot drift apart.
+            from vector_spark.operators.remap import APACHE_COMMON_RE
+
+            fmt = (raws[1] if raws and len(raws) > 1 else "common") or "common"
+            if fmt != "common":
+                raise VRLError(
+                    f"parse_apache_log: only the 'common' format is supported, got {fmt!r}"
+                )
+            msg = args[0].cast("string")
+            names = ["client_ip", "ident", "auth", "timestamp", "method", "path",
+                     "protocol", "status", "size"]
+            entries = [
+                x
+                for i, n in enumerate(names, start=1)
+                for x in (F.lit(n), F.regexp_extract(msg, APACHE_COMMON_RE, i))
+            ]
+            return F.when(msg.rlike(APACHE_COMMON_RE), F.create_map(*entries))
         if base in ("parse_regex", "parse_grok"):
             # VRL parse_regex(value, r'(?P<name>…)') / parse_grok(value,
             # "%{PATTERN:field} …") → map<string,string> of named captures,
