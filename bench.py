@@ -52,8 +52,11 @@ def main() -> None:
     from vector_spark.session import get_spark
 
     spark = get_spark("vector_spark_bench")
-    # JIT/UDF warm-up so the first timed query doesn't pay JVM startup.
+    # JIT warm-up so the first timed query doesn't pay JVM startup, plus one
+    # trivial Arrow stage so Python UDF worker spawn isn't billed to the
+    # first UDF-bearing measurement (the IVF pre-run below).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(4).mapInPandas(lambda it: it, "id long").count()
 
     # IVF index build is a scheduled job (build-once / search-many), not query
     # latency: run it before the timed loop so `sim_ivf_topk` measures the
