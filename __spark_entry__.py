@@ -131,6 +131,30 @@ def q_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T7c reduce with order-sensitive strategies: first/last/concat are
+# EVENT-TIME ordered (max_by/min_by over (ts, event_id) + sorted-struct
+# collect), so the output is partition-invariant and SQL-recomputable —
+# the r3 verdict's determinism fix, pinned as a contract row.
+def q_reduce_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import reduce_events
+
+    ev = _ev(spark, sf_dir)
+    ev = ev.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("first_type"),
+        F.col("event_type").alias("last_type"),
+        F.col("event_type").alias("types_concat"),
+    )
+    out = reduce_events(
+        ev,
+        ["user_id"],
+        {"first_type": "first", "last_type": "last", "types_concat": "concat"},
+        ts_col="ts",
+        tiebreaker="event_id",
+    )
+    return out.select("user_id", "first_type", "last_type", "types_concat", "events_merged")
+
+
 # T8 aggregate: hourly buckets × event_type
 def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -196,6 +220,23 @@ def q_metric_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("samples", lambda x: x.cast("decimal(18,6)").cast("string")), ","
         ).alias("samples_csv"),
+    )
+
+
+# T9e gauge metric: LATEST value per tag-set — latest by EVENT TIME
+# (max_by over (ts, value); value breaks ts collisions), replacing the
+# partition-order-dependent F.last the r3 verdict flagged.
+def q_metric_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric
+
+    ev = _ev(spark, sf_dir)
+    m = log_to_metric(
+        ev, "value_gauge", "value", metric_type="gauge", tags=["event_type"], ts_col="ts"
+    )
+    return m.select(
+        F.col("tags")["event_type"].alias("event_type"),
+        "kind",
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -501,11 +542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_dedupe": q_dedupe,
         "t7_reduce": q_reduce,
         "t7_reduce_sessions": q_reduce_sessions,
+        "t7c_reduce_firstlast": q_reduce_firstlast,
         "t8_aggregate": q_aggregate,
         "t9_log_to_metric": q_log_to_metric,
         "t9b_metric_summary": q_metric_summary,
         "t9c_metric_histogram": q_metric_histogram,
         "t9d_metric_distribution": q_metric_distribution,
+        "t9e_metric_gauge": q_metric_gauge,
         "t10_metric_to_log": q_metric_to_log,
         "t11_tag_cardinality": q_tag_cardinality,
         "enrich_broadcast_join": q_enrich_join,
@@ -661,6 +704,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_sessions,
                    CAST(SUM(n) AS BIGINT) AS n_events
             FROM per_session GROUP BY user_id
+        """,
+        "t7c_reduce_firstlast": """
+            WITH ordered AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   MAX(CASE WHEN rn = n THEN event_type END) AS last_type,
+                   string_agg(event_type, ' ' ORDER BY rn) AS types_concat,
+                   COUNT(*) AS events_merged
+            FROM ordered GROUP BY user_id
+        """,
+        "t9e_metric_gauge": """
+            SELECT event_type, 'absolute' AS kind, ROUND(value, 6) AS value FROM (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts DESC, value DESC) AS rn
+              FROM events WHERE value IS NOT NULL) WHERE rn = 1
         """,
         "t8_aggregate": """
             SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -350,33 +350,105 @@ def test_pipeline_log_to_metric_list(spark):
 
 def test_reduce_array_merge_strategies(spark):
     """Vector's remaining reduce merge strategies: concat_newline,
-    shortest_array, longest_array, flat_unique."""
+    shortest_array, longest_array, flat_unique.  Order-sensitive ones take
+    ts_col and follow EVENT-TIME order regardless of partition layout."""
     from vector_spark.operators import reduce_events
 
     df = spark.createDataFrame(
         [
-            ("g", "l1", ["a", "b"]),
-            ("g", "l2", ["b"]),
-            ("g", "l3", ["c", "a", "d"]),
+            ("g", 1, "l1", ["a", "b"]),
+            ("g", 2, "l2", ["b"]),
+            ("g", 3, "l3", ["c", "a", "d"]),
         ],
-        "k string, line string, tags array<string>",
-    )
+        "k string, ts long, line string, tags array<string>",
+    ).repartition(4)
     out = reduce_events(
         df, ["k"],
         {"line": "concat_newline", "tags": "flat_unique"},
+        ts_col="ts",
     ).collect()[0]
     assert out.line == "l1\nl2\nl3"
-    assert sorted(out.tags) == ["a", "b", "c", "d"]
+    assert out.tags == ["a", "b", "c", "d"]  # first-occurrence in event-time order
 
     arrs = reduce_events(
         df.withColumnRenamed("tags", "t"),
         ["k"],
         {"t": "shortest_array"},
+        ts_col="ts",
     ).collect()[0]
     assert arrs.t == ["b"]
     arrs = reduce_events(
         df.withColumnRenamed("tags", "t"),
         ["k"],
         {"t": "longest_array"},
+        ts_col="ts",
     ).collect()[0]
     assert arrs.t == ["c", "a", "d"]
+
+
+def test_reduce_order_sensitive_requires_ts(spark):
+    """first/last/concat/... without ts_col must raise, not silently return
+    partition-order-dependent output (the r3 verdict's determinism defect)."""
+    import pytest
+    from vector_spark.operators import reduce_events
+
+    df = spark.createDataFrame([(1, "a", "x")], "id long, k string, v string")
+    for how in ("first", "last", "discard", "retain", "concat", "array", "flat_unique"):
+        with pytest.raises(ValueError, match="order-sensitive"):
+            reduce_events(df, ["k"], {"v": how})
+
+
+def test_reduce_first_last_partition_invariant(spark):
+    """first/last/discard/retain/concat are identical under repartition(1)
+    vs repartition(64) of shuffled input — the property the old
+    F.first/F.last/collect_list implementation could not guarantee."""
+    import random
+
+    from vector_spark.operators import reduce_events
+
+    rows = [(i % 7, i, i % 13, f"v{i}") for i in range(500)]
+    # null values interleaved: first skips them, discard keeps them
+    rows += [(k, 1000 + k, 0, None) for k in range(7)]
+    random.Random(4).shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, eid long, ts long, v string")
+
+    def run(nparts):
+        out = reduce_events(
+            df.repartition(nparts),
+            ["k"],
+            {"v": "first"},
+            ts_col="ts",
+            tiebreaker="eid",
+        ).collect()
+        return sorted((r.k, r.v, r.events_merged) for r in out)
+
+    assert run(1) == run(64)
+
+    for how in ("last", "discard", "retain", "concat"):
+        a = reduce_events(
+            df.repartition(1), ["k"], {"v": how}, ts_col="ts", tiebreaker="eid"
+        ).collect()
+        b = reduce_events(
+            df.repartition(64), ["k"], {"v": how}, ts_col="ts", tiebreaker="eid"
+        ).collect()
+        assert sorted((r.k, r.v) for r in a) == sorted((r.k, r.v) for r in b), how
+
+
+def test_gauge_metric_deterministic(spark):
+    """gauge = value at max (ts, value); partition-invariant and null-skipping."""
+    import pytest
+
+    from vector_spark.operators import log_to_metric
+
+    rows = [("cpu", i, float(i % 10)) for i in range(100)] + [("cpu", 200, None)]
+    df = spark.createDataFrame(rows, "host string, ts long, reading double")
+    for nparts in (1, 32):
+        m = log_to_metric(
+            df.repartition(nparts), "cpu_gauge", "reading",
+            metric_type="gauge", tags=["host"], ts_col="ts",
+        ).collect()
+        # null at ts=200 is skipped; latest non-null is ts=99 → 9.0
+        assert [r.value for r in m] == [9.0]
+        assert m[0].kind == "absolute"
+    with pytest.raises(ValueError, match="ts_col"):
+        log_to_metric(df, "g", "reading", metric_type="gauge")

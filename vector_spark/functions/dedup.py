@@ -23,11 +23,56 @@ Catalyst/AQE handle the shuffles; no driver-side loops.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
+
+
+def _cap_buckets(band_rows: DataFrame, keys: list[str], max_bucket: int | None, what: str) -> DataFrame:
+    """Drop LSH band buckets holding more than ``max_bucket`` rows before the
+    self-join — the band-join analog of ``max_posting``'s stop-gram prune.
+
+    Why: a bucket of B near-identical docs (a boilerplate/template family —
+    the normal case in web corpora) emits B²/2 candidate pairs inside ONE
+    join partition; at 10k docs that is 50M pairs in a single task.  Exact
+    dedup removes byte-equal copies first, but near-identical-not-equal
+    families survive to the LSH stage, so the band join needs its own guard.
+
+    Not silent: when the cap drops anything, the dropped bucket count / row
+    count / largest bucket are logged at WARNING — pairs wholly inside a
+    dropped bucket are NOT detected by this probe (handle template families
+    with exact/fingerprint dedup or a dedicated clustering pass).  The
+    count+stats cost one extra job over the (cheap, post-checkpoint) band
+    projection and only run when the cap is enabled."""
+    if max_bucket is None:
+        return band_rows
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    hot = (
+        band_rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_bc") > max_bucket)
+    )
+    # AQE broadcasts the hot-bucket list when small (the usual case); the
+    # anti-join then prunes map-side with no extra shuffle of band_rows.
+    hot = hot.localCheckpoint(eager=True)
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_bc").alias("rows"), F.max("_bc").alias("worst")
+    ).first()
+    if stats["n"]:
+        _log.warning(
+            "%s: dropping %d LSH band buckets over max_bucket=%d "
+            "(%d member rows, largest bucket %d) — pairs confined to those "
+            "buckets are not detected by this probe",
+            what, stats["n"], max_bucket, stats["rows"], stats["worst"],
+        )
+    return band_rows.join(hot.select(*keys), keys, "left_anti")
 
 
 def normalize_text(col) -> "F.Column":
@@ -186,6 +231,7 @@ def minhash_lsh_pairs(
     threshold: float | None = 0.7,
     unit: str = "char",
     materialize: str = "localCheckpoint",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -193,6 +239,12 @@ def minhash_lsh_pairs(
     ANY band-hash become a candidate pair (prob ≈ 1-(1-s^r)^b).  When
     `threshold` is set, candidates are verified with the estimated Jaccard
     (fraction of matching signature positions ≥ threshold).
+
+    ``max_bucket`` caps band-bucket size (see :func:`_cap_buckets`): at web
+    scale a template family of B near-identical docs would otherwise emit
+    B²/2 candidates in one join partition.  Default None = exact semantics
+    (the oracle-checked contract); set it (e.g. 1000) for 100 TB runs and
+    watch the WARNING log for what was dropped.
     """
     assert k % bands == 0
     r = k // bands
@@ -229,6 +281,7 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
 
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket, "minhash_lsh_pairs")
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
     # distinct on the BARE pair — the signature arrays join back after, so
@@ -281,41 +334,148 @@ def jaccard_for_pairs(
     )
 
 
+def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC'14): converges in O(log² n) rounds (O(log n)
+    in practice) regardless of diameter, so it is the remedy for graphs the
+    plain label-propagation loop cannot finish — long chains, adversarial
+    paths.  Same Spark primitives per round as the simple loop: one
+    groupBy-min + one join per star operation.
+
+    ``edges`` must be SYMMETRIC (both directions present) with columns
+    (src, dst) and already materialized (localCheckpoint) by the caller.
+
+      large-star(v): attach every neighbor u > v to m = min(Γ(v) ∪ {v})
+      small-star(v): attach every neighbor u ≤ v (and v) to that same m
+
+    After convergence the edge set is a union of stars rooted at component
+    minima; labels are read off as min(neighbor ∪ self) per node.
+    Convergence is detected by the (count, hash-sum) signature of the
+    canonicalized edge set being stable across a round — a full set-equality
+    join would cost another shuffle for no additional safety at 128-bit
+    collision odds."""
+    # canonical undirected form (a < b), the fixpoint object
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame):
+        # decimal sums: a long sum of 64-bit hashes overflows under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            F.sum(F.xxhash64("b", "a", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
+        ).first()
+        return (row["n"], row["h"], row["h2"])
+
+    sig = _signature(und)
+    for _ in range(max_rounds):
+        # large-star: group by v over symmetric neighbors, m = min(Γ ∪ {v}),
+        # emit (u, m) for u > v
+        sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        mins = sym.groupBy("v").agg(F.min("u").alias("mn"))
+        mins = mins.select("v", F.least("v", "mn").alias("m"))
+        large = (
+            sym.join(mins, "v")
+            .where(F.col("u") > F.col("v"))
+            .select(F.col("m").alias("a"), F.col("u").alias("b"))
+        )
+        und = (
+            large.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: emit (u, m) for u ≤ v, plus (v, m)
+        sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        mins = sym.groupBy("v").agg(F.min("u").alias("mn"))
+        mins = mins.select("v", F.least("v", "mn").alias("m"))
+        small = (
+            sym.join(mins, "v")
+            .where(F.col("u") <= F.col("v"))
+            .select(F.col("m").alias("a"), F.col("u").alias("b"))
+            .unionByName(mins.select(F.col("m").alias("a"), F.col("v").alias("b")))
+        )
+        und = (
+            small.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(und)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star connected components did not stabilize in {max_rounds} rounds "
+            "— this should not happen (O(log² n) bound); check for non-numeric "
+            "or NaN node ids"
+        )
+    # stars: every remaining edge is (root=component-min, member)
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    return (
+        sym.groupBy("node")
+        .agg(F.min("nb").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    method: str = "auto",
 ) -> DataFrame:
-    """Distributed connected components over the near-dup pair graph by
-    min-label propagation: every node's label converges to the smallest id
-    reachable from it.  Returns (node, component).
+    """Distributed connected components over the near-dup pair graph.
+    Returns (node, component) with component = min reachable id.
 
-    Per iteration: one join (push each node's current label to its
-    neighbors) + one min-aggregate — both plain shuffles on the node id, so
-    an iteration is two exchanges over O(edges) rows.  Convergence is
-    checked with a cheap changed-count aggregate and the loop stops early;
-    rounds needed = graph diameter, which for near-dup clusters (cliques and
-    short chains) is 1-3 in practice.  For adversarially long chains at
-    100 TB, swap the body for large-star/small-star (O(log n) rounds, same
-    join/agg primitives — Kiveris et al., "Connected Components in
-    MapReduce"); the propagation loop here is the simple variant that is
-    exactly right for dedup graphs.  localCheckpoint per round truncates
-    the lineage so the plan doesn't grow with iterations."""
+    ``method``:
+      * ``"label"`` — min-label propagation: per iteration one join (push
+        each node's current label to its neighbors) + one min-aggregate,
+        both plain shuffles on the node id.  Rounds needed = graph diameter,
+        which for near-dup clusters (cliques and short chains) is 1-3 in
+        practice.  Raises if the diameter exceeds ``max_iters``.
+      * ``"star"`` — alternating large-star/small-star (Kiveris et al.):
+        O(log² n) rounds regardless of diameter; ~2× the per-round work, so
+        it wins only on high-diameter graphs.
+      * ``"auto"`` (default) — run label propagation; if it has not
+        converged after ``max_iters`` rounds, fall back to large/small-star
+        on the already-materialized edge set instead of raising.  Dedup
+        graphs get the cheap path, pathological chains still terminate.
+
+    localCheckpoint per round truncates lineage so plans don't grow with
+    iterations; the edge set is materialized ONCE up front (the pair set is
+    usually the output of a whole LSH+verify pipeline, which must not
+    re-execute per round)."""
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"unknown method {method!r} (expected auto|label|star)")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        # materialize ONCE: the pair set is usually the output of a whole
-        # LSH+verify pipeline, and every propagation round joins against
-        # edges — without this the upstream pipeline would re-execute per
-        # iteration
         .localCheckpoint()
     )
+    if method == "star":
+        return _star_components(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
     labels = labels.localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
         pushed = (
             edges.join(labels, edges.src == labels.node)
@@ -337,13 +497,19 @@ def connected_components(
             break
     else:
         # Exhausting max_iters without convergence means the labels are NOT
-        # component ids — returning them silently would under-merge
-        # clusters.  A dedup graph hitting this has adversarial diameter:
-        # raise with the remedy rather than corrupt the result.
+        # component ids — returning them silently would under-merge clusters.
+        if method == "auto":
+            _log.warning(
+                "label propagation still moving after %d rounds (%d labels "
+                "changing) — falling back to large-star/small-star",
+                max_iters, changed,
+            )
+            return _star_components(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters or use a "
-            f"large-star/small-star variant for high-diameter graphs"
+            f"({changed} labels still changing) — raise max_iters, use "
+            f"method='auto'/'star' (large-star/small-star fallback), or "
+            f"pre-cluster the pathological subgraph"
         )
     return labels
 
@@ -429,13 +595,20 @@ def hamming_pairs(
     fp_col: str = "simhash",
     max_hamming: int = 3,
     bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(fingerprint) ≤ h via the block-permutation trick:
     split `bits` into (h+1) blocks — by pigeonhole, any pair within distance
     h matches EXACTLY (recall 1.0, not probabilistic) on ≥1 block, so block
     equality is the join key.  Blocks are exploded into (band, key) rows and
     candidates come from a single equi-join shuffle (minhash-LSH shape), not
-    h+1 separate joins."""
+    h+1 separate joins.
+
+    The candidate `.distinct()` runs on the BARE (id_a, id_b) pair —
+    fingerprints join back after (16-byte dedup shuffle rows, the same
+    discipline as minhash_lsh_pairs).  ``max_bucket`` caps band-bucket size
+    (template-family guard, see :func:`_cap_buckets`); default None = exact
+    recall-1.0 semantics."""
     blocks = max_hamming + 1
     # Floor division: when bits % blocks != 0 the top bits stay uncovered by
     # any block — recall is STILL exactly 1.0 (≤ h differing covered bits over
@@ -447,7 +620,6 @@ def hamming_pairs(
         raise ValueError(f"max_hamming={max_hamming} too large for {bits}-bit fingerprints")
     band_rows = fps.select(
         id_col,
-        F.col(fp_col).alias("_fp"),
         F.posexplode(
             F.array(
                 *[
@@ -458,17 +630,22 @@ def hamming_pairs(
             )
         ).alias("band", "key"),
     )
-    a = band_rows.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("fp_a"), "band", "key")
-    b = band_rows.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("fp_b"), "band", "key")
+    band_rows = _cap_buckets(band_rows, ["band", "key"], max_bucket, "hamming_pairs")
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "key")
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        pairs.withColumn("hamming", hamming)
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -480,6 +657,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     materialize: str = "localCheckpoint",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ h (64-bit SipHash fingerprint —
     the throughput path).  The fingerprint table is localCheckpointed: both
@@ -488,7 +666,7 @@ def simhash_neardup_pairs(
     minhash_lsh_pairs)."""
     sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
     sh = sh.persist() if materialize == "persist" else sh.localCheckpoint(eager=True)
-    return hamming_pairs(sh, id_col, "simhash", max_hamming, bits=64)
+    return hamming_pairs(sh, id_col, "simhash", max_hamming, bits=64, max_bucket=max_bucket)
 
 
 def simhash_md5(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
@@ -546,6 +724,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine ≥ τ pairs via BANDED random-hyperplane LSH (minhash-band shape).
 
@@ -563,6 +742,7 @@ def embedding_neardup_pairs(
         "_bands", hyperplane_bands_udf(n_tables, n_planes)(F.col(vec_col))
     )
     band_rows = b.select(id_col, F.posexplode("_bands").alias("band", "bucket"))
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket, "embedding_neardup_pairs")
     a1 = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b1 = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

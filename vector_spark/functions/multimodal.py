@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed (a
-deterministic fake, clearly marked) — but everything Spark-side is real and
-tested: schemas, Arrow batch shapes, mapInPandas plumbing, partitioning.
-Swapping the fake decoder for PIL/ffmpeg is a one-function change that does
-not touch the distributed plan.
+IMAGE decode is REAL: a minimal stdlib-only PNG codec (zlib inflate + numpy
+scanline unfiltering, all five PNG filter types) plus PPM/PGM — no external
+image libraries needed, so `decode_image` works in this container and the
+synth generator emits genuine PNGs.  AUDIO/VIDEO decode would need ffmpeg
+(absent), so those payloads stay opaque bytes with typed metadata and the
+frame-SAMPLING plumbing is real while frame DECODE raises.
 
 Pattern: media rows are (id, media_type, payload binary, meta struct);
 feature extraction is mapInPandas over batches of binary payloads —
@@ -14,6 +15,8 @@ numpy block.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,9 +50,26 @@ FEATURE_SCHEMA = (
 )
 
 
+def synth_image(media_id: int) -> tuple[bytes, int, int, int]:
+    """One deterministic REAL PNG per id: smooth-gradient-plus-noise pixels
+    (so every PNG filter type both exercises and compresses), dimensions,
+    channel count and filter type varying with the id.  Returns
+    (png_bytes, width, height, channels)."""
+    i = int(media_id)
+    rng = np.random.default_rng(42 + i)
+    w, h = 16 + i % 49, 16 + (i * 7) % 49
+    ch = (1, 2, 3, 4)[i % 4]
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 3 + yy * 5 + i) % 256).astype(np.uint8)
+    arr = np.repeat(grad[:, :, None], ch, axis=2)
+    arr += rng.integers(0, 32, arr.shape, dtype=np.uint8)
+    return encode_png(arr, filter_type=i % 5), w, h, ch
+
+
 def synth_media(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-random bytes
-    whose length/meta depend only on media_id)."""
+    """Deterministic media table.  IMAGE payloads are REAL PNGs (synth_image
+    — decode_image round-trips them); audio/video payloads are seeded
+    pseudo-random bytes (no in-container codec), with typed metadata."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
 
@@ -59,38 +79,215 @@ def synth_media(spark: SparkSession, n_rows: int, partitions: int | None = None)
             types_ = np.array(["image", "audio", "video"])[ids % 3]
             rows = []
             for i, t in zip(ids, types_):
-                rng = np.random.default_rng(42 + int(i))
-                size = 256 + int(i) % 1024
-                rows.append(
-                    {
-                        "media_id": int(i),
-                        "media_type": str(t),
-                        "payload": rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
-                        "meta": {
-                            "width": 64 + int(i) % 512 if t == "image" else None,
-                            "height": 64 + (int(i) * 7) % 512 if t == "image" else None,
-                            "duration_ms": 1000 + int(i) % 60000 if t != "image" else None,
-                            "codec": {"image": "png", "audio": "opus", "video": "av1"}[str(t)],
-                        },
+                i, t = int(i), str(t)
+                if t == "image":
+                    payload, w, h, _ch = synth_image(i)
+                    meta = {"width": w, "height": h, "duration_ms": None, "codec": "png"}
+                else:
+                    rng = np.random.default_rng(42 + i)
+                    size = 256 + i % 1024
+                    payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                    meta = {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": 1000 + i % 60000,
+                        "codec": {"audio": "opus", "video": "av1"}[t],
                     }
+                rows.append(
+                    {"media_id": i, "media_type": t, "payload": payload, "meta": meta}
                 )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real decode needs PIL/libvips, not present in this container.
+# --- real image codec (stdlib zlib + numpy; no PIL/libvips needed) -----------
 
-    Raises NotImplementedError so callers can't silently depend on the fake.
-    Use `fake_decode` for plumbing tests.
-    """
-    raise NotImplementedError("image codecs unavailable in this environment; use fake_decode")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """PNG filter-4 predictor, vectorized (PNG spec §9.4)."""
+    p = left.astype(np.int32) + up.astype(np.int32) - ul.astype(np.int32)
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)).astype(np.uint8)
+
+
+def _png_chunks(payload: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced — zlib inflate + per-scanline unfiltering of all five
+    filter types.  Returns (H, W, channels) uint8.  Raises ValueError on
+    palette/16-bit/interlaced images (out of scope for a training-data
+    feature pass; re-encode upstream)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = idat = None
+    idat_parts = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+    if ihdr is None or not idat_parts:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype_ not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype_}, "
+            f"interlace={interlace}): only 8-bit gray/GA/RGB/RGBA, non-interlaced"
+        )
+    ch = _PNG_CHANNELS[ctype_]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat_parts)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG data length {len(raw)} != expected {h * (stride + 1)}")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype, line = int(raw[r, 0]), raw[r, 1:]
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # up — whole-row vector add
+            cur = line + prev  # uint8 wraparound == mod-256 per spec
+        elif ftype in (1, 3, 4):
+            # sub/average/paeth need the reconstructed LEFT pixel → sequential
+            # in x, but vectorized across the pixel's channels per step (W
+            # iterations of bpp-wide slices, not W*bpp scalar ops)
+            cur = np.zeros(stride, dtype=np.uint8)
+            zero = np.zeros(ch, dtype=np.uint8)
+            for x in range(0, stride, ch):
+                left = cur[x - ch : x] if x else zero
+                if ftype == 1:
+                    cur[x : x + ch] = line[x : x + ch] + left
+                elif ftype == 3:
+                    avg = (left.astype(np.uint16) + prev[x : x + ch]) // 2
+                    cur[x : x + ch] = line[x : x + ch] + avg.astype(np.uint8)
+                else:
+                    ul = prev[x - ch : x] if x else zero
+                    cur[x : x + ch] = line[x : x + ch] + _paeth(left, prev[x : x + ch], ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {r}")
+        out[r] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Minimal PNG encoder (8-bit gray/GA/RGB/RGBA, one filter type for the
+    whole image) — enough to synthesize REAL image payloads for the media
+    generator and to round-trip-test the decoder against every filter type."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    flat = arr.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, ch:] = flat[:-1, :-ch]
+    if filter_type == 0:
+        filtered = flat
+    elif filter_type == 1:
+        filtered = flat - left
+    elif filter_type == 2:
+        filtered = flat - up
+    elif filter_type == 3:
+        filtered = flat - (left + up) // 2
+    else:
+        filtered = flat - _paeth(
+            left.astype(np.uint8), up.astype(np.uint8), ul.astype(np.uint8)
+        )
+    scanlines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), (filtered % 256).astype(np.uint8)],
+        axis=1,
+    )
+
+    def chunk(ctag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctag
+            + data
+            + struct.pack(">I", zlib.crc32(ctag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(scanlines.tobytes(), level)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM (P6, RGB) / PGM (P5, gray) binary decoder → (H, W, ch) uint8."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PPM/PGM (magic {magic!r})")
+    # header = magic, width, height, maxval as whitespace/comment-separated
+    # tokens, then ONE whitespace byte, then raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
+    return raster.reshape(h, w, ch).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, channels) uint8 array.
+
+    REAL decode, stdlib-only: PNG (8-bit gray/GA/RGB/RGBA, all five scanline
+    filters, via zlib + numpy unfiltering) and binary PPM/PGM.  Other
+    formats (JPEG needs a DCT codec this container doesn't ship) raise
+    ValueError — loudly, so callers can't silently depend on a fake."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("empty/truncated image payload")
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    raise ValueError(
+        f"unrecognized image format (leading bytes {payload[:4]!r}); "
+        "supported here: PNG, PPM/PGM"
+    )
 
 
 def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic fake 'decode': fold payload bytes into a dim-length
-    float vector (stands in for pixel/spectrogram features)."""
+    """TEST FIXTURE — deterministic byte-fold 'decode' for plumbing tests of
+    non-image media (audio/video payloads have no in-container codec).  For
+    images use :func:`decode_image`, which is real."""
     a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     pad = (-len(a)) % dim
     if pad:
@@ -160,6 +357,48 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "px_mean double, px_std double, decode_error string"
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """REAL distributed image decode: mapInPandas over image rows, decoding
+    each PNG/PPM payload (stdlib zlib + numpy unfiltering) into pixels and
+    emitting true dimensions + pixel statistics.  Undecodable payloads
+    surface in `decode_error` instead of poisoning the batch (the standard
+    web-corpus reality: some fraction of stored images is corrupt).
+
+    Decode is genuinely per-row Python (entropy coding is sequential), but
+    batches arrive via Arrow and each image unfilters as numpy row
+    operations, so the loop is per-IMAGE, not per-pixel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "channels", "px_mean", "px_std",
+                    "decode_error")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    arr = decode_image(payload)
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    out["channels"].append(arr.shape[2])
+                    px = arr.astype(np.float64)
+                    out["px_mean"].append(round(float(px.mean()), 6))
+                    out["px_std"].append(round(float(px.std()), 6))
+                    out["decode_error"].append(None)
+                except (ValueError, zlib.error) as e:
+                    for k in ("width", "height", "channels", "px_mean", "px_std"):
+                        out[k].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -287,6 +287,36 @@ def ivf_topk(
 
 # --- persistent IVF index (build once / search many) ---------------------------
 
+def _hadoop_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem — works for
+    ANY URI the parquet writer accepts (file://, hdfs://, s3a://…), unlike a
+    local open() which would strand the sidecar when the index lives on an
+    object store."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    try:
+        # copyBytes(in, out, conf, close=False): stream-copy inside the JVM;
+        # one py4j hop for the whole payload instead of per-read chunking
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, conf, False)
+    finally:
+        stream.close()
+    return bytes(sink.toByteArray()).decode("utf-8")
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -302,27 +332,30 @@ def build_ivf_index(
     (nprobe/nlist of the files).  Centroids persist as `_centroids.json`
     inside the index directory so a search session needs no retraining; at
     cluster scale that file lives on the same object store as the data (it is
-    nlist×dim floats — KBs).  Parquet ignores underscore-prefixed files, so
-    the sidecar is invisible to readers of the table itself."""
+    nlist×dim floats — KBs), written through the Hadoop FileSystem API so the
+    same s3a://… path works for sidecar and parquet alike.  Parquet ignores
+    underscore-prefixed files, so the sidecar is invisible to readers of the
+    table itself."""
     import json
-    import os
 
     cents = train_centroids(corpus, nlist, corpus_id, vec_col, iters=iters)
     assign_cells(corpus, cents, vec_col).write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(cents.tolist(), f)
+    _hadoop_write_text(
+        corpus.sparkSession, path.rstrip("/") + "/_centroids.json", json.dumps(cents.tolist())
+    )
     return cents
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """Open a built IVF index: (cell-partitioned DataFrame, centroid matrix)."""
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cents = np.array(json.load(f), dtype=np.float64)
+    cents = np.array(
+        json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/_centroids.json")),
+        dtype=np.float64,
+    )
     return spark.read.parquet(path), cents
 
 

@@ -32,7 +32,21 @@ def log_to_metric(
         value = F.sum(field) if increment_by_value else F.count(field)
         kind = "incremental"
     elif metric_type == "gauge":
-        value = F.last(field, ignorenulls=True)
+        # Vector's gauge keeps the LATEST value (config_panel.rs:1812-1822) —
+        # latest by arrival in a stream, latest by EVENT TIME here.  F.last
+        # would return whatever row a partition scan happened to see last;
+        # max_by over (ts, value) is deterministic under any partitioning
+        # (value itself breaks ts collisions).  The null-guarded ordering
+        # makes max_by skip null readings, mirroring last(ignorenulls=True).
+        if ts_col is None:
+            raise ValueError(
+                "gauge needs ts_col: 'latest value' is an ordering statement "
+                "and Spark batch has no arrival order"
+            )
+        value = F.max_by(
+            field,
+            F.when(F.col(field).isNotNull(), F.struct(F.col(ts_col), F.col(field))),
+        )
         kind = "absolute"
     elif metric_type == "set":
         value = F.countDistinct(field)
@@ -65,16 +79,31 @@ def log_to_metric_summary(
     field: str,
     tags: list[str] | None = None,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sketch: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """MetricValue::Summary (shared/src/messages.rs:145-183): count, sum, and
-    quantile points per tag-set.  Exact percentiles via F.percentile (one
-    shuffle on tags; at 100 TB swap in percentile_approx — same plan shape,
-    mergeable sketch)."""
+    quantile points per tag-set.
+
+    Default: exact percentiles via F.percentile (buffers each group's values
+    — fine for bounded tag-sets / audits).  ``sketch=True`` switches to
+    `percentile_approx` (Greenwald-Khanna mergeable sketch, O(accuracy)
+    state per group, rank error ≤ 1/accuracy) — the 100 TB default, same as
+    the distribution metric's sketch sibling.  count/sum stay exact either
+    way and the plan shape is identical (one map-side-combined hash agg)."""
     tag_cols = tags or []
-    qcols = [
-        F.round(F.percentile(field, F.lit(q)), 6).alias(f"q{str(q).replace('0.', '')}")
-        for q in quantiles
-    ]
+    if sketch:
+        qcols = [
+            F.round(
+                F.percentile_approx(F.col(field).cast("double"), F.lit(q), F.lit(accuracy)), 6
+            ).alias(f"q{str(q).replace('0.', '')}")
+            for q in quantiles
+        ]
+    else:
+        qcols = [
+            F.round(F.percentile(field, F.lit(q)), 6).alias(f"q{str(q).replace('0.', '')}")
+            for q in quantiles
+        ]
     out = df.groupBy(*tag_cols).agg(
         F.count(field).alias("count"),
         F.round(F.sum(field), 6).alias("sum"),

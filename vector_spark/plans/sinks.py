@@ -41,6 +41,7 @@ def logfmt_expr(df: DataFrame, columns: list[str] | None = None):
         esc = F.regexp_replace(v, r"\\", r"\\\\")
         esc = F.regexp_replace(esc, '"', '\\\\"')
         esc = F.regexp_replace(esc, "\n", "\\\\n")
+        esc = F.regexp_replace(esc, "\r", "\\\\r")
         esc = F.regexp_replace(esc, "\t", "\\\\t")
         quoted = F.concat(F.lit('"'), esc, F.lit('"'))
         val = F.when(needs_quote, quoted).otherwise(v)

@@ -420,6 +420,15 @@ class _Parser:
             # VRL-function paths cannot drift apart.
             from vector_spark.operators.remap import APACHE_COMMON_RE
 
+            # 'argument absent' (→ default "common") is not 'argument present
+            # but non-literal' (raws entry None): parse_regex/parse_grok raise
+            # on non-literal patterns, and a silently-defaulted variable
+            # format here would parse with the wrong grammar unnoticed.
+            if len(args) > 1 and (not raws or raws[1] is None):
+                raise VRLError(
+                    "parse_apache_log: the format argument must be a string "
+                    "literal (got a non-literal expression)"
+                )
             fmt = (raws[1] if raws and len(raws) > 1 else "common") or "common"
             if fmt != "common":
                 raise VRLError(
