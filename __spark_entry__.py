@@ -412,6 +412,44 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_chain_rows() -> list[tuple[int, str]]:
+    """Three 100-word docs over a private vocabulary (zq*) forming the graph
+    where greedy pair-dedup and connected-components dedup DIFFER:
+    doc 900001 and doc 900002 each share 95/101 3-shingles with doc 900003
+    (J ≈ 0.9406 ≥ 0.9) but only 92/104 with each other (J ≈ 0.8846 < 0.9)
+    → verified pairs are exactly (900001,900003),(900002,900003).  Greedy
+    drops the id_b side {900003} and keeps both 900001 and 900002; CC merges
+    all three into one component and keeps only 900001."""
+    base = [f"zq{i}" for i in range(100)]
+    t3 = " ".join(base)
+    t1 = " ".join("zqx" if i == 10 else w for i, w in enumerate(base))
+    t2 = " ".join("zqy" if i == 90 else w for i, w in enumerate(base))
+    return [(900001, t1), (900002, t2), (900003, t3)]
+
+
+def q_dedup_neardup_filter_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster-level keep-canonical dedup, end to end: LSH candidates → exact
+    # Jaccard verify (τ=0.9) → connected components → keep one doc per
+    # COMPONENT.  A planted 3-doc chain (see _planted_chain_rows) makes the
+    # greedy-vs-CC difference non-vacuous: CC must drop 900002, greedy
+    # would keep it.
+    from vector_spark.functions import (
+        jaccard_for_pairs,
+        minhash_lsh_pairs,
+        neardup_filter_cc,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(_planted_chain_rows(), "doc_id long, text string")
+    aug = docs.unionByName(planted)
+    cand = minhash_lsh_pairs(aug, "doc_id", n=3, k=64, bands=16, threshold=None, unit="word")
+    pairs = jaccard_for_pairs(aug, cand, "doc_id", n=3, unit="word", threshold=0.9)
+    kept = neardup_filter_cc(aug, pairs, "doc_id")
+    return kept.select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha")
+    )
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import brute_force_topk
 
@@ -563,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
         "dedup_cc_components": q_dedup_cc,
+        "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce,
         "sim_ivf_topk": q_sim_ivf,
@@ -582,7 +621,7 @@ _JACCARD_ORACLE_TMPL = r"""
       SELECT doc_id,
              string_split(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents),
+      FROM {src}),
     offsets AS (
       SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
       FROM norm WHERE len(w) >= 3),
@@ -844,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY norm
             ) k ON d.doc_id = k.doc_id
         """,
-        "dedup_ngram_jaccard": _JACCARD_ORACLE_TMPL.format(tau=0.5),
+        "dedup_ngram_jaccard": _JACCARD_ORACLE_TMPL.format(tau=0.5, src="documents"),
         "text_lang_id": r"""
             WITH w AS (
               SELECT doc_id,
@@ -887,13 +926,13 @@ def oracle_sql() -> dict[str, str]:
         # k-means centroid routing is not ANSI-SQL-expressible); its recall
         # bound is asserted in tests/test_functions.py instead.
         # τ=0.9: the cut where 16-band LSH recall ≈ 1 by scheme, not by corpus
-        "dedup_minhash_lsh": _JACCARD_ORACLE_TMPL.format(tau=0.9),
+        "dedup_minhash_lsh": _JACCARD_ORACLE_TMPL.format(tau=0.9, src="documents"),
         # connected components of the τ=0.9 pair graph: transitive closure by
         # recursive CTE (UNION dedups, so it terminates), component label =
         # min over node ∪ reachable set — exactly the min-label fixpoint the
         # Spark propagation loop computes
         "dedup_cc_components": f"""
-            WITH RECURSIVE pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9)}),
+            WITH RECURSIVE pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9, src="documents")}),
             edges AS (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION
@@ -913,12 +952,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # retained corpus after dropping the id_b side of every τ=0.9 pair
         "dedup_neardup_filter": f"""
-            WITH pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9)})
+            WITH pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9, src="documents")})
             SELECT d.doc_id,
                    sha256(COALESCE(d.text, '')) AS text_sha
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
         """,
+        # CC keep-canonical over the AUGMENTED corpus (documents + the planted
+        # 3-doc chain): transitive closure by recursive CTE, survivors = docs
+        # that are their component's min (or in no pair at all).  The planted
+        # chain pins the greedy-vs-CC difference: 900002 must be absent here
+        # though greedy would keep it.
+        "dedup_neardup_filter_cc": (
+            lambda planted_values: f"""
+            WITH RECURSIVE aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {planted_values}) AS t(doc_id, text)),
+            pairs AS ({_JACCARD_ORACLE_TMPL.format(tau=0.9, src="aug")}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+            labels AS (
+              SELECT src AS node, LEAST(src, MIN(dst)) AS component
+              FROM reach GROUP BY src)
+            SELECT a.doc_id, sha256(COALESCE(a.text, '')) AS text_sha
+            FROM aug a
+            WHERE a.doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+        """
+        )(
+            ", ".join(
+                "({}, '{}')".format(i, t) for i, t in _planted_chain_rows()
+            )
+        ),
         "dedup_simhash": _simhash_md5_oracle(),
         "text_fingerprint": """
             SELECT doc_id,
