@@ -434,6 +434,29 @@ def test_reduce_first_last_partition_invariant(spark):
         assert sorted((r.k, r.v) for r in a) == sorted((r.k, r.v) for r in b), how
 
 
+def test_metric_sketch_options(spark):
+    """The 100 TB variants: summary quantiles via percentile_approx and set
+    cardinality via HyperLogLog++ — close to exact on a small input, bounded
+    state by construction."""
+    from vector_spark.operators import log_to_metric, log_to_metric_summary
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(1000)], "k int, v double"
+    )
+    exact = log_to_metric_summary(df, "s", "v", tags=["k"]).collect()
+    sk = log_to_metric_summary(df, "s", "v", tags=["k"], sketch=True, accuracy=10000).collect()
+    e = {r.k: (r.q5, r.q9) for r in exact}
+    s = {r.k: (r.q5, r.q9) for r in sk}
+    for k in e:
+        assert abs(e[k][0] - s[k][0]) <= 3.5 and abs(e[k][1] - s[k][1]) <= 3.5
+
+    sets = log_to_metric(
+        df, "uniq", "v", metric_type="set", tags=["k"], approx_set=True
+    ).collect()
+    for r in sets:
+        assert abs(r.value - 334) / 334 < 0.15  # rsd=0.05, generous bound
+
+
 def test_gauge_metric_deterministic(spark):
     """gauge = value at max (ts, value); partition-invariant and null-skipping."""
     import pytest

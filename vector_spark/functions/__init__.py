@@ -1,5 +1,6 @@
 """Training-data pipeline functions: text analysis, deduplication,
-similarity search, multimodal plumbing."""
+similarity search, multimodal columns (real PNG/PPM decode + feature
+extraction over Arrow batches)."""
 
 from vector_spark.functions.text import (
     whitespace_token_count,

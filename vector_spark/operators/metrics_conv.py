@@ -25,8 +25,16 @@ def log_to_metric(
     tags: list[str] | None = None,
     ts_col: str | None = None,
     namespace: str | None = None,
+    approx_set: bool = False,
+    approx_rsd: float = 0.05,
 ) -> DataFrame:
-    """Derive a metrics-shaped DataFrame from log rows."""
+    """Derive a metrics-shaped DataFrame from log rows.
+
+    ``approx_set=True`` switches the `set` metric from exact countDistinct
+    (per-group distinct state — fine for bounded tag-sets) to
+    `approx_count_distinct` (HyperLogLog++, fixed sketch per group, relative
+    error ``approx_rsd``) — the 100 TB path, same trade as the summary/
+    distribution sketch options."""
     tag_cols = tags or []
     if metric_type == "counter":
         value = F.sum(field) if increment_by_value else F.count(field)
@@ -49,7 +57,11 @@ def log_to_metric(
         )
         kind = "absolute"
     elif metric_type == "set":
-        value = F.countDistinct(field)
+        value = (
+            F.approx_count_distinct(field, rsd=approx_rsd)
+            if approx_set
+            else F.countDistinct(field)
+        )
         kind = "absolute"
     elif metric_type == "histogram":
         value = F.sum(field)

@@ -342,9 +342,16 @@ class Pipeline:
             fields = o.get("fields", {}).get("match") if isinstance(o.get("fields"), dict) else o.get("fields")
             return dedupe(df, fields or ["timestamp", "host", "message"], order_by=o.get("order_by"))
         if t == "reduce":
+            # Vector's merge strategies follow ARRIVAL order; the batch
+            # analog is event time, so order-sensitive strategies need a ts
+            # column.  TOML configs rarely name one — default to the
+            # pipeline's `timestamp` column when present (the decoder
+            # always emits it), else let reduce_events raise loudly.
+            ts_col = o.get("ts_col") or ("timestamp" if "timestamp" in df.columns else None)
             return reduce_events(
                 df, o.get("group_by", []), o.get("merge", {}),
-                ends_when=o.get("ends_when"), ts_col=o.get("ts_col"),
+                ends_when=o.get("ends_when"), ts_col=ts_col,
+                tiebreaker=o.get("tiebreaker"),
             )
         if t == "aggregate":
             interval = f"{int(o.get('interval_ms', 10_000)) // 1000} seconds"
@@ -364,7 +371,11 @@ class Pipeline:
                 one = log_to_metric(df, m.get("name", "events_total"), m.get("field", "message"),
                                     metric_type=m.get("type", "counter"),
                                     increment_by_value=bool(m.get("increment_by_value", False)),
-                                    tags=m.get("tags"), ts_col=m.get("ts_col"))
+                                    tags=m.get("tags"),
+                                    # gauge = latest-by-event-time; default
+                                    # to the decoder's timestamp column
+                                    ts_col=m.get("ts_col")
+                                    or ("timestamp" if "timestamp" in df.columns else None))
                 out = one if out is None else out.unionByName(one)
             return out
         if t == "metric_to_log":
