@@ -3,6 +3,8 @@ similarity search must rank the planted neighbor first."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -344,6 +346,105 @@ def test_decode_images_end_to_end(spark):
     )
     row = multimodal.decode_images(corrupt).collect()[0]
     assert row.decode_error is not None and row.width is None
+
+
+def test_wav_roundtrip_sample_exact():
+    """encode_wav → decode_wav is sample-exact for mono/stereo; 8-bit WAV
+    and chunk-walking (extra LIST chunk, odd-length padding) decode too."""
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        samples = rng.integers(-32768, 32767, (777, ch), dtype=np.int16)
+        got, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 16000))
+        assert rate == 16000 and np.array_equal(got, samples)
+    # 8-bit unsigned WAV, hand-built, with a LIST chunk before data
+    u8 = np.array([0, 128, 255, 64], dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+            + b"data" + struct.pack("<I", 4) + u8.tobytes())
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = multimodal.decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(got[:, 0], (u8.astype(np.int16) - 128) << 8)
+    with pytest.raises(ValueError, match="format_tag"):
+        bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # 85=mp3
+        multimodal.decode_wav(
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + bad_fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+
+
+def test_y4m_roundtrip_luma_exact():
+    """encode_y4m → decode_y4m returns the exact luma planes for 420/444/
+    mono; per-frame FRAME parameters and truncation are handled per spec."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (4, 12, 10), dtype=np.uint8)
+    for cs in ("420", "444", "mono"):
+        got, fps, got_cs = multimodal.decode_y4m(
+            multimodal.encode_y4m(frames, (30, 1), cs)
+        )
+        assert got_cs == cs and fps == (30, 1)
+        assert np.array_equal(got, frames), cs
+    # frame marker with parameters (allowed by spec) still parses
+    y4m = multimodal.encode_y4m(frames[:1], (25, 1), "mono")
+    with_param = y4m.replace(b"FRAME\n", b"FRAME Xsomething\n")
+    got, _, _ = multimodal.decode_y4m(with_param)
+    assert np.array_equal(got[0], frames[0])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(y4m[:-5])
+    with pytest.raises(ValueError, match="colorspace"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 C422\nFRAME\n" + bytes(32))
+
+
+def test_decode_audio_end_to_end(spark):
+    """synth_media audio rows are REAL WAVs: decode_audio recovers rate and
+    duration distributed-side matching the driver-side reference decode;
+    compressed-codec rows (every 11th) land in decode_error."""
+    media = multimodal.synth_media(spark, 60)
+    got = {r.media_id: r for r in multimodal.decode_audio(media).collect()}
+    audio_ids = [i for i in range(60) if i % 3 == 1]
+    assert sorted(got) == audio_ids
+    for i in audio_ids:
+        r = got[i]
+        if i % 11 == 0:
+            assert r.decode_error is not None and r.sample_rate is None
+            continue
+        wav, rate, dur = multimodal.synth_audio(i)
+        ref, ref_rate = multimodal.decode_wav(wav)
+        x = ref.astype(np.float64) / 32768.0
+        assert r.decode_error is None
+        assert (r.sample_rate, r.channels, r.n_samples) == (rate, ref.shape[1], ref.shape[0])
+        assert r.duration_ms == dur
+        assert r.rms == round(float(np.sqrt((x**2).mean())), 6)
+        assert r.peak > 0.3  # the synth sine peaks near full scale
+
+
+def test_decode_frames_end_to_end(spark):
+    """synth_media video rows are REAL y4m clips: decode_frames emits one
+    row per sampled frame with luma stats matching a driver-side decode;
+    every_n subsampling and the compressed-codec error path both work."""
+    media = multimodal.synth_media(spark, 60)
+    rows = multimodal.decode_frames(media, every_n=2).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    video_ids = [i for i in range(60) if i % 3 == 2]
+    assert sorted(by_id) == video_ids
+    for i in video_ids:
+        if i % 11 == 0:
+            (r,) = by_id[i]
+            assert r.decode_error is not None and r.frame_idx is None
+            continue
+        y4m, w, h, nf, _dur = multimodal.synth_video(i)
+        ref, _, _ = multimodal.decode_y4m(y4m)
+        sampled = sorted(by_id[i], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in sampled] == list(range(0, nf, 2))
+        for r in sampled:
+            assert (r.width, r.height) == (w, h)
+            fl = ref[r.frame_idx].astype(np.float64)
+            assert r.luma_mean == round(float(fl.mean()), 6)
+            assert r.luma_std == round(float(fl.std()), 6)
 
 
 def test_neardup_filter_keeps_canonical(spark):

@@ -1,6 +1,6 @@
 """Training-data pipeline functions: text analysis, deduplication,
-similarity search, multimodal columns (real PNG/PPM decode + feature
-extraction over Arrow batches)."""
+similarity search, multimodal columns (real PNG/PPM + WAV/PCM + y4m decode
+and feature extraction over Arrow batches)."""
 
 from vector_spark.functions.text import (
     whitespace_token_count,
@@ -29,6 +29,17 @@ from vector_spark.functions.dedup import (
     connected_components,
     neardup_filter_cc,
 )
+from vector_spark.functions.multimodal import (
+    synth_media,
+    decode_image,
+    decode_wav,
+    decode_y4m,
+    decode_images,
+    decode_audio,
+    decode_frames,
+    extract_features,
+    frame_sample,
+)
 from vector_spark.functions.similarity import (
     cosine_expr,
     brute_force_topk,
@@ -49,6 +60,9 @@ __all__ = [
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",
     "connected_components", "neardup_filter_cc",
+    "synth_media", "decode_image", "decode_wav", "decode_y4m",
+    "decode_images", "decode_audio", "decode_frames", "extract_features",
+    "frame_sample",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
     "build_ivf_index", "load_ivf_index", "ivf_search",
