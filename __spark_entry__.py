@@ -333,6 +333,70 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_modular(docs).select("doc_id", "fingerprint")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals.  The synthetic docs are single-line,
+    # so the query deterministically re-lines them (2 words per line via one
+    # regexp_replace, identical on the oracle side) and appends a
+    # '#'-free/'...' decoration to every 7th doc so the symbol and ellipsis
+    # signals are non-vacuous by construction.
+    from vector_spark.functions import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace("text", r"(\S+ \S+) ", "$1\n"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nsee more ...")).otherwise(F.lit("")),
+        ),
+    )
+    return repetition_features(lined).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "symbol_word_ratio", "ellipsis_line_frac",
+    )
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style paragraph dedup over deterministically re-lined docs
+    # (3-word paragraphs → 1413 of 7460 distinct paragraphs are shared by
+    # ≥2 docs at sf0.01, so the query is non-vacuous: boilerplate drops,
+    # unique content survives, docs reassemble in original order).
+    from vector_spark.functions import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
+    )
+    out = paragraph_dedup(lined, "doc_id")
+    return out.select("doc_id", F.sha2("text", 256).alias("text_sha"), "n_paras_kept")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub: the corpus is digit-free word soup, so the query plants a
+    # deterministic email + IPv4 in every doc and an SSN / US phone /
+    # credit-card in residue classes of doc_id — the redaction chain must
+    # catch all five shapes (and must NOT touch 'version 1.2.3'-like text,
+    # pinned by the unit test).
+    from vector_spark.functions import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    decorated = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call (555) 867-5309")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(decorated).select("doc_id", "text")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -596,7 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_redact_pii": q_redact_pii,
         "dedup_exact": q_dedup_exact,
+        "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
@@ -677,6 +744,18 @@ def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
     """
+
+
+def _redact_sql_expr(col: str) -> str:
+    """Nested DuckDB regexp_replace chain built from the canonical
+    PII_PATTERNS list, so the oracle applies the exact pattern strings in
+    the exact order the Spark operator does — parity by construction."""
+    from vector_spark.functions.text import PII_PATTERNS
+
+    expr = col
+    for marker, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{marker}', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1001,6 +1080,98 @@ def oracle_sql() -> dict[str, str]:
                          t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
                      (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
             FROM documents
+        """,
+        # Re-line to 2-word lines + decorate every 7th doc, then recompute
+        # every Gopher signal relationally (unnest + GROUP BY) — a deliberately
+        # DIFFERENT formulation from Spark's map-only higher-order functions,
+        # so agreement checks the semantics, not a shared implementation.
+        "text_repetition": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g')
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'see more ...'
+                             ELSE '' END AS t
+              FROM documents),
+            lines_un AS (
+              SELECT doc_id, trim(x.line) AS line
+              FROM lined, unnest(string_split(t, chr(10))) AS x(line)
+              WHERE trim(x.line) <> ''),
+            lc AS (
+              SELECT doc_id, line, COUNT(*) AS k, LENGTH(line) AS ln
+              FROM lines_un GROUP BY doc_id, line),
+            lstats AS (
+              SELECT doc_id,
+                     SUM(k) AS n_lines,
+                     SUM(k) - COUNT(*) AS n_dup,
+                     SUM(k * ln) AS line_chars,
+                     SUM((k - 1) * ln) AS dup_chars,
+                     SUM(CASE WHEN ends_with(line, '...') OR ends_with(line, '…')
+                              THEN k ELSE 0 END) AS ell
+              FROM lc GROUP BY doc_id),
+            words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(t), '\s+'), w -> w <> '') AS w,
+                     LENGTH(t) AS n_chars,
+                     len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_sym
+              FROM lined),
+            grams AS (
+              SELECT doc_id, w[i.i] || ' ' || w[i.i + 1] AS g
+              FROM words, unnest(generate_series(1, len(w) - 1)) AS i(i)
+              WHERE len(w) >= 2),
+            gc AS (SELECT doc_id, g, COUNT(*) AS k FROM grams GROUP BY doc_id, g),
+            gtop AS (SELECT doc_id, MAX(k * LENGTH(g)) AS topchars FROM gc GROUP BY doc_id)
+            SELECT l.doc_id,
+                   l.n_lines::INT AS n_lines,
+                   ROUND(l.n_dup / l.n_lines::DOUBLE, 6) AS dup_line_frac,
+                   ROUND(l.dup_chars / l.line_chars::DOUBLE, 6) AS dup_line_char_frac,
+                   ROUND(g.topchars / w.n_chars::DOUBLE, 6) AS top_2gram_char_frac,
+                   ROUND(w.n_sym / len(w.w)::DOUBLE, 6) AS symbol_word_ratio,
+                   ROUND(l.ell / l.n_lines::DOUBLE, 6) AS ellipsis_line_frac
+            FROM lstats l
+            JOIN words w USING (doc_id)
+            JOIN gtop g USING (doc_id)
+        """,
+        # Same decoration as the Spark query, then the SAME regex chain in
+        # the SAME canonical order (built from PII_PATTERNS, so the two
+        # sides cannot drift) — patterns restrict to the Java-regex ∩ RE2
+        # dialect, which is what makes one pattern string drive both engines.
+        "text_redact_pii": f"""
+            WITH dec AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                     || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.7'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' call (555) 867-5309' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+                     AS t
+              FROM documents)
+            SELECT doc_id, {_redact_sql_expr("t")} AS text FROM dec
+        """,
+        # Paragraph counts by the paragraph STRING where Spark groups by
+        # xxhash64 of it — agreement additionally witnesses that no hash
+        # collision merged two distinct paragraphs at this scale.
+        "dedup_paragraph": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+              FROM documents),
+            split AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+            paras AS (
+              SELECT doc_id, i.i AS pos, trim(ls[i.i]) AS para
+              FROM split, unnest(generate_series(1, len(ls))) AS i(i)),
+            pn AS (SELECT doc_id, pos, para FROM paras WHERE para <> ''),
+            hot AS (
+              SELECT para FROM pn GROUP BY para
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT doc_id, pos, para FROM pn
+              WHERE para NOT IN (SELECT para FROM hot))
+            SELECT doc_id,
+                   sha256(string_agg(para, chr(10) ORDER BY pos)) AS text_sha,
+                   COUNT(*)::BIGINT AS n_paras_kept
+            FROM kept GROUP BY doc_id
         """,
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (

@@ -348,6 +348,81 @@ def test_decode_images_end_to_end(spark):
     assert row.decode_error is not None and row.width is None
 
 
+def test_repetition_features_hand_computed(spark):
+    """Gopher-style signals against hand-computed values on a crafted doc."""
+    text = "spam line\nreal text here\nspam line\n\nend ...\nspam line"
+    # lines: [spam line, real text here, spam line, end ..., spam line]
+    # 5 lines, 3 distinct → dup_line_frac 2/5; dup chars: "spam line"(9)×2
+    # extra copies = 18 of 9+14+9+7+9=48 line chars
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)], "id int, text string")
+    rows = {r.id: r for r in VF.repetition_features(df).collect()}
+    r = rows[1]
+    assert r.n_lines == 5
+    assert r.dup_line_frac == round(2 / 5, 6)
+    assert r.dup_line_char_frac == round(18 / 48, 6)
+    assert r.ellipsis_line_frac == round(1 / 5, 6)
+    # words: spam line real text here spam line end ... spam line (11)
+    # top 2-gram: "spam line" ×3 · len 9 = 27 over 50 non-sep chars? use len(text)
+    assert r.top_2gram_char_frac == round(3 * 9 / len(text), 6)
+    assert r.symbol_word_ratio == round(1 / 11, 6)
+    for i in (2, 3):  # empty/null: all-zero, no div-by-zero
+        assert rows[i].n_lines == 0 and rows[i].dup_line_frac == 0.0
+
+
+def test_redact_pii(spark):
+    cases = [
+        (1, "mail bob.smith+x@example.co.uk now", "mail <EMAIL> now"),
+        (2, "card 4111-1111-1111-1111 or 4111111111111111", "card <CC> or <CC>"),
+        (3, "ssn 123-45-6789 phone 555-123-4567 alt (555) 123 4567",
+         "ssn <SSN> phone <PHONE> alt <PHONE>"),
+        (4, "host 192.168.0.1 version 1.2.3 stays", "host <IP> version 1.2.3 stays"),
+        (5, "clean text 12345", "clean text 12345"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id int, text string")
+    got = {r.id: r.text for r in VF.redact_pii(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+    # kinds subsetting: only emails touched
+    sub = {r.id: r.text for r in VF.redact_pii(df, kinds=["<EMAIL>"]).collect()}
+    assert sub[3] == cases[2][1]
+    assert sub[1] == "mail <EMAIL> now"
+
+
+def test_paragraph_dedup(spark):
+    """Boilerplate paragraph shared by 3 docs drops everywhere; doc order is
+    preserved; all-boilerplate doc vanishes (or returns '' with
+    keep_empty); output is partition-layout invariant."""
+    boiler = "accept cookies to continue"
+    docs = [
+        (1, f"intro one\n{boiler}\nbody one"),
+        (2, f"{boiler}\nbody two"),
+        (3, f"body three\n{boiler}"),
+        (4, boiler),
+        (5, "unique doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in VF.paragraph_dedup(df, "doc_id").collect()}
+    assert sorted(out) == [1, 2, 3, 5]
+    assert out[1].text == "intro one\nbody one" and out[1].n_paras_kept == 2
+    assert out[2].text == "body two"
+    assert out[3].text == "body three"
+    assert out[5].text == "unique doc"
+    kept = {r.doc_id: r for r in VF.paragraph_dedup(df, "doc_id", keep_empty=True).collect()}
+    assert kept[4].text == "" and kept[4].n_paras_kept == 0
+    # repartition invariance (the reassembly sorts by position)
+    a = VF.paragraph_dedup(df.repartition(1), "doc_id").collect()
+    b = VF.paragraph_dedup(df.repartition(16), "doc_id").collect()
+    assert sorted((r.doc_id, r.text) for r in a) == sorted((r.doc_id, r.text) for r in b)
+    # min_docs=3: the boilerplate hits 4 distinct docs, still dropped; a
+    # 2-doc repeat survives
+    two = spark.createDataFrame(
+        [(1, "x\nshared"), (2, "shared\ny"), (3, boiler), (4, boiler), (5, boiler)],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: r.text for r in VF.paragraph_dedup(two, "doc_id", min_docs=3).collect()}
+    assert out3 == {1: "x\nshared", 2: "shared\ny"}
+
+
 def test_wav_roundtrip_sample_exact():
     """encode_wav → decode_wav is sample-exact for mono/stereo; 8-bit WAV
     and chunk-walking (extra LIST chunk, odd-length padding) decode too."""

@@ -10,9 +10,12 @@ from vector_spark.functions.text import (
     lang_id,
     fingerprint,
     fingerprint_modular,
+    repetition_features,
+    redact_pii,
 )
 from vector_spark.functions.dedup import (
     exact_dedup,
+    paragraph_dedup,
     normalize_text,
     shingle_df,
     ngram_jaccard_pairs,
@@ -55,7 +58,8 @@ from vector_spark.functions.similarity import (
 __all__ = [
     "whitespace_token_count", "bpe_token_count", "quality_features",
     "quality_score", "lang_id", "fingerprint", "fingerprint_modular",
-    "exact_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
+    "repetition_features", "redact_pii",
+    "exact_dedup", "paragraph_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",

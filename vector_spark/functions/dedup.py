@@ -95,6 +95,70 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    keep_empty: bool = False,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every paragraph that occurs
+    (trimmed-identical) in ``min_docs`` or more DISTINCT documents, then
+    reassemble each document from its surviving paragraphs in original
+    order.  Boilerplate (nav bars, cookie banners, license footers) repeats
+    across pages; this removes it corpus-wide where document-level dedup
+    can't.
+
+    Execution shape: posexplode → ONE hash-agg on the paragraph key
+    (xxhash64 of the trimmed paragraph — 8-byte shuffle rows; the 2⁻⁶⁴
+    collision trade as exact_dedup's sha2-groupBy) counting distinct doc
+    ids → LEFT ANTI join of paragraphs against the hot-paragraph keys →
+    ONE reassembly shuffle on the doc id, ordering by the exploded position
+    via sort_array over (pos, para) structs, so output is partition-layout
+    invariant.  No driver-side state; the hot-key table is bare keys.
+
+    Documents whose every paragraph was boilerplate disappear from the
+    output unless ``keep_empty=True`` (then they come back with '' text and
+    n_paras_kept=0).  Output: (id_col, text_col, n_paras_kept)."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    paras = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias("_pos", "_para"))
+        .withColumn("_para", F.trim("_para"))
+        .filter(F.col("_para") != "")
+        .withColumn("_k", F.xxhash64("_para"))
+    )
+    hot = (
+        paras.groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_k")
+    )
+    kept = paras.join(hot, "_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    if not keep_empty:
+        return rebuilt
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        )
+    )
+
+
 def shingle_df(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, unit: str = "char"
 ) -> DataFrame:
