@@ -397,6 +397,39 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(decorated).select("doc_id", "text")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: the "eval set" is synthesized from the
+    # corpus itself (words 3-12 of every 50th doc, normalized), so every
+    # 50th doc is contaminated BY CONSTRUCTION and the 8-gram broadcast
+    # semi-join must find exactly those (plus any true cross-doc 8-gram
+    # repeats — the oracle computes the same ground truth relationally).
+    from vector_spark.functions import decontaminate
+    from vector_spark.functions.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(normalize_text("text"), " ")
+    bench = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.size(w) >= 12))
+        .select(F.concat_ws(" ", F.slice(w, 3, 10)).alias("text"))
+    )
+    out = decontaminate(docs, bench, "doc_id", n=8, unit="word")
+    return out.select("doc_id", "n_contaminated_grams", "contaminated")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-mixing sample: per-language keep rates, md5 hash method (the
+    # SQL-recomputable twin of the xxhash64 fast path) so the oracle can
+    # reproduce exact membership, not just rates.
+    from vector_spark.functions import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "lang", {"en": 0.6, "zh": 0.3}, "doc_id",
+        default_fraction=0.1, seed="mix1", method="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -662,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_redact_pii,
+        "text_decontaminate": q_decontaminate,
+        "sample_stratified": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1148,6 +1183,42 @@ def oracle_sql() -> dict[str, str]:
                      AS t
               FROM documents)
             SELECT doc_id, {_redact_sql_expr("t")} AS text FROM dec
+        """,
+        # Decontamination ground truth recomputed relationally: the same
+        # normalization as the Jaccard oracle, benchmark = words 3-12 of
+        # every 50th doc, 8-gram overlap counted on STRINGS (witnessing the
+        # Spark side's xxhash64 grams collision-free here).
+        "text_decontaminate": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            bench AS (
+              SELECT string_split(array_to_string(w[3:12], ' '), ' ') AS bw
+              FROM norm WHERE doc_id % 50 = 0 AND len(w) >= 12),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(bw[i.i:i.i+7], ' ') AS g
+              FROM bench, unnest(generate_series(1, len(bw) - 7)) AS i(i)),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS g
+              FROM norm, unnest(generate_series(1, len(w) - 7)) AS i(i)
+              WHERE len(w) >= 8),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n FROM dgrams JOIN bgrams USING (g)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0)::BIGINT AS n_contaminated_grams,
+                   COALESCE(h.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # Exact sample membership (not just rates): the md5-prefix bucket is
+        # recomputed verbatim, so a single off-by-one row fails the hash.
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 7))::BIGINT
+                   % 1000000) / 1000000.0
+                  < CASE lang WHEN 'en' THEN 0.6 WHEN 'zh' THEN 0.3 ELSE 0.1 END
         """,
         # Paragraph counts by the paragraph STRING where Spark groups by
         # xxhash64 of it — agreement additionally witnesses that no hash

@@ -423,6 +423,59 @@ def test_paragraph_dedup(spark):
     assert out3 == {1: "x\nshared", 2: "shared\ny"}
 
 
+def test_decontaminate(spark):
+    """A doc sharing an 8-word-gram with the benchmark is flagged/dropped;
+    near-miss (7 shared words) is clean; counts are distinct-gram counts."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro tail words here"),
+            (2, "totally unrelated content with plenty of words to shingle"),
+            (3, f"prefix alpha beta gamma delta epsilon zeta eta NOPE suffix pad"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(f"q {span} answer",)], "text string")
+    flagged = {r.doc_id: r for r in
+               VF.decontaminate(docs, bench, "doc_id", n=8).collect()}
+    assert flagged[1].contaminated and flagged[1].n_contaminated_grams == 1
+    assert not flagged[2].contaminated and flagged[2].n_contaminated_grams == 0
+    assert not flagged[3].contaminated  # 7-word overlap ≠ an 8-gram match
+    clean = {r.doc_id for r in
+             VF.decontaminate(docs, bench, "doc_id", n=8, mode="drop").collect()}
+    assert clean == {2, 3}
+    with pytest.raises(ValueError, match="mode"):
+        VF.decontaminate(docs, bench, "doc_id", mode="purge")
+
+
+def test_stratified_sample(spark):
+    """Per-stratum rates hit within tolerance; determinism across
+    partitionings and hash methods; monotone in the rate; bad rates raise."""
+    import vector_spark.functions.sampling as S
+
+    df = spark.createDataFrame(
+        [(i, ("en", "de", "zh")[i % 3]) for i in range(6000)], "id long, lang string"
+    )
+    fr = {"en": 0.5, "de": 0.2}
+    out = S.stratified_sample(df, "lang", fr, "id", default_fraction=0.05)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] - 1000) < 120 and abs(counts["de"] - 400) < 100
+    assert counts.get("zh", 0) < 220
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in S.stratified_sample(
+        df.repartition(17), "lang", fr, "id", default_fraction=0.05).collect())
+    assert a == b
+    # monotone: the 0.2 sample is a subset of the 0.5 sample per stratum
+    lo = {r.id for r in S.stratified_sample(df, "lang", {"en": 0.2}, "id").collect()}
+    hi = {r.id for r in S.stratified_sample(df, "lang", {"en": 0.5}, "id").collect()}
+    assert lo <= hi
+    # md5 twin is deterministic too and close in rate
+    m = S.stratified_sample(df, "lang", fr, "id", default_fraction=0.05, method="md5")
+    assert abs(m.filter("lang = 'en'").count() - 1000) < 120
+    with pytest.raises(ValueError, match="fraction"):
+        S.stratified_sample(df, "lang", {"en": 1.5}, "id")
+
+
 def test_wav_roundtrip_sample_exact():
     """encode_wav → decode_wav is sample-exact for mono/stereo; 8-bit WAV
     and chunk-walking (extra LIST chunk, odd-length padding) decode too."""

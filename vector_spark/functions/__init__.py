@@ -31,7 +31,9 @@ from vector_spark.functions.dedup import (
     neardup_filter,
     connected_components,
     neardup_filter_cc,
+    decontaminate,
 )
+from vector_spark.functions.sampling import stratified_sample
 from vector_spark.functions.multimodal import (
     synth_media,
     decode_image,
@@ -63,7 +65,8 @@ __all__ = [
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",
-    "connected_components", "neardup_filter_cc",
+    "connected_components", "neardup_filter_cc", "decontaminate",
+    "stratified_sample",
     "synth_media", "decode_image", "decode_wav", "decode_y4m",
     "decode_images", "decode_audio", "decode_frames", "extract_features",
     "frame_sample",

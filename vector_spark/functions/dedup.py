@@ -189,6 +189,64 @@ def shingle_df(
     return with_s.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    unit: str = "word",
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) training documents that
+    share any normalized word/char ``n``-gram with an evaluation set — the
+    standard pre-training hygiene pass (GPT-3 used 13-gram, PaLM 8-gram
+    overlap; both public).  A contaminated doc inflates benchmark scores
+    without the model being better, so this runs before training-set
+    freeze, with the benchmark side being every eval set you report on.
+
+    Scale shape: the benchmark is SMALL by definition (eval sets are
+    thousands of rows), so its distinct gram hashes are collected into a
+    broadcast and the corpus side is ONE map-side hash-semi-join over its
+    exploded grams followed by one count agg on the doc id — the corpus
+    text is never shuffled.  Grams are xxhash64'd (8-byte broadcast
+    entries; the 2⁻⁶⁴ collision trade as elsewhere in this module).
+
+    ``mode='flag'`` returns every doc with ``n_contaminated_grams`` and a
+    ``contaminated`` bool (≥ ``min_hits``); ``mode='drop'`` returns the
+    clean corpus rows only."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"unknown mode {mode!r} (expected flag|drop)")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    bench_grams = (
+        shingle_df(
+            benchmark.select(F.monotonically_increasing_id().alias("_bid"), bench_text_col),
+            "_bid", bench_text_col, n, unit,
+        )
+        .select(F.xxhash64("shingle").alias("_g"))
+        .distinct()
+    )
+    doc_grams = shingle_df(docs, id_col, text_col, n, unit).select(
+        id_col, F.xxhash64("shingle").alias("_g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    if mode == "drop":
+        dirty = hits.filter(F.col("n_contaminated_grams") >= min_hits).select(id_col)
+        return docs.join(dirty, id_col, "left_anti")
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_contaminated_grams", F.coalesce("n_contaminated_grams", F.lit(0)))
+        .withColumn("contaminated", F.col("n_contaminated_grams") >= min_hits)
+    )
+
+
 def _jaccard_pipeline(
     df: DataFrame,
     id_col: str,
