@@ -290,3 +290,128 @@ def statsd_source(spark: SparkSession, address: str = "0.0.0.0:8125", mode: str 
     default mode is udp — Spark is TCP-only, so pass mode='tcp' and front
     udp with an agent)."""
     return statsd_parse(socket_source(spark, address, mode))
+
+
+#: Prometheus exposition format (text/plain version 0.0.4, public spec):
+#:   metric_name{label="value",...} value [timestamp_ms]
+_PROM_SAMPLE_RE = r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{.*\})?\s+(\S+)(?:\s+(-?\d+))?\s*$'
+_PROM_LABEL_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+_PROM_TYPE_RE = r"^# TYPE ([a-zA-Z_:][a-zA-Z0-9_:]*) (counter|gauge|histogram|summary|untyped)\s*$"
+
+
+def _prom_unescape(v):
+    """Label-value unescape per the exposition spec: backslash-backslash →
+    backslash, backslash-quote → quote, backslash-n → newline.  The
+    backslash pair is routed through a private-use placeholder first so a
+    literal backslash followed by 'n' does NOT decode to a newline."""
+    ph = "\ue000"  # private-use codepoint; cannot appear in scraped ASCII text
+    v = F.regexp_replace(v, r"\\\\", ph)
+    v = F.regexp_replace(v, r'\\"', '"')
+    v = F.regexp_replace(v, r"\\n", "\n")
+    return F.regexp_replace(v, ph, r"\\")
+
+
+def prometheus_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """Prometheus exposition lines → metric sample rows
+    (name, labels map, value, timestamp_ms) — pure regexp/codegen, the
+    statsd_parse shape.
+
+    Comment (`# HELP`/`# TYPE`) and blank lines are DROPPED (they are
+    metadata, not samples — recover TYPE associations with
+    :func:`prometheus_types`); any other non-matching line yields NULL name
+    so callers can route malformed input instead of losing it.  `+Inf` /
+    `-Inf` / `NaN` sample values map to their IEEE doubles per spec."""
+    msg = F.col(message_col)
+    keep = [c for c in df.columns if c != message_col]
+    df = df.filter(~F.trim(msg).startswith("#") & (F.trim(msg) != ""))
+    labels_blk = F.regexp_extract(msg, _PROM_SAMPLE_RE, 2)
+    raw_v = F.regexp_extract(msg, _PROM_SAMPLE_RE, 3)
+    value = (
+        F.when(raw_v == "+Inf", F.lit(float("inf")))
+        .when(raw_v == "-Inf", F.lit(float("-inf")))
+        .when(raw_v == "NaN", F.lit(float("nan")))
+        .otherwise(raw_v.try_cast("double"))
+    )
+    return df.select(
+        *keep,
+        F.nullif(F.regexp_extract(msg, _PROM_SAMPLE_RE, 1), F.lit("")).alias("name"),
+        F.map_from_arrays(
+            F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(1)),
+            F.transform(
+                F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(2)),
+                _prom_unescape,
+            ),
+        ).alias("labels"),
+        value.alias("value"),
+        F.nullif(F.regexp_extract(msg, _PROM_SAMPLE_RE, 4), F.lit(""))
+        .try_cast("long")
+        .alias("timestamp_ms"),
+    )
+
+
+def prometheus_types(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """`# TYPE family type` lines → (name, metric_type) rows, for a
+    broadcast join back onto the samples (histogram/summary series carry
+    the family name plus _bucket/_sum/_count suffixes — joining is the
+    caller's policy choice, as in a real scraper)."""
+    msg = F.col(message_col)
+    return (
+        df.select(
+            F.nullif(F.regexp_extract(msg, _PROM_TYPE_RE, 1), F.lit("")).alias("name"),
+            F.nullif(F.regexp_extract(msg, _PROM_TYPE_RE, 2), F.lit("")).alias("metric_type"),
+        )
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+
+
+def prometheus_scrape_source(
+    spark: SparkSession,
+    endpoints: list[str],
+    timeout_s: float = 5.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """`prometheus_scrape` source (PrometheusScrapeSourceForm: endpoint
+    list + scrape interval; this is the batch analog of one scrape tick).
+
+    Scale shape: the ENDPOINT LIST parallelizes — each executor task
+    fetches its own slice of targets over HTTP (mapInPandas; thousands of
+    scrape targets is a small DataFrame, one GET per row), splits the body
+    into lines, and the sample parse is the same codegen regex as
+    prometheus_parse.  Unreachable targets become rows with
+    `scrape_error` set, not task failures — a fleet scrape must tolerate
+    down instances.  Returns (endpoint, name, labels, value, timestamp_ms,
+    scrape_error)."""
+    n_parts = partitions or min(len(endpoints), spark.sparkContext.defaultParallelism) or 1
+    edf = spark.createDataFrame([(e,) for e in endpoints], "endpoint string").repartition(n_parts)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.request import urlopen
+
+        for pdf in batches:
+            out = {"endpoint": [], "message": [], "scrape_error": []}
+            for ep in pdf["endpoint"]:
+                try:
+                    with urlopen(ep, timeout=timeout_s) as r:
+                        body = r.read().decode("utf-8", errors="replace")
+                    for line in body.splitlines():
+                        out["endpoint"].append(ep)
+                        out["message"].append(line)
+                        out["scrape_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — any target failure is data
+                    out["endpoint"].append(ep)
+                    out["message"].append("")
+                    out["scrape_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    lines = edf.mapInPandas(fetch, "endpoint string, message string, scrape_error string")
+    ok = prometheus_parse(lines.filter(F.col("scrape_error").isNull()), "message")
+    failed = lines.filter(F.col("scrape_error").isNotNull()).select(
+        "endpoint",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("map<string,string>").alias("labels"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("timestamp_ms"),
+        "scrape_error",
+    )
+    return ok.withColumn("scrape_error", F.lit(None).cast("string")).unionByName(failed)
