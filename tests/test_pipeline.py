@@ -358,3 +358,65 @@ def test_file_sink_logfmt_codec(spark, tmp_path):
     file_sink(df, out, codec="logfmt", partition_by=["part"])
     lines = [r.value for r in spark.read.text(f"{out}/part=a").collect()]
     assert lines == ['message="hello world" level=error']
+
+
+def test_telemetry_source_types_compile(spark, tmp_path):
+    """host_metrics / prometheus_scrape / opentelemetry source types compile
+    from TOML and produce typed rows (config_panel.rs:1290-1415 palette)."""
+    import json
+
+    (tmp_path / "loadavg").write_text("0.10 0.20 0.30 1/2 3\n")
+    (tmp_path / "uptime").write_text("100.0 200.0\n")
+    otlp_body = json.dumps({
+        "resourceLogs": [{
+            "resource": {"attributes": []},
+            "scopeLogs": [{
+                "scope": {"name": "s"},
+                "logRecords": [{
+                    "timeUnixNano": "1700000000000000000",
+                    "severityText": "Info",
+                    "body": {"stringValue": "hi"},
+                    "attributes": [],
+                }],
+            }],
+        }]
+    })
+    toml = f"""
+[sources.host]
+type = "host_metrics"
+collectors = ["load", "uptime"]
+proc_root = "{tmp_path}"
+
+[sources.otel]
+type = "opentelemetry"
+events = ['{otlp_body.replace("'", "''")}']
+
+[sinks.host_out]
+type = "console"
+inputs = ["host"]
+
+[sinks.otel_out]
+type = "console"
+inputs = ["otel"]
+"""
+    outs = Pipeline.from_toml(toml).build(spark)
+    host_rows = {r["name"]: r["value"] for r in outs["host_out"].collect()}
+    assert host_rows["load5"] == pytest.approx(0.20)
+    assert host_rows["uptime_seconds"] == pytest.approx(100.0)
+    otel_rows = outs["otel_out"].collect()
+    assert len(otel_rows) == 1 and otel_rows[0]["body"] == "hi"
+
+
+def test_prometheus_scrape_source_requires_endpoints():
+    toml = """
+[sources.prom]
+type = "prometheus_scrape"
+
+[sinks.out]
+type = "console"
+inputs = ["prom"]
+"""
+    import vector_spark.session as sess
+
+    with pytest.raises(PipelineError, match="endpoints"):
+        Pipeline.from_toml(toml).build(sess.get_spark())

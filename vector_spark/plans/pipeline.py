@@ -281,6 +281,43 @@ class Pipeline:
                 kwargs["codec"] = decoding.get("codec", "bytes")
                 kwargs["schema"] = o.get("decoding_schema")
             return fn(spark, **kwargs)
+        if t == "host_metrics":
+            from vector_spark.sources.host_metrics import COLLECTORS, host_metrics_source
+
+            return host_metrics_source(
+                spark,
+                collectors=tuple(o.get("collectors", COLLECTORS)),
+                proc_root=o.get("proc_root", "/proc"),
+                mounts=tuple(o.get("mounts", ("/",))),
+            )
+        if t == "prometheus_scrape":
+            endpoints = o.get("endpoints") or []
+            if not endpoints:
+                raise PipelineError([ValidationIssue(
+                    "INVALID_INPUT",
+                    f"prometheus_scrape source '{st.name}' needs a non-empty endpoints list",
+                    st.name,
+                )])
+            return src_mod.prometheus_scrape_source(
+                spark, list(endpoints), timeout_s=float(o.get("scrape_timeout_secs", 5.0))
+            )
+        if t == "opentelemetry":
+            # The reference's OTLP listener; here the decode stage over either
+            # spooled request bodies (path glob, one body per file) or inline
+            # bodies (events) — the live-ingest transport is http_server.
+            from vector_spark.sources.otlp import otlp_logs_parse
+
+            if o.get("path"):
+                bodies = (
+                    spark.read.option("wholetext", True)
+                    .text(o["path"])
+                    .withColumnRenamed("value", "message")
+                )
+            else:
+                bodies = spark.createDataFrame(
+                    [(b,) for b in o.get("events", [])], "message string"
+                )
+            return otlp_logs_parse(bodies)
         if t == "kafka":
             from vector_spark.streaming import kafka as kafka_mod
 
