@@ -430,6 +430,95 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prometheus exposition decode (sources/__init__.py prometheus_parse):
+    # every event becomes one scrape line synthesized deterministically —
+    # every 10th label-less, the rest carrying a `note` label whose written
+    # form exercises all three spec escapes (\" quote, \\n literal
+    # backslash-n, \n real newline); three comment/blank lines are unioned
+    # in and must vanish.  The oracle recomputes the RAW field values
+    # directly from the columns, so the parse (incl. unescaping) is checked
+    # against ground truth, not against itself.
+    from vector_spark.sources import prometheus_parse
+
+    ev = _ev(spark, sf_dir)
+    labeled = F.format_string(
+        'app_%s_total{user="%d",note="q\\"%d\\" b\\\\n e\\n"} %d.5 %d',
+        "event_type", "user_id", "user_id", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")),
+    )
+    bare = F.format_string(
+        "app_%s_total %d.5 %d", "event_type", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    scrape = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, bare).otherwise(labeled).alias("message"),
+    )
+    noise = spark.createDataFrame(
+        [(-1, "# TYPE app_error_total counter"),
+         (-2, "# HELP app_error_total Errors seen."),
+         (-3, "   ")],
+        "event_id bigint, message string",
+    )
+    out = prometheus_parse(scrape.unionByName(noise))
+    return out.select(
+        "event_id",
+        "name",
+        F.col("labels")["user"].alias("label_user"),
+        F.col("labels")["note"].alias("label_note"),
+        "value",
+        "timestamp_ms",
+    )
+
+
+def q_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OTLP/JSON logs decode (sources/otlp.py): each event is wrapped into a
+    # spec-shaped LogsData export body (resource attr = event_type, record
+    # attr = user_id as a proto3-JSON intValue string, severity from
+    # event_type, timeUnixNano = micros×1000) and parsed back; the oracle
+    # computes the flattened record directly from the columns.
+    from vector_spark.sources.otlp import otlp_logs_parse
+
+    ev = _ev(spark, sf_dir)
+    kv = lambda key, val: F.struct(F.lit(key).alias("key"), val.alias("value"))  # noqa: E731
+    record = F.struct(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string").alias("timeUnixNano"),
+        F.when(F.col("event_type") == "error", F.lit(17)).otherwise(F.lit(9)).alias("severityNumber"),
+        F.when(F.col("event_type") == "error", F.lit("Error")).otherwise(F.lit("Info")).alias("severityText"),
+        F.struct(F.col("props").alias("stringValue")).alias("body"),
+        F.array(kv("user_id", F.struct(F.col("user_id").cast("string").alias("intValue")))).alias("attributes"),
+    )
+    body = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(kv("service.name", F.struct(F.col("event_type").alias("stringValue")))).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("app").alias("name")).alias("scope"),
+                            F.array(record).alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+    out = otlp_logs_parse(ev.select("event_id", body.alias("message")))
+    return out.select(
+        "event_id",
+        # session TZ is UTC, so the tz→ntz cast is the identity on wall time
+        F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["user_id"].alias("attr_user"),
+        F.col("resource")["service.name"].alias("resource_service"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -697,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_redact_pii,
         "text_decontaminate": q_decontaminate,
         "sample_stratified": q_stratified_sample,
+        "src_prom_scrape": q_prom_scrape,
+        "src_otlp_logs": q_otlp_logs,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1219,6 +1310,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 7))::BIGINT
                    % 1000000) / 1000000.0
                   < CASE lang WHEN 'en' THEN 0.6 WHEN 'zh' THEN 0.3 ELSE 0.1 END
+        """,
+        # Ground truth for the prometheus decode: the RAW (unescaped) label
+        # values computed directly from the columns.  In DuckDB standard
+        # string literals backslash is literal, so 'b\n e' below is
+        # backslash-n and chr(10) supplies the real newline.
+        "src_prom_scrape": """
+            SELECT event_id,
+                   'app_' || event_type || '_total' AS name,
+                   CASE WHEN event_id % 10 = 0 THEN NULL
+                        ELSE CAST(user_id AS VARCHAR) END AS label_user,
+                   CASE WHEN event_id % 10 = 0 THEN NULL
+                        ELSE 'q"' || user_id || '" b\\n e' || chr(10) END AS label_note,
+                   CAST(event_id AS DOUBLE) + 0.5 AS value,
+                   epoch_ms(ts) AS timestamp_ms
+            FROM events
+        """,
+        "src_otlp_logs": """
+            SELECT event_id,
+                   ts AS timestamp,
+                   CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS severity_number,
+                   CASE WHEN event_type = 'error' THEN 'Error' ELSE 'Info' END AS severity_text,
+                   props AS body,
+                   CAST(user_id AS VARCHAR) AS attr_user,
+                   event_type AS resource_service
+            FROM events
         """,
         # Paragraph counts by the paragraph STRING where Spark groups by
         # xxhash64 of it — agreement additionally witnesses that no hash

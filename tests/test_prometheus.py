@@ -98,3 +98,32 @@ def test_prometheus_scrape_live(spark, metrics_endpoint):
     assert {r.name for r in ok} >= {"http_requests_total", "temperature_celsius"}
     assert len(errs) == 1 and errs[0].endpoint == dead
     assert errs[0].value is None
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n"),
+    max_size=40,
+)
+
+
+def _expo_escape(v: str) -> str:
+    """Writer-side escaping per the exposition spec."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+@given(st.lists(_label_text, min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_label_escape_roundtrip_property(spark, values):
+    """escape-on-write → prometheus_parse == identity for arbitrary label
+    values (newline-free generation; the newline arm itself is pinned by
+    the EXPO fixture's weird_label case)."""
+    rows = [
+        (i, f'm_total{{v="{_expo_escape(v)}"}} 1')
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "i int, message string")
+    got = {r["i"]: r["labels"]["v"] for r in prometheus_parse(df).collect()}
+    assert got == {i: v for i, v in enumerate(values)}
