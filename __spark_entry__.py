@@ -742,6 +742,166 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Flagship north-rule pipeline as oracle-checked contract rows.
+#
+# The driver tables lack the webpage shape, so both sides derive it from
+# `documents` with the SAME closed-form expressions (host rank, url, warc_ts
+# spread over hours, an html wrapper with a <script> payload).  The Spark
+# side then runs the REAL operators — parse_url, the byte-level
+# extract_text UDF, broadcast enrich, first-match tag_routes — and the
+# oracle recomputes every stage in ANSI SQL, including the full extraction
+# regex chain on an independent engine (DuckDB/RE2).  `flagship_routed` is
+# the routed-ROW-equality check (per-url extracted text hash-verified);
+# `flagship_agg` is the per-sink aggregate-count check (reference:
+# routed-row equality + per-sink aggregate tests,
+# ui/src/components/pipeline/config_panel.rs:1643-1667).
+# --------------------------------------------------------------------------
+
+_CC20 = [
+    "US", "DE", "FR", "ES", "CN", "RU", "GB", "JP", "BR", "IN",
+    "CA", "AU", "NL", "SE", "PL", "IT", "KR", "MX", "TR", "ZA",
+]
+_LANG_FAMILY = [
+    ("en", "germanic"), ("de", "germanic"), ("fr", "romance"),
+    ("es", "romance"), ("zh", "sinitic"), ("ru", "slavic"),
+]
+_EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the BASELINE input_hint shape (url, warc_ts, html, text,
+    lang), every derived column a closed-form function of doc_id so the
+    oracle reproduces identical bytes."""
+    docs = _docs(spark, sf_dir)
+    rank = F.col("doc_id") % 97
+    host = F.concat(F.lit("host-"), F.lpad(rank.cast("string"), 4, "0"))
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did).alias("url"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_2026) + (F.col("doc_id") * 487) % 86400
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>T"), did,
+                F.lit("</title><script>var x="), did,
+                F.lit(";</script></head><body><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def _flagship_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse → enrich → route over the derived webpage table, with inline
+    enrichment dims (geo keyed on host with deliberate gaps → null country;
+    lang→family dict)."""
+    from vector_spark.operators import enrich, extract_text, parse_url, tag_routes
+
+    pages = _webpages(spark, sf_dir)
+    # parse: host/path from url (codegen regexp) + byte-identical extraction
+    parsed = parse_url(pages, "url")
+    parsed = extract_text(parsed, "html", "extracted_text")
+    parsed = parsed.withColumn("content_bytes", F.octet_length("extracted_text"))
+    # enrich: broadcast left joins; geo has gaps (rank % 19 == 7 absent)
+    geo = spark.createDataFrame(
+        [("host-%04d" % r, _CC20[r % 20]) for r in range(97) if r % 19 != 7],
+        "host string, country string",
+    )
+    fam = spark.createDataFrame(_LANG_FAMILY, "lang string, family string")
+    enriched = enrich(enrich(parsed, geo, on="host"), fam, on="lang")
+    # route: first-match-wins fan-out on enriched columns
+    return tag_routes(
+        enriched,
+        {
+            "english": '.lang == "en"',
+            "european": '.family == "germanic" || .family == "romance" || .family == "slavic"',
+            "cjk": '.family == "sinitic"',
+        },
+    )
+
+
+def q_flagship_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _flagship_contract(spark, sf_dir)
+    return routed.select(
+        "doc_id", "url", "host", "lang", "country", "family", "route",
+        "extracted_text", "content_bytes",
+    )
+
+
+def q_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _flagship_contract(spark, sf_dir)
+    return routed.groupBy(
+        "route", "lang", "host", F.date_trunc("hour", "warc_ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("content_bytes").alias("byte_total"),
+    )
+
+
+# The oracle's independent re-implementation of the extraction contract
+# (extract.py `extract_text_bytes`) in RE2: backreference `</\1>` expanded
+# into explicit alternatives, `\s` expanded to the ASCII class [ \t\n\v\f\r]
+# (RE2's \s omits \v; Python-bytes/Java \s include it).
+_ORACLE_EXTRACT = r"""
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace({col},
+                    '(?is)<script\b[^>]*>.*?</script[ \t\n\v\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\v\f\r]*>',
+                    ' ', 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', chr(39)), '&amp;', '&'),
+              '[ \t\n\v\f\r]+', ' ', 'g'))
+"""
+
+_ORACLE_WEBPAGES = r"""
+          WITH pages AS (
+            SELECT doc_id, text, lang,
+                   'host-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') AS host,
+                   'https://host-' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + ((doc_id * 487) % 86400) * INTERVAL 1 SECOND AS warc_ts,
+                   '<html><head><title>T' || CAST(doc_id AS VARCHAR)
+                     || '</title><script>var x=' || CAST(doc_id AS VARCHAR)
+                     || ';</script></head><body><p>' || text
+                     || '</p></body></html>' AS html
+            FROM documents
+          ), extracted AS (
+            SELECT *, {extract} AS extracted_text,
+                   octet_length(encode({extract})) AS content_bytes
+            FROM pages
+          ), enriched AS (
+            SELECT e.*,
+                   CASE WHEN (doc_id % 97) % 19 = 7 THEN NULL
+                        ELSE (['US','DE','FR','ES','CN','RU','GB','JP','BR','IN',
+                               'CA','AU','NL','SE','PL','IT','KR','MX','TR','ZA']
+                             )[(doc_id % 97) % 20 + 1]
+                   END AS country,
+                   CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+                             WHEN 'fr' THEN 'romance'  WHEN 'es' THEN 'romance'
+                             WHEN 'zh' THEN 'sinitic'  WHEN 'ru' THEN 'slavic'
+                   END AS family
+            FROM extracted e
+          ), routed AS (
+            SELECT *,
+                   CASE WHEN lang = 'en' THEN 'english'
+                        WHEN family IN ('germanic','romance','slavic') THEN 'european'
+                        WHEN family = 'sinitic' THEN 'cjk'
+                        ELSE '_unmatched'
+                   END AS route
+            FROM enriched
+          )
+""".format(extract=_ORACLE_EXTRACT.format(col="html"))
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -758,6 +918,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "flagship_routed": q_flagship_routed,
+        "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
@@ -886,6 +1048,18 @@ def _redact_sql_expr(col: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "flagship_routed": _ORACLE_WEBPAGES + """
+          SELECT doc_id, url, host, lang, country, family, route,
+                 extracted_text, content_bytes
+          FROM routed
+        """,
+        "flagship_agg": _ORACLE_WEBPAGES + """
+          SELECT route, lang, host, date_trunc('hour', warc_ts) AS bucket,
+                 COUNT(*) AS event_count,
+                 CAST(SUM(content_bytes) AS BIGINT) AS byte_total
+          FROM routed
+          GROUP BY 1, 2, 3, 4
+        """,
         "t1_remap_parse": r"""
             SELECT event_id,
                    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k

@@ -97,3 +97,21 @@ def test_flagship_publishes_atomic_snapshot(result, spark):
         k: int(v) for k, v in agg_actual.items()
     }
     assert sum(agg_actual.values()) < res["docs"]
+
+
+def test_contract_row_extraction_byte_identical(spark):
+    """The driver contract pipeline (flagship_routed) must satisfy the
+    per-row invariant: extracted_text per url is byte-identical to the
+    reference extractor applied to the same html bytes."""
+    import __spark_entry__ as entrymod
+    from vector_spark.extract import extract_text_bytes
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = {r["url"]: bytes(r["html"])
+             for r in entrymod._webpages(spark, sf_dir).collect()}
+    routed = entrymod.q_flagship_routed(spark, sf_dir).collect()
+    assert len(routed) == len(pages) > 0
+    for r in routed:
+        expected = extract_text_bytes(pages[r["url"]])
+        assert r["extracted_text"].encode() == expected, r["url"]
+        assert r["content_bytes"] == len(expected)
