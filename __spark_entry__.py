@@ -430,6 +430,65 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _s3_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize a deterministic object-store fixture from the events
+    table: 4 gzip ndjson objects (event_id % 4, rows sorted by event_id)
+    plus one SQS ObjectCreated notification per object.  Built once per
+    sf_dir; the pipeline under test reads it back distributed."""
+    import gzip
+    import hashlib
+    import json as _json
+
+    import pandas as pd
+
+    root = "/tmp/vector_spark_s3_fixture_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    bucket, queue = f"{root}/bucket", f"{root}/queue"
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        from vector_spark.sources.object_store import NotificationQueue
+
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "event_type", "value"])
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        os.makedirs(f"{bucket}/data", exist_ok=True)
+        os.makedirs(queue, exist_ok=True)
+        nq = NotificationQueue(spark, queue)
+        for i in range(4):
+            part = pdf[pdf["event_id"] % 4 == i]
+            key = f"data/part-{i}.ndjson.gz"
+            with gzip.open(f"{bucket}/{key}", "wt") as f:
+                for r in part.itertuples(index=False):
+                    f.write(_json.dumps({
+                        "event_id": int(r.event_id),
+                        "ts_us": int(pd.Timestamp(r.ts).value // 1000),
+                        "event_type": r.event_type,
+                        "value": None if pd.isna(r.value) else float(r.value),
+                    }) + "\n")
+            nq.send(bucket, [key], f"msg-{i:03d}")
+        with open(ready, "w") as f:
+            f.write("ok")
+    return bucket, queue
+
+
+def q_s3_sqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aws_s3-with-SQS ingest: poll ObjectCreated notifications, read exactly
+    # the referenced gzip objects (distributed, transparent decompression),
+    # decode json events, keep the per-object key metadata column.  The
+    # queue is NOT acked here so the row is re-runnable (redelivery
+    # semantics); the ack lifecycle is pinned by tests/test_object_store.py.
+    from vector_spark.sources.object_store import s3_sqs_source
+
+    bucket, queue = _s3_fixture(spark, sf_dir)
+    df, _notes, _q = s3_sqs_source(
+        spark, bucket, queue, codec="json",
+        schema="event_id long, ts_us long, event_type string, value double",
+    )
+    return df.select(
+        "event_id", "ts_us", "event_type",
+        F.round("value", 6).alias("value"), "key",
+    )
+
+
 def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Prometheus exposition decode (sources/__init__.py prometheus_parse):
     # every event becomes one scrape line synthesized deterministically —
@@ -950,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_stratified_sample,
         "src_prom_scrape": q_prom_scrape,
         "src_otlp_logs": q_otlp_logs,
+        "src_s3_sqs": q_s3_sqs,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1498,6 +1558,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'q"' || user_id || '" b\\n e' || chr(10) END AS label_note,
                    CAST(event_id AS DOUBLE) + 0.5 AS value,
                    epoch_ms(ts) AS timestamp_ms
+            FROM events
+        """,
+        "src_s3_sqs": """
+            SELECT event_id,
+                   epoch_us(ts) AS ts_us,
+                   event_type,
+                   ROUND(value, 6) AS value,
+                   'data/part-' || CAST(event_id % 4 AS VARCHAR) || '.ndjson.gz' AS key
             FROM events
         """,
         "src_otlp_logs": """

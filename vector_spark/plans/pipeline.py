@@ -261,6 +261,15 @@ class Pipeline:
         if t == "documents":
             return src_mod.documents_source(spark, n_rows=int(o.get("count", 10_000)))
         if t in ("file", "aws_s3", "gcp_cloud_storage"):
+            if t != "file" and "bucket" in o:
+                from vector_spark.sources.object_store import object_source
+
+                decoding = o.get("decoding") or {}
+                return object_source(
+                    spark, o["bucket"], prefix=o.get("key_prefix", o.get("prefix", "")),
+                    suffix=o.get("suffix", ""), codec=decoding.get("codec", o.get("codec", "text")),
+                    schema=o.get("decoding_schema"), framing=(o.get("framing") or {}).get("method"),
+                )
             return src_mod.file_source(spark, o.get("include", o.get("path")), codec=o.get("codec", "parquet"))
         if t == "parquet":
             return src_mod.parquet_source(spark, o["path"])
