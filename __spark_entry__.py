@@ -430,6 +430,95 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical-URL dedup over deterministically messy URLs (case-varying
+    # scheme/host, default :443 port, swapped param order, utm_/fbclid
+    # tracking params, fragments, trailing slashes) derived closed-form from
+    # doc_id; 500 docs → 250 canonical pages.  The oracle re-derives the
+    # messy strings AND replicates the full normalization in SQL.
+    from vector_spark.functions import canonical_url_dedup
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    page = (did % 250).cast("string")
+    host = F.concat(F.lit("host-"), F.lpad(((did % 250) % 50).cast("string"), 2, "0"))
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(did % 3 == 0, F.upper(host)).otherwise(host),
+            F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/articles/"), page,
+            F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"),
+            F.when(did % 2 == 0, F.concat(F.lit("b="), page, F.lit("&a=1&utm_source=feed")))
+            .otherwise(F.concat(F.lit("a=1&b="), page)),
+            F.when(did % 13 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return canonical_url_dedup(messy)
+
+
+_ORACLE_URL_NORM = r"""
+          WITH messy AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN upper(h) ELSE h END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                   || '/articles/' || p
+                   || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+                   || '?'
+                   || (CASE WHEN doc_id % 2 = 0
+                       THEN 'b=' || p || '&a=1&utm_source=feed'
+                       ELSE 'a=1&b=' || p END)
+                   || (CASE WHEN doc_id % 13 = 0 THEN '&fbclid=xyz' ELSE '' END)
+                   || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+            FROM (SELECT doc_id,
+                         'host-' || lpad(CAST((doc_id % 250) % 50 AS VARCHAR), 2, '0') AS h,
+                         CAST(doc_id % 250 AS VARCHAR) AS p
+                  FROM documents)
+          ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '{re}', 1)) AS scheme,
+                   lower(regexp_extract(url, '{re}', 2)) AS host,
+                   regexp_extract(url, '{re}', 3) AS port,
+                   regexp_extract(url, '{re}', 4) AS path,
+                   regexp_extract(url, '{re}', 5) AS query
+            FROM messy
+          ), norm AS (
+            SELECT doc_id,
+                   scheme || '://' || host
+                   || (CASE WHEN (scheme = 'http' AND port = ':80')
+                              OR (scheme = 'https' AND port = ':443')
+                       THEN '' ELSE port END)
+                   || (CASE WHEN path = '' THEN '/'
+                            WHEN length(path) > 1 AND path LIKE '%/'
+                            THEN substr(path, 1, length(path) - 1)
+                            ELSE path END)
+                   || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm
+            FROM (
+              SELECT *,
+                     array_to_string(list_sort(list_filter(
+                       string_split(CASE WHEN query = '' THEN ''
+                                         ELSE substr(query, 2) END, '&'),
+                       x -> x <> ''
+                            AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+                            AND NOT list_contains(
+                                  ['fbclid','gclid','msclkid','ref'],
+                                  string_split(x, '=')[1])
+                     )), '&') AS q
+              FROM parts
+            )
+          )
+          SELECT url_norm, MIN(doc_id) AS doc_id,
+                 COUNT(*) AS n_dups
+          FROM norm GROUP BY 1
+""".replace("{re}", r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$")
+
+
 def _s3_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize a deterministic object-store fixture from the events
     table: 4 gzip ndjson objects (event_id % 4, rows sorted by event_id)
@@ -1010,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_prom_scrape": q_prom_scrape,
         "src_otlp_logs": q_otlp_logs,
         "src_s3_sqs": q_s3_sqs,
+        "url_normalize": q_url_normalize,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1560,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS timestamp_ms
             FROM events
         """,
+        "url_normalize": _ORACLE_URL_NORM,
         "src_s3_sqs": """
             SELECT event_id,
                    epoch_us(ts) AS ts_us,

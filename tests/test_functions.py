@@ -696,3 +696,48 @@ def test_lsh_max_bucket_caps_hot_buckets(spark, caplog):
              VF.embedding_neardup_pairs(emb, "vec_id", threshold=0.99, max_bucket=5).collect()}
     assert (200, 201) in got_e
     assert not any(a < 30 and b < 30 for a, b in got_e)
+
+
+def test_normalize_url_contract(spark):
+    """Edge cases of the URL canonicalization contract."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions import normalize_url
+
+    cases = [
+        # (input, expected)
+        ("HTTPS://Example.COM:443/A/b/?b=2&a=1#frag", "https://example.com/A/b?a=1&b=2"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("https://example.com", "https://example.com/"),             # empty path → /
+        ("https://example.com/p?utm_source=a&utm_medium=b&fbclid=z", "https://example.com/p"),
+        ("https://example.com/p?flag&b=2", "https://example.com/p?b=2&flag"),  # bare param kept
+        ("not a url at all", "not a url at all"),                    # passthrough
+        ("https://example.com/p?gclid=1&keep=2&msclkid=3&ref=4", "https://example.com/p?keep=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_url("url").alias("n")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r} want {want!r}"
+    # path case preserved, host case folded — and the whole thing is
+    # codegen-only: no Python evaluation nodes in the plan
+    plan = df.select(normalize_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_canonical_url_dedup_keeps_min_id(spark):
+    from vector_spark.functions import canonical_url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://a.com/x?utm_source=1"),
+            (3, "HTTPS://A.com/x"),
+            (5, "https://a.com/x/"),
+            (7, "https://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["url_norm"]: (r["doc_id"], r["n_dups"])
+            for r in canonical_url_dedup(df).collect()}
+    assert rows == {"https://a.com/x": (3, 3), "https://b.com/y": (7, 1)}

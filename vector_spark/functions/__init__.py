@@ -34,6 +34,10 @@ from vector_spark.functions.dedup import (
     decontaminate,
 )
 from vector_spark.functions.sampling import stratified_sample
+from vector_spark.functions.urls import (
+    normalize_url,
+    canonical_url_dedup,
+)
 from vector_spark.functions.multimodal import (
     synth_media,
     decode_image,
