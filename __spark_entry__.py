@@ -461,6 +461,72 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_url_dedup(messy)
 
 
+def q_vrl_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VRL parse_url over deterministically messy URLs (case-varying scheme
+    # and host, optional port / trailing query / fragment, all closed-form
+    # from doc_id).  The oracle derives every expected field from the SAME
+    # construction — ground truth by construction, not the parser checking
+    # itself.
+    from vector_spark.vrl import compile_condition
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("Host-"), (did % 40).cast("string"), F.lit(".Example.ORG"))
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://"), host,
+            F.when(did % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/p/"), (did % 97).cast("string"),
+            F.when(did % 3 == 0, F.concat(F.lit("?q="), (did % 7).cast("string"), F.lit("&r=1")))
+            .otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    m = compile_condition("parse_url(.url)")
+    return messy.select(
+        "doc_id",
+        m["scheme"].alias("scheme"),
+        m["host"].alias("host"),
+        m["port"].alias("port"),
+        m["path"].alias("path"),
+        m["query"].alias("query"),
+        m["fragment"].alias("fragment"),
+    )
+
+
+def q_vrl_parse_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VRL parse_user_agent over five canonical UA shapes selected by
+    # doc_id % 5 (Chrome/Windows, Safari/macOS, Safari/iPhone,
+    # Firefox/Linux, Googlebot).  Oracle = the known family/version per
+    # residue class — ground truth from construction.
+    from vector_spark.vrl import compile_condition
+
+    uas = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+        "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    ]
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ua_col = F.element_at(F.array(*[F.lit(u) for u in uas]), (did % 5 + 1).cast("int"))
+    m = compile_condition("parse_user_agent(.ua)")
+    return docs.select("doc_id", ua_col.alias("ua")).select(
+        "doc_id",
+        m["browser_family"].alias("browser_family"),
+        m["browser_version"].alias("browser_version"),
+        m["os_family"].alias("os_family"),
+        m["os_version"].alias("os_version"),
+        m["device_family"].alias("device_family"),
+    )
+
+
 _ORACLE_URL_NORM = r"""
           WITH messy AS (
             SELECT doc_id,
@@ -1100,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_logs": q_otlp_logs,
         "src_s3_sqs": q_s3_sqs,
         "url_normalize": q_url_normalize,
+        "vrl_parse_url": q_vrl_parse_url,
+        "vrl_parse_user_agent": q_vrl_parse_user_agent,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1651,6 +1719,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "url_normalize": _ORACLE_URL_NORM,
+        "vrl_parse_url": """
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+                 'host-' || CAST(doc_id % 40 AS VARCHAR) || '.example.org' AS host,
+                 CASE WHEN doc_id % 5 = 0 THEN '8443' ELSE '' END AS port,
+                 '/p/' || CAST(doc_id % 97 AS VARCHAR) AS path,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'q=' || CAST(doc_id % 7 AS VARCHAR) || '&r=1'
+                      ELSE '' END AS query,
+                 CASE WHEN doc_id % 11 = 0 THEN 'top' ELSE '' END AS fragment
+          FROM documents
+          ORDER BY doc_id
+        """,
+        "vrl_parse_user_agent": """
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' WHEN 2 THEN 'Safari'
+                   WHEN 3 THEN 'Firefox' ELSE 'Bot' END AS browser_family,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.1' WHEN 2 THEN '16.6'
+                   WHEN 3 THEN '115.0' ELSE '' END AS browser_version,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X' WHEN 2 THEN 'iOS'
+                   WHEN 3 THEN 'Linux' ELSE 'Other' END AS os_family,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7' WHEN 2 THEN '16.6'
+                   ELSE '' END AS os_version,
+                 CASE doc_id % 5
+                   WHEN 2 THEN 'iPhone' WHEN 4 THEN 'Spider' ELSE 'Other' END AS device_family
+          FROM documents
+          ORDER BY doc_id
+        """,
         "src_s3_sqs": """
             SELECT event_id,
                    epoch_us(ts) AS ts_us,

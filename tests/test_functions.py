@@ -741,3 +741,70 @@ def test_canonical_url_dedup_keeps_min_id(spark):
     rows = {r["url_norm"]: (r["doc_id"], r["n_dups"])
             for r in canonical_url_dedup(df).collect()}
     assert rows == {"https://a.com/x": (3, 3), "https://b.com/y": (7, 1)}
+
+
+# --- C4 line filter + Gopher quality rules -----------------------------------
+
+
+def test_c4_line_filter(spark):
+    doc = "\n".join([
+        "This is a good sentence with plenty of words.",   # kept
+        "short line.",                                      # < 3 words → drop
+        "No terminal punctuation here at all",             # no punct → drop
+        "Enable javascript to view this page.",            # marker → drop
+        "We use cookie banners on this site.",             # marker → drop
+        "Another perfectly fine kept line!",               # kept
+        'He said "stop".',                                  # kept (quote ok via .)
+    ])
+    from vector_spark.functions import c4_line_filter
+
+    out = c4_line_filter(spark.createDataFrame([(doc,)], "text string")).collect()[0]
+    kept = out.text.split("\n")
+    assert kept == [
+        "This is a good sentence with plenty of words.",
+        "Another perfectly fine kept line!",
+        'He said "stop".',
+    ]
+    assert out.n_lines_kept == 3 and out.n_lines_dropped == 4
+
+
+def test_gopher_quality_filter(spark):
+    from vector_spark.functions import gopher_quality_filter
+
+    good = ("the quick brown fox jumps over that lazy dog and keeps running "
+            "to have some fun with friends near the river bank today ") * 4
+    too_short = "the cat sat with joy."
+    symbol_soup = ("# " * 30) + good
+    no_stop = "alpha beta gamma delta epsilon zeta " * 20
+    rows = [(0, good), (1, too_short), (2, symbol_soup), (3, no_stop)]
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    assert out[0].gopher_keep
+    assert not out[1].gopher_keep and not out[1].gq_word_count
+    assert not out[2].gopher_keep and not out[2].gq_symbol_ratio
+    assert not out[3].gopher_keep and not out[3].gq_stopword_hits
+    # rule flags are auditable per-document booleans
+    assert out[0].gq_alpha_words and out[0].gq_mean_word_len
+
+
+def test_gopher_bullet_and_ellipsis_rules(spark):
+    from vector_spark.functions import gopher_quality_filter
+
+    base = ("the quick brown fox jumps over that lazy dog and keeps running "
+            "to have some fun with friends near the river bank today ") * 4
+    bullets = "\n".join(["* item number %d here" % i for i in range(20)] + [base])
+    dots = "\n".join([base] + ["trailing thought %d ..." % i for i in range(9)])
+    rows = [(0, bullets), (1, dots)]
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            max_bullet_line_frac=0.5,
+        ).collect()
+    }
+    assert not out[0].gq_bullet_lines
+    assert not out[1].gq_ellipsis_lines and out[1].gq_word_count

@@ -268,3 +268,80 @@ def test_parse_syslog_and_apache_log(spark):
     assert row.not_syslog is None
     with pytest.raises(VRLError, match="only the 'common'"):
         compile_condition('parse_apache_log(.ap, "combined")')
+
+
+def test_parse_url_and_query_string(spark):
+    """VRL parse_url shares _URL_PARTS_RE with functions/urls.py; fallible
+    → NULL on non-URLs.  parse_query_string percent-decodes keys+values."""
+    df = spark.createDataFrame(
+        [(
+            "HTTPS://Ex.COM:8443/a/b?x=1&y=two#frag",
+            "a=1&b=hello%20world&c=x%2By&plus=a+b",
+            "not a url",
+        )],
+        "u string, q string, bad string",
+    )
+    row = df.select(
+        compile_condition("parse_url(.u)").alias("u"),
+        compile_condition("parse_query_string(.q)").alias("q"),
+        compile_condition("parse_url(.bad)").alias("bad"),
+    ).collect()[0]
+    assert row.u["scheme"] == "https" and row.u["host"] == "ex.com"
+    assert row.u["port"] == "8443" and row.u["path"] == "/a/b"
+    assert row.u["query"] == "x=1&y=two" and row.u["fragment"] == "frag"
+    assert row.bad is None
+    assert row.q == {"a": "1", "b": "hello world", "c": "x+y", "plus": "a b"}
+
+
+def test_base64_and_percent_codecs(spark):
+    df = spark.createDataFrame([("hello/world?",)], "s string")
+    row = df.select(
+        compile_condition("encode_base64(.s)").alias("b64"),
+        compile_condition("decode_base64(encode_base64(.s))").alias("rt"),
+        compile_condition("encode_percent(.s)").alias("pct"),
+        compile_condition("decode_percent(encode_percent(.s))").alias("prt"),
+    ).collect()[0]
+    assert row.b64 == "aGVsbG8vd29ybGQ/"
+    assert row.rt == "hello/world?" and row.prt == "hello/world?"
+    assert "%2F" in row.pct and "%3F" in row.pct
+
+
+def test_parse_csv_and_join(spark):
+    """RFC-4180 quote-awareness: embedded delimiters and doubled quotes."""
+    df = spark.createDataFrame(
+        [('a,"b,with,commas",c,"say ""hi""",42',)], "line string"
+    )
+    row = df.select(
+        compile_condition("parse_csv(.line)").alias("f"),
+        compile_condition('join(parse_csv(.line), "|")').alias("j"),
+    ).collect()[0]
+    assert row.f == ["a", "b,with,commas", "c", 'say "hi"', "42"]
+    assert row.j == 'a|b,with,commas|c|say "hi"|42'
+    with pytest.raises(VRLError, match="literal separator"):
+        compile_condition("join(parse_csv(.line), .line)")
+
+
+def test_parse_user_agent(spark):
+    rows = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+             "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+            ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+             "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+             "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",),
+            ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",),
+            ("Googlebot/2.1 (+http://www.google.com/bot.html)",),
+        ],
+        "ua string",
+    ).select(compile_condition("parse_user_agent(.ua)").alias("m")).collect()
+    got = [
+        (r.m["browser_family"], r.m["browser_version"], r.m["os_family"],
+         r.m["os_version"], r.m["device_family"])
+        for r in rows
+    ]
+    assert got[0] == ("Chrome", "120.0.0.0", "Windows", "10.0", "Other")
+    assert got[1] == ("Safari", "17.1", "Mac OS X", "10.15.7", "Other")
+    assert got[2] == ("Safari", "16.6", "iOS", "16.6", "iPhone")
+    assert got[3] == ("Firefox", "115.0", "Linux", "", "Other")
+    assert got[4][0] == "Bot" and got[4][4] == "Spider"

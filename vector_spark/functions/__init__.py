@@ -12,6 +12,8 @@ from vector_spark.functions.text import (
     fingerprint_modular,
     repetition_features,
     redact_pii,
+    c4_line_filter,
+    gopher_quality_filter,
 )
 from vector_spark.functions.dedup import (
     exact_dedup,
@@ -64,7 +66,7 @@ from vector_spark.functions.similarity import (
 __all__ = [
     "whitespace_token_count", "bpe_token_count", "quality_features",
     "quality_score", "lang_id", "fingerprint", "fingerprint_modular",
-    "repetition_features", "redact_pii",
+    "repetition_features", "redact_pii", "c4_line_filter", "gopher_quality_filter",
     "exact_dedup", "paragraph_dedup", "normalize_text", "shingle_df", "ngram_jaccard_pairs",
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",

@@ -242,6 +242,137 @@ def repetition_features(df: DataFrame, text_col: str = "text", line_sep: str = "
     )
 
 
+# --- C4 line-level cleaning + Gopher document-quality rules -----------------
+
+#: Substrings whose presence drops a line in C4-style cleaning (Raffel et al.
+#: 2020, public): boilerplate/policy lines and code-ish braces.  Matched
+#: case-insensitively; the list is part of the contract (oracle mirrors it).
+C4_BAD_LINE_MARKERS = ["javascript", "cookie", "lorem ipsum", "{"]
+
+#: Terminal punctuation a kept line must end with (C4 rule).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+#: Gopher required-word list (Rae et al. 2021): a document must contain at
+#: least ``min_stop_hits`` DISTINCT words from this list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning: keep only lines that (a) end in terminal
+    punctuation, (b) have at least ``min_words_per_line`` whitespace words,
+    and (c) contain none of C4_BAD_LINE_MARKERS (case-insensitive).
+
+    Output: ``text`` rewritten to the kept lines re-joined with the
+    separator, plus ``n_lines_kept`` / ``n_lines_dropped`` bookkeeping.
+
+    Scale shape: one split → one array filter → one join, all higher-order
+    JVM expressions — map-only, zero shuffle, O(document length) per row.
+    Pair with `gopher_quality_filter` for the standard web-corpus cleanup
+    pass (C4 prunes lines, Gopher rejects whole documents)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(c, line_sep), lambda x: F.trim(x))
+
+    def keep(x: Column) -> Column:
+        lower = F.lower(x)
+        ends_ok = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends_ok = ends_ok | x.endswith(p)
+        marker_free = F.lit(True)
+        for m in C4_BAD_LINE_MARKERS:
+            marker_free = marker_free & ~lower.contains(m)
+        n_words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        return ends_ok & marker_free & (n_words >= min_words_per_line)
+
+    kept = F.filter(lines, keep)
+    n_total = F.size(F.filter(lines, lambda x: x != ""))
+    return (
+        df.withColumn("_c4_kept", kept)
+        .withColumn("n_lines_kept", F.size("_c4_kept"))
+        .withColumn("n_lines_dropped", n_total - F.size("_c4_kept"))
+        .withColumn(text_col, F.array_join("_c4_kept", line_sep))
+        .drop("_c4_kept")
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+    public thresholds as defaults): word-count range, mean word length
+    range, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    fraction of words with an alphabetic character, and required-stopword
+    hits.  Adds one boolean per rule plus the conjunction ``gopher_keep`` —
+    callers filter on it (keeping the flags makes rejection auditable,
+    which corpus-curation pipelines want more than silent drops).
+
+    Scale shape: identical to `repetition_features` — per-document array
+    expressions, map-only, zero shuffle; the corpus-size-independent cost
+    profile you need at 100 TB."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    lines = F.filter(
+        F.transform(F.split(c, line_sep), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    tmp = df.withColumn("_gq_words", words).withColumn("_gq_lines", lines)
+
+    n_words = F.size("_gq_words")
+    safe_w = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    n_lines = F.size("_gq_lines")
+    safe_l = F.when(n_lines > 0, n_lines.cast("double")).otherwise(F.lit(1.0))
+    total_chars = F.aggregate(
+        F.col("_gq_words"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = total_chars / safe_w
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    n_bullet = F.size(
+        F.filter(F.col("_gq_lines"), lambda x: x.rlike(r"^(\*|-|•|‣|▪)\s"))
+    )
+    n_ellipsis = F.size(
+        F.filter(F.col("_gq_lines"), lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    n_alpha_words = F.size(
+        F.filter(F.col("_gq_words"), lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(F.col("_gq_words"), lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+
+    rules = {
+        "gq_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "gq_mean_word_len": (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        "gq_symbol_ratio": (n_sym / safe_w) <= max_symbol_word_ratio,
+        "gq_bullet_lines": (n_bullet / safe_l) <= max_bullet_line_frac,
+        "gq_ellipsis_lines": (n_ellipsis / safe_l) <= max_ellipsis_line_frac,
+        "gq_alpha_words": (n_alpha_words / safe_w) >= min_alpha_word_frac,
+        "gq_stopword_hits": stop_hits >= min_stop_hits,
+    }
+    out = tmp
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep).drop("_gq_words", "_gq_lines")
+
+
 # --- PII redaction (ordered regexp_replace chain, pure codegen) -------------
 
 #: (marker, pattern) in APPLICATION ORDER — email before the digit rules so

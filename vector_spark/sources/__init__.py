@@ -294,7 +294,11 @@ def statsd_source(spark: SparkSession, address: str = "0.0.0.0:8125", mode: str 
 
 #: Prometheus exposition format (text/plain version 0.0.4, public spec):
 #:   metric_name{label="value",...} value [timestamp_ms]
-_PROM_SAMPLE_RE = r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{.*\})?\s+(\S+)(?:\s+(-?\d+))?\s*$'
+# The label block uses [\s\S] instead of `.`: a RAW carriage return is legal
+# inside an exposition label value (only \\ \" \n are escape-mandated), but
+# Java-regex `.` excludes ALL line terminators — \r included — so `.` would
+# reject such lines wholesale.
+_PROM_SAMPLE_RE = r'^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{[\s\S]*\})?\s+(\S+)(?:\s+(-?\d+))?\s*$'
 _PROM_LABEL_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
 _PROM_TYPE_RE = r"^# TYPE ([a-zA-Z_:][a-zA-Z0-9_:]*) (counter|gauge|histogram|summary|untyped)\s*$"
 

@@ -443,6 +443,130 @@ class _Parser:
                 for x in (F.lit(n), F.regexp_extract(msg, APACHE_COMMON_RE, i))
             ]
             return F.when(msg.rlike(APACHE_COMMON_RE), F.create_map(*entries))
+        if base == "parse_url":
+            # VRL parse_url(value) → map of URL parts; shares the canonical
+            # _URL_PARTS_RE with functions/urls.py normalize_url so the
+            # VRL-function and curation paths cannot drift apart.  Fallible:
+            # NULL map when the string has no scheme://host (VRL's
+            # recoverable parse → `??`).  Delta vs upstream: query is the
+            # RAW query string (use parse_query_string for the decoded map),
+            # and username/password are not modeled (absent from the corpus
+            # shape).
+            from vector_spark.functions.urls import _URL_PARTS_RE
+
+            u = args[0].cast("string")
+            scheme = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 1))
+            host = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 2))
+            entries = [
+                F.lit("scheme"), scheme,
+                F.lit("host"), host,
+                F.lit("port"), F.regexp_replace(F.regexp_extract(u, _URL_PARTS_RE, 3), ":", ""),
+                F.lit("path"), F.regexp_extract(u, _URL_PARTS_RE, 4),
+                F.lit("query"), F.regexp_replace(F.regexp_extract(u, _URL_PARTS_RE, 5), r"^\?", ""),
+                F.lit("fragment"), F.regexp_replace(F.regexp_extract(u, _URL_PARTS_RE, 6), r"^#", ""),
+            ]
+            return F.when(host != "", F.create_map(*entries))
+        if base == "parse_query_string":
+            # VRL parse_query_string(value) → map<string,string> with
+            # percent-decoding ('+' → space first, html-form style).  One
+            # str_to_map + two transform_* — pure codegen.  Duplicate keys
+            # follow the session's spark.sql.mapKeyDedupPolicy (upstream VRL
+            # collects repeats into arrays — documented delta).
+            q = F.regexp_replace(args[0].cast("string"), r"^\?", "")
+            m = F.str_to_map(q, F.lit("&"), F.lit("="))
+            dec = lambda c: F.url_decode(F.regexp_replace(c, r"\+", " "))
+            return F.transform_values(F.transform_keys(m, lambda k, v: dec(k)), lambda k, v: dec(v))
+        if base == "encode_base64":
+            return F.base64(args[0].cast("string").cast("binary"))
+        if base == "decode_base64":
+            return F.unbase64(args[0].cast("string")).cast("string")
+        if base == "encode_percent":
+            return F.url_encode(args[0].cast("string"))
+        if base == "decode_percent":
+            return F.url_decode(args[0].cast("string"))
+        if base == "join":
+            # VRL join(value, separator) — separator must be a literal (the
+            # JVM array_join takes a constant delimiter).
+            sep = raws[1] if raws and len(raws) > 1 else None
+            if sep is None:
+                raise VRLError("join needs a literal separator string")
+            return F.array_join(args[0], sep)
+        if base == "parse_csv":
+            # VRL parse_csv(value, delimiter: ",") → array<string> of fields,
+            # RFC-4180 quote-aware: delimiters inside "…" do not split, and
+            # doubled quotes inside a quoted field unescape to one.  The
+            # split regex uses a lookahead (delimiter followed by an EVEN
+            # number of remaining quotes ⇒ we are outside a quoted field) —
+            # Java-regex-only, so this function has no DuckDB oracle twin;
+            # its contract is pinned by unit tests instead.
+            raw_delim = raws[1] if raws and len(raws) > 1 else ","
+            if raw_delim is None:
+                raise VRLError("parse_csv: delimiter must be a string literal")
+            fields = F.split(
+                args[0].cast("string"),
+                re.escape(raw_delim) + r'(?=(?:[^"]*"[^"]*")*[^"]*$)',
+            )
+            unq = lambda x: F.when(
+                x.rlike(r'^".*"$'),
+                F.replace(F.substring(x, 2, F.length(x) - 2), F.lit('""'), F.lit('"')),
+            ).otherwise(x)
+            return F.transform(fields, unq)
+        if base == "parse_user_agent":
+            # VRL parse_user_agent(value) → flat map {browser_family,
+            # browser_version, os_family, os_version, device_family} via the
+            # standard ordered token heuristics (Edg before Chrome before
+            # Safari; ua-parser-style public rules).  Pure regexp codegen —
+            # at 100 TB this is one scan-speed projection, no dictionary.
+            ua = args[0].cast("string")
+            v = lambda pat: F.regexp_extract(ua, pat, 1)
+            browser = (
+                F.when(ua.rlike(r"(?i)bot|crawler|spider|slurp|curl|wget"), F.lit("Bot"))
+                .when(ua.contains("Edg/"), F.lit("Edge"))
+                .when(ua.contains("OPR/"), F.lit("Opera"))
+                .when(ua.contains("Chrome/"), F.lit("Chrome"))
+                .when(ua.contains("Firefox/"), F.lit("Firefox"))
+                .when(ua.rlike(r"Version/[\d.]+.*Safari"), F.lit("Safari"))
+                .otherwise(F.lit("Other"))
+            )
+            bver = (
+                F.when(ua.contains("Edg/"), v(r"Edg/([\d.]+)"))
+                .when(ua.contains("OPR/"), v(r"OPR/([\d.]+)"))
+                .when(ua.contains("Chrome/"), v(r"Chrome/([\d.]+)"))
+                .when(ua.contains("Firefox/"), v(r"Firefox/([\d.]+)"))
+                .when(ua.rlike(r"Version/[\d.]+.*Safari"), v(r"Version/([\d.]+)"))
+                .otherwise(F.lit(""))
+            )
+            os_fam = (
+                F.when(ua.contains("Windows NT"), F.lit("Windows"))
+                .when(ua.rlike(r"iPhone OS|iPad.*CPU OS|CPU iPhone OS"), F.lit("iOS"))
+                .when(ua.contains("Mac OS X"), F.lit("Mac OS X"))
+                .when(ua.contains("Android"), F.lit("Android"))
+                .when(ua.contains("Linux"), F.lit("Linux"))
+                .otherwise(F.lit("Other"))
+            )
+            os_ver = F.regexp_replace(
+                F.when(ua.contains("Windows NT"), v(r"Windows NT ([\d.]+)"))
+                .when(ua.rlike(r"(?:iPhone )?OS ([\d_]+)") & os_fam.eqNullSafe(F.lit("iOS")),
+                      v(r"OS ([\d_]+)"))
+                .when(ua.contains("Mac OS X"), v(r"Mac OS X ([\d_.]+)"))
+                .when(ua.contains("Android"), v(r"Android ([\d.]+)"))
+                .otherwise(F.lit("")),
+                "_", ".",
+            )
+            device = (
+                F.when(browser == "Bot", F.lit("Spider"))
+                .when(ua.contains("iPhone"), F.lit("iPhone"))
+                .when(ua.contains("iPad"), F.lit("iPad"))
+                .when(ua.contains("Android"), F.lit("Android"))
+                .otherwise(F.lit("Other"))
+            )
+            return F.create_map(
+                F.lit("browser_family"), browser,
+                F.lit("browser_version"), bver,
+                F.lit("os_family"), os_fam,
+                F.lit("os_version"), os_ver,
+                F.lit("device_family"), device,
+            )
         if base in ("parse_regex", "parse_grok"):
             # VRL parse_regex(value, r'(?P<name>…)') / parse_grok(value,
             # "%{PATTERN:field} …") → map<string,string> of named captures,
