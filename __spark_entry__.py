@@ -461,6 +461,45 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_url_dedup(messy)
 
 
+def q_text_c4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The standard web-corpus cleanup composition: C4 line-level cleaning →
+    # Gopher document-level rules.  Docs are deterministically re-lined into
+    # 5-word '.'-terminated lines; every 3rd doc gets a planted boilerplate
+    # line (dropped by the C4 marker rule alone — it has ≥3 words AND
+    # terminal punctuation) and every 4th a 2-word line (dropped by the
+    # word-count rule alone), so both C4 arms are individually witnessed.
+    # The corpus word-soup is stopword-poor, so every EVEN doc gets a
+    # stopword-rich kept line — those docs pass the Gopher stopword rule and
+    # (mostly) gopher_keep, odd docs fail it: both outcomes are witnessed.
+    # The oracle replays the construction, the line filter, AND all seven
+    # Gopher rules relationally; sha256 of the cleaned text pins exact
+    # reassembly.
+    from vector_spark.functions import c4_line_filter, gopher_quality_filter
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    lined = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("please enable javascript to continue.\n"))
+            .otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("tiny line.\n")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("we have to keep the rest of it and that is fine.\n"))
+            .otherwise(F.lit("")),
+            F.regexp_replace(
+                F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n"),
+                r"([^.\n])$", "$1.",
+            ),
+        ),
+    )
+    out = gopher_quality_filter(c4_line_filter(lined), min_words=30)
+    return out.select(
+        "doc_id", "n_lines_kept", "n_lines_dropped",
+        F.sha2("text", 256).alias("text_sha"),
+        "gq_word_count", "gq_stopword_hits", "gopher_keep",
+    )
+
+
 def q_vrl_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VRL parse_url over deterministically messy URLs (case-varying scheme
     # and host, optional port / trailing query / fragment, all closed-form
@@ -1166,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_logs": q_otlp_logs,
         "src_s3_sqs": q_s3_sqs,
         "url_normalize": q_url_normalize,
+        "text_c4_gopher": q_text_c4_gopher,
         "vrl_parse_url": q_vrl_parse_url,
         "vrl_parse_user_agent": q_vrl_parse_user_agent,
         "dedup_exact": q_dedup_exact,
@@ -1719,6 +1759,83 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "url_normalize": _ORACLE_URL_NORM,
+        "text_c4_gopher": r"""
+          WITH lined AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN 'please enable javascript to continue.' || chr(10)
+                         ELSE '' END)
+                   || (CASE WHEN doc_id % 4 = 0
+                            THEN 'tiny line.' || chr(10) ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0
+                            THEN 'we have to keep the rest of it and that is fine.' || chr(10)
+                            ELSE '' END)
+                   || regexp_replace(
+                        regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1.' || chr(10), 'g'),
+                        '([^.\n])$', '\1.')
+                   AS text
+            FROM documents
+          ), c4 AS (
+            SELECT doc_id,
+                   list_filter(
+                     list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> ''
+                          AND (ends_with(x, '.') OR ends_with(x, '!')
+                               OR ends_with(x, '?') OR ends_with(x, '"'))
+                          AND NOT contains(lower(x), 'javascript')
+                          AND NOT contains(lower(x), 'cookie')
+                          AND NOT contains(lower(x), 'lorem ipsum')
+                          AND NOT contains(lower(x), '{')
+                          AND len(list_filter(string_split_regex(x, '\s+'),
+                                              w -> w <> '')) >= 3
+                   ) AS kept,
+                   len(list_filter(
+                     list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '')) AS n_total
+            FROM lined
+          ), gw AS (
+            SELECT doc_id, kept, n_total,
+                   array_to_string(kept, chr(10)) AS txt,
+                   list_filter(
+                     string_split_regex(trim(array_to_string(kept, chr(10))), '\s+'),
+                     w -> w <> '') AS w
+            FROM c4
+          ), feats AS (
+            SELECT doc_id, kept, n_total, txt,
+                   len(w) AS n_words,
+                   len(kept) AS n_lines,
+                   COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS total_chars,
+                   len(regexp_extract_all(txt, '#|\.\.\.|…')) AS n_sym,
+                   len(list_filter(kept,
+                       x -> regexp_matches(x, '^(\*|-|•|‣|▪)\s'))) AS n_bullet,
+                   len(list_filter(kept,
+                       x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ellipsis,
+                   len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                   len(list_filter(['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits
+            FROM gw
+          ), safe AS (
+            SELECT *,
+                   CAST(CASE WHEN n_words > 0 THEN n_words ELSE 1 END AS DOUBLE) AS safe_w,
+                   CAST(CASE WHEN n_lines > 0 THEN n_lines ELSE 1 END AS DOUBLE) AS safe_l
+            FROM feats
+          )
+          SELECT doc_id,
+                 len(kept) AS n_lines_kept,
+                 n_total - len(kept) AS n_lines_dropped,
+                 sha256(txt) AS text_sha,
+                 (n_words >= 30 AND n_words <= 100000) AS gq_word_count,
+                 (stop_hits >= 2) AS gq_stopword_hits,
+                 ((n_words >= 30 AND n_words <= 100000)
+                  AND (total_chars / safe_w >= 3.0 AND total_chars / safe_w <= 10.0)
+                  AND (n_sym / safe_w <= 0.1)
+                  AND (n_bullet / safe_l <= 0.9)
+                  AND (n_ellipsis / safe_l <= 0.3)
+                  AND (n_alpha / safe_w >= 0.8)
+                  AND (stop_hits >= 2)) AS gopher_keep
+          FROM safe
+          ORDER BY doc_id
+        """,
         "vrl_parse_url": """
           SELECT doc_id,
                  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
