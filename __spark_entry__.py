@@ -461,6 +461,66 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_url_dedup(messy)
 
 
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize deterministic WARC segments from the documents table:
+    4 files by doc_id % 4 (two plain, two member-gzip — the Common Crawl
+    layout), one HTTP-response record per doc.  Built once per sf_dir."""
+    import hashlib
+
+    import pandas as pd
+
+    from vector_spark.sources.warc import synth_warc_bytes
+
+    root = "/tmp/vector_spark_warc_fixture_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        from datetime import datetime, timedelta, timezone
+
+        os.makedirs(root, exist_ok=True)
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        epoch = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        for i in range(4):
+            part = pdf[pdf["doc_id"] % 4 == i]
+            recs = [
+                {
+                    "target_uri": f"https://corpus.example.org/doc/{int(r.doc_id)}",
+                    "date": epoch + timedelta(seconds=int(r.doc_id)),
+                    "payload": (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+                        + str(r.text).encode()
+                    ),
+                }
+                for r in part.itertuples(index=False)
+            ]
+            gz = i % 2 == 1
+            ext = "warc.gz" if gz else "warc"
+            with open(f"{root}/seg-{i}.{ext}", "wb") as f:
+                f.write(synth_warc_bytes(recs, gzip_members=gz))
+        with open(ready, "w") as f:
+            f.write("ok")
+    return root
+
+
+def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC ingest: binaryFile scan (one task per segment) → record walk →
+    # JVM-side HTTP head/body split.  The oracle recomputes every field
+    # relationally from the documents table the fixture was built from, so
+    # the whole container round trip (incl. gzip members and UTF-8 bodies)
+    # is checked against ground truth.
+    from vector_spark.sources.warc import http_response_parts, warc_source
+
+    root = _warc_fixture(spark, sf_dir)
+    df = http_response_parts(warc_source(spark, root))
+    return df.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("warc_date").alias("ts"),
+        "http_status",
+        "content_length",
+        F.sha2("body", 256).alias("body_sha"),
+    )
+
+
 def q_text_c4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The standard web-corpus cleanup composition: C4 line-level cleaning →
     # Gopher document-level rules.  Docs are deterministically re-lined into
@@ -1204,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_prom_scrape": q_prom_scrape,
         "src_otlp_logs": q_otlp_logs,
         "src_s3_sqs": q_s3_sqs,
+        "src_warc": q_src_warc,
         "url_normalize": q_url_normalize,
         "text_c4_gopher": q_text_c4_gopher,
         "vrl_parse_url": q_vrl_parse_url,
@@ -1875,6 +1936,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value, 6) AS value,
                    'data/part-' || CAST(event_id % 4 AS VARCHAR) || '.ndjson.gz' AS key
             FROM events
+        """,
+        "src_warc": """
+          SELECT doc_id,
+                 TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+                 200 AS http_status,
+                 60 + strlen(text) AS content_length,
+                 sha256(text) AS body_sha
+          FROM documents
+          ORDER BY doc_id
         """,
         "src_otlp_logs": """
             SELECT event_id,

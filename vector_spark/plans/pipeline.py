@@ -273,6 +273,14 @@ class Pipeline:
             return src_mod.file_source(spark, o.get("include", o.get("path")), codec=o.get("codec", "parquet"))
         if t == "parquet":
             return src_mod.parquet_source(spark, o["path"])
+        if t == "warc":
+            # Common-Crawl-style WARC segments; optional HTTP head/body split.
+            from vector_spark.sources.warc import http_response_parts, warc_source
+
+            df = warc_source(spark, o.get("include", o.get("path")))
+            if o.get("http_split", True):
+                df = http_response_parts(df)
+            return df
         if t in ("stdin", "memory"):
             return src_mod.memory_source(spark, o.get("events", []))
         if t in ("socket", "syslog", "statsd", "vector"):
