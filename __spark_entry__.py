@@ -1020,6 +1020,23 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(spark, index_path, queries, k=5, nprobe=4)
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product quantization, two-stage: ADC over m=8 one-byte codes (the
+    # float column is never read in the scan) selects a shortlist, then the
+    # shortlist alone joins back for exact cosine re-rank.  On this corpus
+    # the refined top-5 ≡ exact brute force, so the row shares the
+    # brute-force DuckDB oracle — the strongest available check for an ANN
+    # path: approximate scan + re-rank must land on the exact answer.
+    from vector_spark.functions import pq_encode, pq_search, train_pq_codebooks
+
+    emb = _emb(spark, sf_dir)
+    queries = {r.vec_id: list(r.embedding) for r in emb.filter("vec_id < 3").collect()}
+    books = train_pq_codebooks(emb, m=8, ksub=64, sample=4096, iters=6)
+    enc = pq_encode(emb, books)
+    out = pq_search(enc, books, queries, k=5, refine_with=emb, shortlist=100)
+    return out.select("query_id", "vec_id", F.col("score").alias("cosine"), "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver's embeddings table has NO near-dup pairs (max pairwise cosine
     # ≈ 0.51 at sf0.01), so a τ=0.95 query over the raw table is vacuous.  We
@@ -1279,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce_topk": q_sim_bruteforce,
         "sim_ivf_topk": q_sim_ivf,
+        "sim_pq_topk": q_sim_pq,
         "embedding_neardup": q_embedding_neardup,
     }
 
@@ -1981,6 +1999,25 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY doc_id
         """,
         "sim_bruteforce_topk": """
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     ROUND(list_dot_product(q.emb_d, c.emb_d)
+                           / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                              * sqrt(list_dot_product(c.emb_d, c.emb_d))), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.emb_d, c.emb_d)
+                                / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                                   * sqrt(list_dot_product(c.emb_d, c.emb_d))) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings WHERE vec_id < 3) q,
+                   (SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings) c
+            ) WHERE rank <= 5
+        """,
+        # PQ-with-refine must land on the EXACT brute-force answer (the
+        # shortlist property is what the ANN tier guarantees; re-rank is
+        # exact cosine) — so it shares the brute-force oracle verbatim.
+        "sim_pq_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,
                      ROUND(list_dot_product(q.emb_d, c.emb_d)

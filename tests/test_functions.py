@@ -808,3 +808,91 @@ def test_gopher_bullet_and_ellipsis_rules(spark):
     }
     assert not out[0].gq_bullet_lines
     assert not out[1].gq_ellipsis_lines and out[1].gq_word_count
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+
+def test_pq_codebooks_deterministic_and_shape(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = VF.train_pq_codebooks(emb, m=4, ksub=16, sample=256, iters=3)
+    b2 = VF.train_pq_codebooks(emb, m=4, ksub=16, sample=256, iters=3)
+    assert b1.shape == (4, 16, emb.select("embedding").first()[0].__len__() // 4)
+    assert (b1 == b2).all()
+
+
+def test_pq_encode_byte_width(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = VF.train_pq_codebooks(emb, m=4, ksub=16, sample=256, iters=3)
+    codes = VF.pq_encode(emb, books).select("codes").limit(5).collect()
+    assert all(len(r.codes) == 4 for r in codes)  # m bytes per vector
+
+
+def test_pq_exact_on_codebook_vectors(spark):
+    """If every corpus vector IS a codebook reconstruction, quantization
+    error is zero and ADC scores equal exact cosine — the PQ analog of a
+    round-trip identity."""
+    rng = np.random.default_rng(7)
+    m, ksub, dsub = 4, 8, 4
+    books = rng.standard_normal((m, ksub, dsub))
+    picks = rng.integers(0, ksub, size=(60, m))
+    vecs = np.concatenate([books[j][picks[:, j]] for j in range(m)], axis=1)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # re-normalizing changes subvectors, so rebuild books FROM the normalized
+    # vectors' subspaces to keep reconstruction exact: quantize each subspace
+    # to the set of distinct subvectors that actually occur.
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books2 = np.stack([
+        np.unique(vecs[:, j * dsub:(j + 1) * dsub], axis=0)[:ksub * 8][: len(vecs)]
+        for j in range(m)
+    ]) if False else None
+    # simpler: train with sample == corpus and ksub == distinct count per
+    # subspace (= 8 used picks may repeat; use ksub=32 >= distinct)
+    books3 = VF.train_pq_codebooks(emb, m=m, ksub=32, sample=60, iters=25)
+    enc = VF.pq_encode(emb, books3)
+    queries = {0: [float(x) for x in vecs[0]], 1: [float(x) for x in vecs[17]]}
+    got = VF.pq_search(enc, books3, queries, k=5).collect()
+    firsts = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert firsts[0] == 0 and firsts[1] == 17  # self ranks first, score ≈ 1
+    top = {r.query_id: r.score for r in got if r.rank == 1}
+    assert abs(top[0] - 1.0) < 0.05 and abs(top[1] - 1.0) < 0.05
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """Clustered corpus (the realistic embedding shape).  Two contracts:
+    (a) the exact top-10 lives inside the PQ-ADC shortlist (recall@50 ≥
+    0.9) — the property the compressed scan must deliver; (b) shortlist +
+    exact re-rank (`refine_with`) recovers the top-10 itself (≥ 0.9).
+    Within tight clusters cosine gaps between neighbors are smaller than
+    quantization error, so raw PQ@10 is NOT asserted — re-ranking is the
+    standard (and implemented) remedy."""
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 16, 50, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    pts = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.3 for c in range(n_clusters)]
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    queries = {i: [float(x) for x in pts[i]] for i in (3, 250, 700)}
+    qdf = spark.createDataFrame(
+        [(k, v) for k, v in queries.items()], "query_id long, embedding array<double>"
+    )
+    exact = {(r.query_id, r.vec_id) for r in VF.brute_force_topk(emb, qdf, k=10).collect()}
+    books = VF.train_pq_codebooks(emb, m=8, ksub=64, sample=800, iters=8)
+    enc = VF.pq_encode(emb, books)
+
+    short = {
+        (r.query_id, r.vec_id)
+        for r in VF.pq_search(enc, books, queries, k=50).collect()
+    }
+    assert len(exact & short) / len(exact) >= 0.9
+
+    refined = {
+        (r.query_id, r.vec_id)
+        for r in VF.pq_search(
+            enc, books, queries, k=10, refine_with=emb, shortlist=50
+        ).collect()
+    }
+    assert len(exact & refined) / len(exact) >= 0.9

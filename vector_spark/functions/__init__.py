@@ -61,6 +61,9 @@ from vector_spark.functions.similarity import (
     build_ivf_index,
     load_ivf_index,
     ivf_search,
+    train_pq_codebooks,
+    pq_encode,
+    pq_search,
 )
 
 __all__ = [
@@ -79,4 +82,5 @@ __all__ = [
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
     "build_ivf_index", "load_ivf_index", "ivf_search",
+    "train_pq_codebooks", "pq_encode", "pq_search",
 ]

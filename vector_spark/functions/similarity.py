@@ -377,6 +377,195 @@ def ivf_search(
     )
 
 
+# --- product quantization (PQ) — the compressed-scan ANN tier -------------------
+#
+# At 100 TB the dominant ANN cost is reading the vectors: a 768-dim float32
+# embedding is 3 KB/row, while an m=8 PQ code is 8 BYTES/row (384×
+# compression).  PQ (Jégou et al. 2011, public) trades exactness for that
+# compression: vectors are split into m subspaces, each quantized to one of
+# ksub codebook entries, and search scores codes against per-query lookup
+# tables (ADC) without ever touching the original floats.  Training runs on
+# a deterministic hash-ordered sample (the standard practice — codebooks
+# need thousands of examples, not the corpus); encode and search stream the
+# corpus exactly once each.
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 8192,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train PQ codebooks → array (m, ksub, dim/m).
+
+    Sample = the ``sample`` rows with smallest xxhash64(id)
+    (TakeOrderedAndProject — deterministic, no full sort, no RNG state),
+    collected driver-side; per-subspace Lloyd's k-means runs in numpy with
+    hash-order init, so the codebooks are bit-identical across runs and
+    cluster sizes.  Vectors are L2-normalized first (cosine/IP variant —
+    matches every other tier in this module)."""
+    if ksub > 256:
+        raise ValueError(f"ksub must be <= 256 (codes are one byte), got {ksub}")
+    rows = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id)), F.col(corpus_id))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"sample ({n}) smaller than ksub ({ksub}) — shrink ksub")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:ksub].copy()  # hash-ordered sample ⇒ already shuffled
+        for _ in range(iters):
+            d = (
+                (sub**2).sum(1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents**2).sum(1)[None, :]
+            )
+            assign = d.argmin(1)
+            for c_ix in range(ksub):
+                mask = assign == c_ix
+                if mask.any():
+                    cents[c_ix] = sub[mask].mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Add an m-byte PQ code column (BinaryType).  One numpy matmul per
+    subspace per Arrow batch; the encoded corpus is what gets persisted —
+    at m=8 that is an 8-byte column replacing the float array for search."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(vecs: pd.Series) -> pd.Series:
+        books = bc.value
+        m_, _ksub, dsub = books.shape
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(M), m_), dtype=np.uint8)
+        for j in range(m_):
+            sub = M[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(1)[None, :]
+            codes[:, j] = d.argmin(1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return corpus.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    codes_col: str = "codes",
+    refine_with: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query the driver builds an (m, ksub) inner-product table between the
+    normalized query subvectors and the codebooks; executors then score a
+    whole Arrow batch with ONE fancy-index + sum over the code matrix —
+    no float vectors are read, no shuffle until the per-query top-k window
+    over surviving candidates (same merge shape as brute_force_topk_numpy).
+    Scores approximate cosine (normalized-IP); exactness is bounded by
+    quantization error, pinned by recall tests, not an oracle.
+
+    ``refine_with`` enables the standard two-stage shape: ADC selects a
+    ``shortlist`` (default 5k) per query from the compressed scan, then the
+    shortlist — and ONLY the shortlist — joins back to the float table for
+    exact cosine re-ranking.  At scale this is the point of PQ: the float
+    column is read for nq×shortlist rows, not the corpus, while top-k
+    precision recovers to near-exact (quantization only has to get the
+    CANDIDATE SET right, not the final ordering)."""
+    if refine_with is not None:
+        shortlist = shortlist or 5 * k
+        cand = pq_search(
+            encoded, codebooks, query_vecs, k=shortlist,
+            corpus_id=corpus_id, codes_col=codes_col,
+        ).select("query_id", corpus_id)
+        spark = encoded.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in query_vecs.items()],
+            f"query_id long, _qvec array<double>",
+        )
+        exact = (
+            refine_with.select(corpus_id, vec_col)
+            .join(F.broadcast(cand), corpus_id)
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("score", cosine_expr(vec_col, "_qvec"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", corpus_id, F.round("score", 6).alias("score"), "rank")
+        )
+    spark = encoded.sparkSession
+    qids = sorted(query_vecs)
+    qmat = np.array([query_vecs[q] for q in qids], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    m_, ksub, dsub = codebooks.shape
+    # tables[i, j, c] = <q_i[sub j], book[j][c]>
+    tables = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m_, dsub), codebooks)
+    bc = spark.sparkContext.broadcast((qids, tables))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(corpus_id, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        qids_, tables_ = bc.value
+        jj = np.arange(tables_.shape[1])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(b"".join(pdf[codes_col]), dtype=np.uint8).reshape(
+                len(pdf), -1
+            )
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k, len(ids))
+            frames = []
+            for i, qid in enumerate(qids_):
+                scores = tables_[i][jj[None, :], codes].sum(1)
+                idx = np.argpartition(-scores, kk - 1)[:kk]
+                frames.append(
+                    pd.DataFrame({"query_id": qid, corpus_id: ids[idx], "score": scores[idx]})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = encoded.select(corpus_id, codes_col).mapInPandas(adc, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 # --- random-hyperplane LSH -----------------------------------------------------
 
 def hyperplane_bands_udf(n_tables: int = 4, n_planes: int = 8, seed: int = SEED):
