@@ -892,6 +892,34 @@ def q_dedup_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental corpus growth (the daily-crawl shape): history = the
+    # documents table; batch = derived per doc_id residue — %10==0 a
+    # near-dup (one appended word), %10==5 a normalized-exact dup
+    # (uppercased), else character-reversed (fresh content, zero shingle
+    # overlap).  The oracle replays the construction, the normalized-exact
+    # anti-join (on the STRING — witnessing the xxhash64 path is
+    # collision-free), and exact cross-corpus word-3 Jaccard at τ=0.9 (the
+    # scheme-guaranteed LSH recall cut, as in dedup_minhash_lsh).
+    from vector_spark.functions import incremental_neardup_filter
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    batch = docs.select(
+        (did + 1000000).alias("doc_id"),
+        F.when(did % 10 == 0, F.concat("text", F.lit(" extranovelword")))
+        .when(did % 10 == 5, F.upper("text"))
+        .otherwise(F.reverse("text"))
+        .alias("text"),
+    )
+    kept = incremental_neardup_filter(
+        batch, docs.select("doc_id", "text"), threshold=0.9
+    )
+    return kept.select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha")
+    )
+
+
 def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cluster-level dedup: min-label connected components over the verified
     # τ=0.9 pair graph.  Output = one row per near-dup COMPONENT (its
@@ -1291,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_cc_components": q_dedup_cc,
         "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
         "dedup_simhash": q_dedup_simhash,
@@ -1706,6 +1735,59 @@ def oracle_sql() -> dict[str, str]:
                 "({}, '{}')".format(i, t) for i, t in _planted_chain_rows()
             )
         ),
+        "dedup_incremental": r"""
+          WITH batch AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' extranovelword'
+                        WHEN doc_id % 10 = 5 THEN upper(text)
+                        ELSE reverse(text) END AS text
+            FROM documents
+          ), hnorm AS (
+            SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+            FROM documents
+          ), surv AS (
+            SELECT b.doc_id, b.text FROM batch b
+            WHERE trim(regexp_replace(regexp_replace(lower(b.text),
+              '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g'))
+              NOT IN (SELECT nt FROM hnorm)
+          ), u AS (
+            SELECT doc_id, text FROM surv
+            UNION ALL
+            SELECT doc_id, text FROM documents
+          ), norm AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9_\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+            FROM u
+          ), offsets AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM norm WHERE len(w) >= 3
+          ), shingles AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM offsets
+          ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+          ), posting AS (
+            SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 1000
+          ), pruned AS (
+            SELECT s.* FROM shingles s JOIN posting p ON s.shingle = p.shingle
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ), drops AS (
+            SELECT DISTINCT i.id_b AS doc_id
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE i.id_a < 1000000 AND i.id_b >= 1000000
+              AND n_shared / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.9
+          )
+          SELECT s.doc_id, sha256(s.text) AS text_sha
+          FROM surv s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+          ORDER BY s.doc_id
+        """,
         "dedup_simhash": _simhash_md5_oracle(),
         "text_fingerprint": """
             SELECT doc_id,

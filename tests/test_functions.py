@@ -896,3 +896,48 @@ def test_pq_recall_vs_brute_force(spark):
         ).collect()
     }
     assert len(exact & refined) / len(exact) >= 0.9
+
+
+# --- incremental (cross-corpus) near-dup filter --------------------------------
+
+
+def test_incremental_neardup_filter(spark):
+    """Batch vs history: exact dup dropped by pass 1, near-dup dropped by
+    pass 2, fresh doc survives, and batch-INTERNAL near-dups are untouched
+    (that's neardup_filter's job downstream)."""
+    base = ("the quick brown fox jumps over the lazy dog and then keeps on "
+            "running through the quiet field toward the river")
+    hist = spark.createDataFrame(
+        [(0, base), (1, "completely different historical content about ships and harbors at dawn")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                  # exact dup of hist 0
+            (11, base + " tonight"),                     # near-dup of hist 0
+            (12, "entirely novel text with no overlap whatsoever in any shingle of note here"),
+            (13, "entirely novel text with no overlap whatsoever in any shingle of note here indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = VF.incremental_neardup_filter(batch, hist, threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {12, 13}  # 13 ≈ 12 but intra-batch
+
+
+def test_incremental_neardup_filter_exact_only_path(spark):
+    hist = spark.createDataFrame([(0, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, "ALPHA  beta gamma DELTA epsilon"), (6, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    # normalization makes case/whitespace variants EXACT dups (pass 1)
+    kept = VF.incremental_neardup_filter(batch, hist)
+    assert {r.doc_id for r in kept.collect()} == {6}
+
+
+def test_incremental_neardup_filter_id_guard(spark):
+    hist = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    bad = spark.createDataFrame([(-1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=r"2\^62"):
+        VF.incremental_neardup_filter(bad, hist)
+    VF.incremental_neardup_filter(bad, hist, validate_ids=False)  # plan builds lazily

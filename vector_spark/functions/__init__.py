@@ -31,6 +31,7 @@ from vector_spark.functions.dedup import (
     hamming_pairs,
     embedding_neardup_pairs,
     neardup_filter,
+    incremental_neardup_filter,
     connected_components,
     neardup_filter_cc,
     decontaminate,
@@ -74,6 +75,7 @@ __all__ = [
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "neardup_filter",
+    "incremental_neardup_filter",
     "connected_components", "neardup_filter_cc", "decontaminate",
     "stratified_sample",
     "synth_media", "decode_image", "decode_wav", "decode_y4m",

@@ -679,6 +679,96 @@ def neardup_filter(
     return df.join(drops, id_col, "left_anti")
 
 
+def incremental_neardup_filter(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    unit: str = "word",
+    exact_first: bool = True,
+    max_bucket: int | None = None,
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Incremental corpus growth: keep only the BATCH docs that neither
+    exactly nor nearly duplicate the HISTORY corpus.  This is the daily-
+    crawl shape — the history is the already-curated corpus (never
+    re-deduped, never dropped), the batch is today's increment.
+
+    Two passes, cheap first:
+
+      1. exact — normalized-text xxhash64 left_anti against the distinct
+         history hashes (one map + one anti-join; removes the bulk).
+      2. near — ONE banded-MinHash LSH over the tagged union, candidates
+         restricted to CROSS-corpus pairs, exact-Jaccard verified at
+         ``threshold`` through the shared :func:`_jaccard_pipeline`, then a
+         single left_anti drops batch ids with a confirmed history partner.
+
+    Batch-INTERNAL near-dups are deliberately untouched — that is
+    :func:`neardup_filter`'s job, run on whatever survives here; keeping the
+    two concerns separate means history semantics never change an intra-
+    batch decision.
+
+    Ids are disambiguated across the two corpora by the reversible encoding
+    ``2·id + origin`` (history 0 / batch 1) — collision-free, no hashing;
+    requires 0 ≤ id < 2⁶² (raises otherwise rather than wrapping).
+
+    Scale shape: pass 1 is one hash-agg + anti-join; pass 2's LSH cost is
+    O(batch + history) band rows in ONE equi-join (not batch × history),
+    and the verify touches only cross-corpus candidates.  ``max_bucket``
+    forwards to the LSH band join for hot-template corpora.
+    ``validate_ids`` guards the encoding precondition with one pruned
+    id-column scan per side (short-circuits on the first violation); at
+    full corpus scale pass ``validate_ids=False`` when the id domain is
+    already guaranteed by the table contract."""
+    limit = 1 << 62
+    for side, name in ((batch, "batch"), (history, "history")) if validate_ids else ():
+        bad = side.select(id_col).filter(
+            (F.col(id_col) < 0) | (F.col(id_col) >= limit)
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"incremental_neardup_filter: {name}.{id_col} must be in "
+                f"[0, 2^62) for the 2·id+origin encoding (got {bad[0][0]})"
+            )
+
+    survivors = batch
+    if exact_first:
+        hh = history.select(
+            F.xxhash64(normalize_text(text_col)).alias("_nh")
+        ).distinct()
+        survivors = (
+            batch.withColumn("_nh", F.xxhash64(normalize_text(text_col)))
+            .join(hh, "_nh", "left_anti")
+            .drop("_nh")
+        )
+
+    uid = "_inc_uid"
+    u = survivors.select(
+        (F.col(id_col) * 2 + 1).alias(uid), F.col(text_col)
+    ).unionByName(history.select((F.col(id_col) * 2).alias(uid), F.col(text_col)))
+    cand = minhash_lsh_pairs(
+        u, uid, text_col, n=n, k=k, bands=bands, threshold=None, unit=unit,
+        max_bucket=max_bucket,
+    )
+    # cross-corpus only: one id even (history), one odd (batch)
+    cross = cand.filter(F.pmod("id_a", F.lit(2)) != F.pmod("id_b", F.lit(2)))
+    verified = jaccard_for_pairs(
+        u, cross, uid, text_col, n=n, unit=unit, threshold=threshold
+    )
+    dup_batch = (
+        verified.select(F.col("id_a").alias(uid))
+        .union(verified.select(F.col("id_b").alias(uid)))
+        .filter(F.pmod(uid, F.lit(2)) == 1)
+        .select(((F.col(uid) - 1) / 2).cast("long").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(dup_batch, id_col, "left_anti")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 @F.pandas_udf(T.LongType())
