@@ -843,12 +843,8 @@ def test_pq_exact_on_codebook_vectors(spark):
     # to the set of distinct subvectors that actually occur.
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    books2 = np.stack([
-        np.unique(vecs[:, j * dsub:(j + 1) * dsub], axis=0)[:ksub * 8][: len(vecs)]
-        for j in range(m)
-    ]) if False else None
-    # simpler: train with sample == corpus and ksub == distinct count per
-    # subspace (= 8 used picks may repeat; use ksub=32 >= distinct)
+    # train with sample == corpus and ksub ≥ distinct subvectors per
+    # subspace, so k-means can place one centroid on every occurring value
     books3 = VF.train_pq_codebooks(emb, m=m, ksub=32, sample=60, iters=25)
     enc = VF.pq_encode(emb, books3)
     queries = {0: [float(x) for x in vecs[0]], 1: [float(x) for x in vecs[17]]}
@@ -941,3 +937,48 @@ def test_incremental_neardup_filter_id_guard(spark):
     with pytest.raises(ValueError, match=r"2\^62"):
         VF.incremental_neardup_filter(bad, hist)
     VF.incremental_neardup_filter(bad, hist, validate_ids=False)  # plan builds lazily
+
+
+def test_c4_and_gopher_tolerate_crlf(spark):
+    """CRLF text (the normal web convention) must behave exactly like LF
+    text — a trailing \r previously failed every terminal-punct check."""
+    lf = "This is a good long sentence here.\nAnother perfectly fine kept line.\n"
+    crlf = lf.replace("\n", "\r\n")
+    out = {
+        r.i: r
+        for r in VF.c4_line_filter(
+            spark.createDataFrame([(0, lf), (1, crlf)], "i int, text string")
+        ).collect()
+    }
+    assert out[0].n_lines_kept == 2 and out[1].n_lines_kept == 2
+    assert out[0].text == out[1].text
+
+
+def test_incremental_id_decode_exact_above_2_53(spark):
+    """Batch ids above 2^53 must round-trip the 2·id+1 encoding exactly
+    (double division would corrupt them) — the near-dup batch doc is
+    dropped and ONLY that one."""
+    big = (1 << 53) + 1
+    base = ("the quick brown fox jumps over the lazy dog and then keeps on "
+            "running through the quiet field toward the river")
+    hist = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(big, base + " tonight"), (big + 1, "totally fresh unrelated words about harbors and ships")],
+        "doc_id long, text string",
+    )
+    kept = VF.incremental_neardup_filter(batch, hist, threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {big + 1}
+
+
+def test_incremental_int_id_column(spark):
+    """IntegerType id columns with ids ≥ 2^30 must not overflow the
+    2·id+origin encoding."""
+    base = ("the quick brown fox jumps over the lazy dog and then keeps on "
+            "running through the quiet field toward the river")
+    hist = spark.createDataFrame([(1, base)], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(1 << 30, base), ((1 << 30) + 1, "fresh other words about mountains and passes and snow")],
+        "doc_id int, text string",
+    )
+    kept = VF.incremental_neardup_filter(batch, hist)
+    assert {r.doc_id for r in kept.collect()} == {(1 << 30) + 1}

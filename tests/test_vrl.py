@@ -345,3 +345,15 @@ def test_parse_user_agent(spark):
     assert got[2] == ("Safari", "16.6", "iOS", "16.6", "iPhone")
     assert got[3] == ("Firefox", "115.0", "Linux", "", "Other")
     assert got[4][0] == "Bot" and got[4][4] == "Spider"
+
+
+def test_parse_query_string_malformed_percent(spark):
+    """A bare '%' must not abort the job (ANSI url_decode would) — the raw
+    token passes through, matching upstream VRL."""
+    df = spark.createDataFrame([("a=100%&b=ok%20go",)], "q string")
+    row = df.select(
+        compile_condition("parse_query_string(.q)").alias("m"),
+        compile_condition('decode_percent("100%")').alias("bad"),
+    ).collect()[0]
+    assert row.m == {"a": "100%", "b": "ok go"}
+    assert row.bad is None  # recoverable-parse convention

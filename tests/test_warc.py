@@ -139,3 +139,33 @@ inputs = ["ok"]
     outs = Pipeline.from_toml(toml_src).build(spark)
     rows = outs["out"].collect()
     assert len(rows) == 1 and rows[0]["target_uri"] == "https://example.org/r3"
+
+
+def test_http_parts_non_utf8_body_and_http2(spark):
+    """Non-UTF-8 bodies must degrade per-row (U+FFFD), never abort the job
+    (Spark 4 ANSI decode would); HTTP/2 status lines parse too."""
+    df = spark.createDataFrame(
+        [
+            (b"HTTP/1.1 200 OK\r\n\r\n\xff\xfe raw latin-1 \xe9 body",),
+            (b"HTTP/2 200\r\nContent-Type: text/html\r\n\r\nok",),
+        ],
+        "payload binary",
+    )
+    rows = http_response_parts(df).collect()
+    assert rows[0].http_status == 200 and "�" in rows[0].body
+    assert rows[1].http_status == 200 and rows[1].body == "ok"
+
+
+def test_warc_folded_header_and_missing_content_length():
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.org/very\r\n \tlong/path\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    got = split_warc_records(rec)
+    assert got[0][0]["warc-target-uri"] == "https://example.org/very long/path"
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nhi\r\n\r\n"
+    with pytest.raises(ValueError, match="no Content-Length"):
+        split_warc_records(bad)

@@ -692,6 +692,7 @@ def incremental_neardup_filter(
     exact_first: bool = True,
     max_bucket: int | None = None,
     validate_ids: bool = True,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Incremental corpus growth: keep only the BATCH docs that neither
     exactly nor nearly duplicate the HISTORY corpus.  This is the daily-
@@ -723,7 +724,14 @@ def incremental_neardup_filter(
     ``validate_ids`` guards the encoding precondition with one pruned
     id-column scan per side (short-circuits on the first violation); at
     full corpus scale pass ``validate_ids=False`` when the id domain is
-    already guaranteed by the table contract."""
+    already guaranteed by the table contract.
+
+    ``materialize`` ("localCheckpoint" | "none"): pass-1 survivors feed the
+    LSH union, the verify pipeline, AND the final anti-join — without
+    materialization each reference would re-execute the exact-dedup pass
+    (the dominant scan at daily-crawl scale).  "localCheckpoint" (default)
+    truncates that lineage once, with the same trade-offs documented on
+    :func:`minhash_lsh_pairs`; "none" keeps the plan fully lazy."""
     limit = 1 << 62
     for side, name in ((batch, "batch"), (history, "history")) if validate_ids else ():
         bad = side.select(id_col).filter(
@@ -745,11 +753,17 @@ def incremental_neardup_filter(
             .join(hh, "_nh", "left_anti")
             .drop("_nh")
         )
+    if materialize == "localCheckpoint":
+        survivors = survivors.localCheckpoint(eager=False)
 
+    # cast BEFORE the arithmetic: on an IntegerType id column, 2·id+1 in
+    # 32-bit overflows (ANSI abort / silent wrap) for ids ≥ 2^30 even
+    # though the value passes the [0, 2^62) range check.
     uid = "_inc_uid"
+    bid = F.col(id_col).cast("long")
     u = survivors.select(
-        (F.col(id_col) * 2 + 1).alias(uid), F.col(text_col)
-    ).unionByName(history.select((F.col(id_col) * 2).alias(uid), F.col(text_col)))
+        (bid * 2 + 1).alias(uid), F.col(text_col)
+    ).unionByName(history.select((bid * 2).alias(uid), F.col(text_col)))
     cand = minhash_lsh_pairs(
         u, uid, text_col, n=n, k=k, bands=bands, threshold=None, unit=unit,
         max_bucket=max_bucket,
@@ -763,7 +777,9 @@ def incremental_neardup_filter(
         verified.select(F.col("id_a").alias(uid))
         .union(verified.select(F.col("id_b").alias(uid)))
         .filter(F.pmod(uid, F.lit(2)) == 1)
-        .select(((F.col(uid) - 1) / 2).cast("long").alias(id_col))
+        # integer decode: `/` is DOUBLE division in Spark and silently loses
+        # precision above 2^53 — shiftright keeps the full 62-bit id exact.
+        .select(F.shiftright(F.col(uid) - 1, 1).alias(id_col))
         .distinct()
     )
     return survivors.join(dup_batch, id_col, "left_anti")

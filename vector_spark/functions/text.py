@@ -113,6 +113,14 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 # --- Gopher-style repetition signals (map-only, no shuffle) -----------------
 
 
+def _line_split_re(line_sep: str) -> str:
+    """Split regex for a line separator: the default "\\n" tolerates CRLF
+    (web-extracted text routinely carries \\r\\n; a trailing \\r would
+    otherwise survive F.trim — which strips spaces only — and silently fail
+    terminal-punctuation / duplicate-line checks)."""
+    return r"\r?\n" if line_sep == "\n" else line_sep
+
+
 def repetition_features(df: DataFrame, text_col: str = "text", line_sep: str = "\n") -> DataFrame:
     """Per-document repetition signals in the Gopher / MassiveText style
     (Rae et al. 2021, public): duplicate-line fraction, duplicate-line
@@ -142,7 +150,8 @@ def repetition_features(df: DataFrame, text_col: str = "text", line_sep: str = "
     exact function)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
-        F.transform(F.split(c, line_sep), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(c, _line_split_re(line_sep)), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
 
@@ -275,7 +284,7 @@ def c4_line_filter(
     Pair with `gopher_quality_filter` for the standard web-corpus cleanup
     pass (C4 prunes lines, Gopher rejects whole documents)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(F.split(c, line_sep), lambda x: F.trim(x))
+    lines = F.transform(F.split(c, _line_split_re(line_sep)), lambda x: F.trim(x))
 
     def keep(x: Column) -> Column:
         lower = F.lower(x)
@@ -327,7 +336,8 @@ def gopher_quality_filter(
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
     lines = F.filter(
-        F.transform(F.split(c, line_sep), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(c, _line_split_re(line_sep)), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     tmp = df.withColumn("_gq_words", words).withColumn("_gq_lines", lines)
 

@@ -128,9 +128,20 @@ def split_warc_records(data: bytes) -> list[tuple[dict[str, str], bytes]]:
                     f"expected WARC version line at offset {pos}, got {head_lines[0][:40]!r}"
                 )
             headers: dict[str, str] = {}
+            last_key: str | None = None
             for line in head_lines[1:]:
+                if line[:1] in (" ", "\t") and last_key is not None:
+                    # ISO 28500 §4: long values fold onto a following line
+                    # starting with space/tab — continuation, not a new key.
+                    headers[last_key] += " " + line.strip()
+                    continue
                 k, _, v = line.partition(":")
-                headers[k.strip().lower()] = v.strip()
+                last_key = k.strip().lower()
+                headers[last_key] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError(
+                    f"WARC record at offset {pos} has no Content-Length header"
+                )
             clen = int(headers["content-length"])
             body_start = hdr_end + 4
             if body_start + clen > n:
@@ -192,15 +203,22 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     Records whose payload has no header terminator get NULL status and the
     whole payload as body (robustness over strictness for the body side —
     dropping them is the caller's policy decision).
+
+    Decode robustness: real web bodies are routinely NOT valid UTF-8
+    (binary, legacy charsets, compressed entities), and Spark 4's ANSI-mode
+    ``decode(…, 'UTF-8')`` would abort the whole job on the first such row.
+    The payload is therefore reinterpreted via a binary→string cast (never
+    throws) and repaired with ``make_valid_utf8`` (invalid sequences →
+    U+FFFD) — per-row degradation, never a task failure.
     """
-    s = F.decode(F.col(payload_col), "UTF-8")
+    s = F.make_valid_utf8(F.col(payload_col).cast("string"))
     sep = F.locate("\r\n\r\n", s)
     head = F.when(sep > 0, s.substr(F.lit(1), sep - 1))
     body = F.when(sep > 0, s.substr(sep + 4, F.length(s))).otherwise(s)
     return (
         df.withColumn(
             "http_status",
-            F.regexp_extract(head, r"^HTTP/\d\.\d (\d{3})", 1).try_cast("int"),
+            F.regexp_extract(head, r"^HTTP/\d(?:\.\d)? (\d{3})", 1).try_cast("int"),
         )
         .withColumn(
             "http_content_type",

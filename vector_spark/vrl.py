@@ -474,7 +474,12 @@ class _Parser:
             # collects repeats into arrays — documented delta).
             q = F.regexp_replace(args[0].cast("string"), r"^\?", "")
             m = F.str_to_map(q, F.lit("&"), F.lit("="))
-            dec = lambda c: F.url_decode(F.regexp_replace(c, r"\+", " "))
+            # try_url_decode, not url_decode: a malformed percent-sequence
+            # ('a=100%') in ONE log line must not abort the job — fall back
+            # to the raw token, which is also what upstream VRL emits.
+            dec = lambda c: F.coalesce(
+                F.try_url_decode(F.regexp_replace(c, r"\+", " ")), c
+            )
             return F.transform_values(F.transform_keys(m, lambda k, v: dec(k)), lambda k, v: dec(v))
         if base == "encode_base64":
             return F.base64(args[0].cast("string").cast("binary"))
@@ -483,7 +488,9 @@ class _Parser:
         if base == "encode_percent":
             return F.url_encode(args[0].cast("string"))
         if base == "decode_percent":
-            return F.url_decode(args[0].cast("string"))
+            # NULL on malformed input (the module's recoverable-parse
+            # convention) instead of url_decode's job-fatal error.
+            return F.try_url_decode(args[0].cast("string"))
         if base == "join":
             # VRL join(value, separator) — separator must be a literal (the
             # JVM array_join takes a constant delimiter).
