@@ -521,6 +521,42 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_src_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fluent Forward decode round trip: every event is packed into a
+    # Message-mode msgpack frame (EventTime ext carrying the full
+    # nanosecond field) inside a mapInPandas fixture stage, then parsed
+    # back by fluent_parse.  The oracle recomputes tag/ts/fields directly
+    # from the events table — decode checked against ground truth.
+    import pandas as pd
+
+    from vector_spark.sources.fluent import EventTime, fluent_parse, msgpack_pack
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "user_id")
+
+    def pack(batches):
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                t = pd.Timestamp(r.ts)
+                et = EventTime(int(t.value // 10**9), int(t.value % 10**9))
+                frames.append(
+                    msgpack_pack([
+                        "app." + r.event_type,
+                        et,
+                        {"event_id": str(int(r.event_id)), "user": str(int(r.user_id))},
+                    ])
+                )
+            yield pd.DataFrame({"payload": frames})
+
+    out = fluent_parse(ev.mapInPandas(pack, "payload binary"))
+    return out.select(
+        F.col("record")["event_id"].cast("long").alias("event_id"),
+        "tag",
+        "ts",
+        F.col("record")["user"].cast("long").alias("user_id"),
+    )
+
+
 def q_text_c4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The standard web-corpus cleanup composition: C4 line-level cleaning →
     # Gopher document-level rules.  Docs are deterministically re-lined into
@@ -1310,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_logs": q_otlp_logs,
         "src_s3_sqs": q_s3_sqs,
         "src_warc": q_src_warc,
+        "src_fluent": q_src_fluent,
         "url_normalize": q_url_normalize,
         "text_c4_gopher": q_text_c4_gopher,
         "vrl_parse_url": q_vrl_parse_url,
@@ -2036,6 +2073,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value, 6) AS value,
                    'data/part-' || CAST(event_id % 4 AS VARCHAR) || '.ndjson.gz' AS key
             FROM events
+        """,
+        "src_fluent": """
+          SELECT event_id,
+                 'app.' || event_type AS tag,
+                 ts,
+                 user_id
+          FROM events
+          ORDER BY event_id
         """,
         "src_warc": """
           SELECT doc_id,

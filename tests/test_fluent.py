@@ -1,0 +1,108 @@
+"""Fluent Forward source: msgpack codec round trip, all three frame modes
+(+ gzip compression), EventTime precision, Spark decode path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from vector_spark.sources.fluent import (
+    EventTime,
+    decode_forward_frame,
+    fluent_parse,
+    msgpack_pack,
+    msgpack_unpack,
+    msgpack_unpack_stream,
+)
+
+
+def test_msgpack_roundtrip_scalars():
+    cases = [
+        None, True, False, 0, 5, 127, -1, -32, 255, 70000, 2**40, -70000,
+        3.25, "", "hello", "x" * 40, "你好", b"", b"\x00\xff", [1, "a", None],
+        {"k": 1, "nested": {"a": [1, 2, 3]}}, list(range(20)),
+        {f"k{i}": i for i in range(20)},
+    ]
+    for c in cases:
+        assert msgpack_unpack(msgpack_pack(c)) == c
+
+
+def test_msgpack_eventtime_ext():
+    t = EventTime(1_767_225_600, 123_456_789)
+    got = msgpack_unpack(msgpack_pack(t))
+    assert got == t and got.nsec == 123_456_789
+
+
+def test_msgpack_trailing_bytes_raise():
+    with pytest.raises(ValueError, match="trailing"):
+        msgpack_unpack(msgpack_pack(1) + b"\x01")
+    assert msgpack_unpack_stream(msgpack_pack(1) + msgpack_pack("a")) == [1, "a"]
+
+
+def _entries():
+    return [
+        (EventTime(1_767_225_600, 500_000_000), {"message": "hello", "level": "info"}),
+        (1_767_225_601, {"message": "world", "n": 7}),
+    ]
+
+
+def test_decode_message_mode():
+    frame = msgpack_pack(["app.log", 1_767_225_600, {"message": "m", "ok": True}])
+    got = decode_forward_frame(frame)
+    assert len(got) == 1
+    tag, ts, rec = got[0]
+    assert tag == "app.log" and rec == {"message": "m", "ok": "True"}
+    assert ts.isoformat() == "2026-01-01T00:00:00+00:00"
+
+
+def test_decode_forward_mode():
+    frame = msgpack_pack(["svc", [[t, r] for t, r in _entries()]])
+    got = decode_forward_frame(frame)
+    assert [g[0] for g in got] == ["svc", "svc"]
+    assert got[0][1].microsecond == 500_000  # EventTime nsec → µs
+    assert got[1][2]["n"] == "7"
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_decode_packed_forward(compressed):
+    blob = b"".join(msgpack_pack([t, r]) for t, r in _entries())
+    if compressed:
+        frame = msgpack_pack(["svc", gzip.compress(blob), {"compressed": "gzip"}])
+    else:
+        frame = msgpack_pack(["svc", blob, {"size": 2}])
+    got = decode_forward_frame(frame)
+    assert len(got) == 2 and got[0][2]["message"] == "hello"
+
+
+def test_fluent_parse_spark(spark):
+    frames = [
+        (msgpack_pack(["a.x", 1_767_225_600, {"m": "one"}]),),
+        (msgpack_pack(["b.y", [[1_767_225_601, {"m": "two"}], [1_767_225_602, {"m": "three"}]]]),),
+    ]
+    df = spark.createDataFrame(frames, "payload binary")
+    rows = fluent_parse(df).orderBy("ts").collect()
+    assert [(r.tag, r.record["m"]) for r in rows] == [
+        ("a.x", "one"), ("b.y", "two"), ("b.y", "three"),
+    ]
+    assert str(rows[0].ts) == "2026-01-01 00:00:00"
+
+
+def test_fluent_toml_pipeline(spark, tmp_path):
+    # `type = "fluent"` dispatches spooled frame files through the pipeline.
+    frame = msgpack_pack(["app.web", 1_767_225_600, {"m": "from file", "lvl": "info"}])
+    (tmp_path / "frame-0.msgpack").write_bytes(frame)
+    from vector_spark.plans.pipeline import Pipeline
+
+    toml_src = f"""
+[sources.fw]
+type = "fluent"
+path = "{tmp_path}"
+
+[sinks.out]
+type = "console"
+inputs = ["fw"]
+"""
+    rows = Pipeline.from_toml(toml_src).build(spark)["out"].collect()
+    assert len(rows) == 1
+    assert rows[0].tag == "app.web" and rows[0].record["lvl"] == "info"

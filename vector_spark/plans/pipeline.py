@@ -335,6 +335,26 @@ class Pipeline:
                     [(b,) for b in o.get("events", [])], "message string"
                 )
             return otlp_logs_parse(bodies)
+        if t == "fluent":
+            # Fluent Forward frames (msgpack).  Live TCP transport is not
+            # line-delimited, so Spark's socket source cannot carry it;
+            # the decode stage runs over spooled frame files (binaryFile,
+            # one frame per file) or inline `frames` bytes — the same
+            # spooled-body convention as the opentelemetry source.
+            from pyspark.sql import functions as F
+
+            from vector_spark.sources.fluent import fluent_parse
+
+            if o.get("path"):
+                frames = (
+                    spark.read.format("binaryFile").load(o["path"])
+                    .select(F.col("content").alias("payload"))
+                )
+            else:
+                frames = spark.createDataFrame(
+                    [(bytes(b),) for b in o.get("frames", [])], "payload binary"
+                )
+            return fluent_parse(frames)
         if t == "kafka":
             from vector_spark.streaming import kafka as kafka_mod
 
