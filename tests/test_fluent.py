@@ -106,3 +106,37 @@ inputs = ["fw"]
     rows = Pipeline.from_toml(toml_src).build(spark)["out"].collect()
     assert len(rows) == 1
     assert rows[0].tag == "app.web" and rows[0].record["lvl"] == "info"
+
+
+# --- property: the codec round-trips arbitrary protocol-shaped values --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=64),
+    st.binary(max_size=64),
+    st.builds(
+        EventTime,
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=999_999_999),
+    ),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=8),
+        st.dictionaries(st.text(max_size=16), children, max_size=8),
+    ),
+    max_leaves=30,
+)
+
+
+@given(_value)
+@settings(max_examples=150, deadline=None)
+def test_msgpack_property_roundtrip(v):
+    assert msgpack_unpack(msgpack_pack(v)) == v

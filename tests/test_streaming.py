@@ -443,3 +443,49 @@ def test_streaming_statsd_log_to_metric(spark, tmp_path):
     assert rows[(10, "api.requests", "c")].counter_total == 3.0
     # malformed line contributed to NO group
     assert all(name != "" and name is not None for _, name, _t in rows)
+
+
+def test_streaming_incremental_dedup_loop(spark, tmp_path):
+    """The daily-crawl loop as a stream: each micro-batch is filtered
+    against the history corpus (exact + near passes) and its SURVIVORS are
+    appended to history — so a later batch near-duplicating an earlier
+    batch's survivor is dropped too.  foreachBatch + availableNow."""
+    from vector_spark.functions import incremental_neardup_filter
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet field toward the river")
+    hist_dir = str(tmp_path / "history")
+    spark.createDataFrame([(0, base)], "doc_id long, text string").write.parquet(hist_dir)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def sink(batch_df, _bid):
+        hist = batch_df.sparkSession.read.parquet(hist_dir)
+        kept = incremental_neardup_filter(batch_df, hist, threshold=0.5)
+        kept.write.mode("append").parquet(hist_dir)
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id long, text string").parquet(str(in_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pd.DataFrame(
+        {"doc_id": [10, 11],
+         "text": [base + " tonight",
+                  "totally fresh words about ships and harbors at dawn"]}
+    ).to_parquet(in_dir / "c1.parquet")
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(hist_dir).collect()} == {0, 11}
+
+    pd.DataFrame(
+        {"doc_id": [20, 21],
+         "text": ["totally fresh words about ships and harbors at dusk",
+                  "yet another brand new subject entirely about tall mountain passes"]}
+    ).to_parquet(in_dir / "c2.parquet")
+    drain()  # 20 near-dups batch-1's SURVIVOR 11 → dropped; 21 fresh → kept
+    assert {r.doc_id for r in spark.read.parquet(hist_dir).collect()} == {0, 11, 21}
