@@ -1,0 +1,147 @@
+"""End-to-end web-corpus curation — the full training-data pipeline this
+repo provides, run in the order a production curation job would:
+
+    ingest (WARC) → URL canonicalization → C4 line cleaning →
+    Gopher quality rules → PII redaction → exact dedup → paragraph dedup →
+    MinHash-LSH near-dup (connected-components keep-canonical) →
+    benchmark decontamination → language-stratified sampling →
+    quality/repetition feature columns on the survivors
+
+Every stage is one of the library operators; this file just sequences
+them, so it doubles as the "switching user" walkthrough: each comment
+names the operator and its contract.
+
+Run: python examples/webcorpus_curation.py [n_docs]   (defaults 2000)
+Used by tests/test_examples.py to keep the walkthrough executable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
+    from vector_spark import synth
+    from vector_spark.functions import (
+        c4_line_filter,
+        canonical_url_dedup,
+        connected_components,
+        decontaminate,
+        exact_dedup,
+        gopher_quality_filter,
+        jaccard_for_pairs,
+        lang_id,
+        minhash_lsh_pairs,
+        paragraph_dedup,
+        quality_features,
+        redact_pii,
+        repetition_features,
+        stratified_sample,
+    )
+
+    stages: dict[str, DataFrame] = {}
+
+    # 0. The crawl table (url, warc_ts, html, text, lang) — in production
+    #    this is `warc_source(...) |> http_response_parts(...)` over the
+    #    segment files plus the html→text extract stage.
+    docs = synth.documents(spark, n_docs).withColumn(
+        "doc_id", F.xxhash64("url")
+    ).select("doc_id", "url", "warc_ts", "text", "lang")
+
+    # 1. URL canonicalization: one map-only projection + one hash-agg —
+    #    removes recrawl duplicates before any content work.
+    canon = canonical_url_dedup(docs)
+    docs = docs.join(canon.select("doc_id"), "doc_id", "left_semi")
+    stages["url_canonical"] = docs
+
+    # 2-3. C4 line cleaning then Gopher document rules (auditable per-rule
+    #    booleans; filter on the conjunction).  The synthetic corpus is
+    #    punctuation-free word soup, so shape it into 8-word '.'-terminated
+    #    lines first — real crawl text arrives already sentence-shaped.
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1.\n"),
+            r"([^.\n])$", "$1.",
+        ),
+    )
+    docs = c4_line_filter(docs)
+    docs = gopher_quality_filter(docs, min_words=10, min_stop_hits=0)
+    stages["quality_filtered"] = docs = docs.filter("gopher_keep").select(
+        "doc_id", "url", "warc_ts", "text", "lang"
+    )
+
+    # 4. PII scrub — fixed regexp_replace chain, order is part of the
+    #    semantics (SSN before phone on 3-2-4 digit runs).
+    docs = redact_pii(docs)
+
+    # The content ops below return (doc_id, text, …); carry the crawl
+    # metadata aside and join it back at the end (one broadcast-eligible
+    # join on the surviving ids).
+    meta = docs.select("doc_id", "url", "warc_ts", "lang")
+
+    # 5. Exact dedup (normalized): ONE hash-agg shuffle. Run before any
+    #    LSH so byte-duplicates never reach the quadratic-risk stage.
+    docs = exact_dedup(docs.select("doc_id", "text"), "doc_id")
+
+    # 6. Paragraph-level dedup (CCNet-style boilerplate removal).
+    docs = paragraph_dedup(docs, "doc_id").drop("n_paras_kept")
+
+    # 7. Near-dup removal: LSH candidates → exact-Jaccard verify →
+    #    connected components → keep the component minimum.
+    cand = minhash_lsh_pairs(docs, "doc_id", n=3, unit="word", threshold=None)
+    pairs = jaccard_for_pairs(docs, cand, "doc_id", n=3, unit="word", threshold=0.9)
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = docs.join(drops, "doc_id", "left_anti")
+    stages["deduped"] = docs
+
+    # 8. Benchmark decontamination: 8-gram overlap against the eval set
+    #    (broadcast semi-join; the corpus never shuffles).
+    bench = spark.createDataFrame(
+        [("the quick benchmark probe sentence that must not leak into training data",)],
+        "text string",
+    )
+    docs = decontaminate(docs, bench, "doc_id", n=8, unit="word").filter(
+        ~F.col("contaminated")
+    ).select("doc_id", "text")
+    docs = docs.join(meta, "doc_id")
+
+    # 9. Language-stratified sampling for the data mix (deterministic,
+    #    monotone in the rate).
+    docs = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5}, "doc_id",
+        default_fraction=0.25, seed="mix-example",
+    )
+
+    # 10. Feature columns for downstream mixing/analysis.
+    docs = quality_features(docs)
+    docs = repetition_features(docs)
+    docs = lang_id(docs)
+    stages["final"] = docs
+    return stages
+
+
+def main() -> None:
+    from vector_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    spark = get_spark(cores=8)
+    stages = curate(spark, n)
+    for name in ("url_canonical", "quality_filtered", "deduped", "final"):
+        print(f"{name:18s} {stages[name].count():7d} docs")
+    stages["final"].select("doc_id", "url", "lang_pred", "n_tokens", "dup_line_frac").show(
+        5, truncate=False
+    )
+
+
+if __name__ == "__main__":
+    main()

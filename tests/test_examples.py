@@ -49,3 +49,24 @@ def test_edge_parse_example_runs(spark):
     # hook ran: the raw message is lowercased ("delete /login" etc.), while
     # the grok map (extracted before the hook) keeps the original case
     assert any('\\"delete' in l or '\\"post' in l or '\\"get' in l for l in lines)
+
+
+def test_webcorpus_curation_example_runs(spark):
+    """The end-to-end curation walkthrough executes and the funnel is
+    sane: quality filtering and sampling shrink the corpus, survivors
+    carry metadata + feature columns."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "webcorpus_curation.py")
+    spec = importlib.util.spec_from_file_location("webcorpus_curation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stages = mod.curate(spark, 400)
+    n0 = stages["url_canonical"].count()
+    nq = stages["quality_filtered"].count()
+    nf = stages["final"].count()
+    assert n0 == 400 and 0 < nq <= n0 and 0 < nf <= nq
+    cols = set(stages["final"].columns)
+    assert {"doc_id", "url", "lang", "lang_pred", "n_tokens", "dup_line_frac"} <= cols

@@ -169,3 +169,31 @@ def test_warc_folded_header_and_missing_content_length():
     bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nhi\r\n\r\n"
     with pytest.raises(ValueError, match="no Content-Length"):
         split_warc_records(bad)
+
+
+# --- property: synth↔parse round trip over arbitrary record shapes -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rec = st.fixed_dictionaries(
+    {
+        "target_uri": st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+            min_size=1, max_size=40,
+        ),
+        "payload": st.binary(max_size=200),
+    }
+)
+
+
+@given(st.lists(_rec, min_size=1, max_size=6), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_warc_property_roundtrip(recs, gz):
+    got = split_warc_records(synth_warc_bytes(recs, gzip_members=gz))
+    # header VALUES are whitespace-trimmed by the format (field grammar),
+    # so the round-trip contract is trim(uri), byte-exact payloads.
+    assert [h["warc-target-uri"] for h, _ in got] == [
+        r["target_uri"].strip() for r in recs
+    ]
+    assert [p for _, p in got] == [r["payload"] for r in recs]
