@@ -420,3 +420,13 @@ inputs = ["prom"]
 
     with pytest.raises(PipelineError, match="endpoints"):
         Pipeline.from_toml(toml).build(sess.get_spark())
+
+
+def test_console_csv_codec(spark):
+    from vector_spark.plans.sinks import console_sink
+
+    df = spark.createDataFrame(
+        [(1, 'say "hi", ok'), (2, "plain")], "id int, msg string"
+    )
+    lines = console_sink(df.orderBy("id"), codec="csv")
+    assert lines == ['1,"say \\"hi\\", ok"', "2,plain"]

@@ -1,0 +1,98 @@
+"""Plan-shape regression guards: the scale claims in PLANS.md, enforced.
+
+Each test pins the EXECUTED plan property the docs assert — exchange
+counts, broadcast joins, pushed filters — so a refactor that silently adds
+a shuffle or drops a broadcast fails CI instead of surviving until someone
+re-reads an explain output at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    # SHUFFLE exchanges only: broadcasts move a dim table, not the data,
+    # and AQE's reused exchanges are not extra work
+    p = _plan(df)
+    return p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from vector_spark import synth
+
+    return synth.documents(spark, 2000)
+
+
+def test_flagship_routed_single_scan_no_shuffle(spark, docs):
+    """Parse → enrich → route is map-only: broadcast joins for dims, zero
+    exchanges before the sink write (PLANS.md 'one shuffle' is the agg)."""
+    from vector_spark.plans import flagship
+
+    routed = flagship.route_stage(
+        flagship.enrich_stage(flagship.parse_stage(docs), spark)
+    )
+    p = _plan(routed)
+    assert _exchanges(routed) == 0
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_quality_pipeline_is_map_only(spark, docs):
+    """C4 + Gopher + repetition + quality features: zero exchanges — the
+    whole per-document analysis runs at scan speed."""
+    from vector_spark.functions import (
+        c4_line_filter,
+        gopher_quality_filter,
+        quality_features,
+        repetition_features,
+    )
+
+    out = repetition_features(
+        quality_features(gopher_quality_filter(c4_line_filter(docs)))
+    )
+    assert _exchanges(out) == 0
+
+
+def test_exact_dedup_single_shuffle(spark, docs):
+    from vector_spark.functions import exact_dedup
+
+    out = exact_dedup(docs.withColumn("doc_id", F.xxhash64("url")), "doc_id")
+    # one hash-agg = one exchange (plus whatever AQE reuses)
+    assert _exchanges(out) <= 2  # agg + the join back of the keeper row
+    assert "HashAggregate" in _plan(out)
+
+
+def test_enrich_join_is_broadcast(spark, docs):
+    from vector_spark import synth
+    from vector_spark.operators.enrich import enrich as enrich_fn
+
+    parsed = docs.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    out = enrich_fn(parsed, synth.host_geo(spark), on="host")
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scan_pushdown_filter_and_pruning(spark, tmp_path):
+    """A filtered 2-column projection over parquet must push the filter
+    into the scan and read only the needed columns."""
+    from vector_spark import synth
+
+    path = str(tmp_path / "docs")
+    synth.documents(spark, 1000).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("url", "lang")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    assert "ReadSchema" in p and "html" not in p.split("ReadSchema")[1][:200]

@@ -357,3 +357,21 @@ def test_parse_query_string_malformed_percent(spark):
     ).collect()[0]
     assert row.m == {"a": "100%", "b": "ok go"}
     assert row.bad is None  # recoverable-parse convention
+
+
+def test_parse_duration(spark):
+    df = spark.createDataFrame(
+        [("300ms", "1.5h", " 2 d", "fast", "90s")],
+        "a string, b string, c string, bad string, e string",
+    )
+    row = df.select(
+        compile_condition('parse_duration(.a, "s")').alias("a"),
+        compile_condition('parse_duration(.b, "m")').alias("b"),
+        compile_condition('parse_duration(.c, "h")').alias("c"),
+        compile_condition('parse_duration(.bad, "s")').alias("bad"),
+        compile_condition('parse_duration(.e, "ms")').alias("e"),
+    ).collect()[0]
+    assert row.a == 0.3 and row.b == 90.0 and row.c == 48.0
+    assert row.bad is None and row.e == 90000.0
+    with pytest.raises(VRLError, match="literal output unit"):
+        compile_condition("parse_duration(.a, .b)")

@@ -64,7 +64,12 @@ def console_sink(df: DataFrame, limit: int | None = None, codec: str = "json") -
         return [r[0] for r in df.select(logfmt_expr(df)).collect()]
     if codec == "rows":
         return df.collect()
-    raise ValueError(f"unknown console encoding codec {codec!r} (json|text|logfmt|rows)")
+    if codec == "csv":
+        # CSV lines via the built-in to_csv — quoting JVM-side (uniVocity;
+        # note Spark's default escapes embedded quotes with backslash, not
+        # RFC-4180 doubling — pass options through df beforehand if needed)
+        return [r[0] for r in df.select(F.to_csv(F.struct(*df.columns))).collect()]
+    raise ValueError(f"unknown console encoding codec {codec!r} (json|text|logfmt|rows|csv)")
 
 
 def file_sink(

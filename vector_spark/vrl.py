@@ -443,6 +443,32 @@ class _Parser:
                 for x in (F.lit(n), F.regexp_extract(msg, APACHE_COMMON_RE, i))
             ]
             return F.when(msg.rlike(APACHE_COMMON_RE), F.create_map(*entries))
+        if base == "parse_duration":
+            # VRL parse_duration(value, unit: "s") → float in `unit`.
+            # Simple magnitude+unit strings (the VRL grammar): "300ms",
+            # "1.5h", " 2 d ".  Unit must be a literal so the conversion
+            # factor folds at compile time; NULL on non-duration input
+            # (recoverable).
+            _FACTORS = {
+                "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "cs": 1e-2,
+                "ds": 1e-1, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+            }
+            out_unit = raws[1] if raws and len(raws) > 1 else None
+            if out_unit is None or out_unit not in _FACTORS:
+                raise VRLError(
+                    f"parse_duration needs a literal output unit from "
+                    f"{sorted(_FACTORS)}, got {out_unit!r}"
+                )
+            s = F.trim(args[0].cast("string"))
+            rx = r"^([0-9]*\.?[0-9]+)\s*(ns|us|µs|ms|cs|ds|s|m|h|d)$"
+            mag = F.regexp_extract(s, rx, 1).try_cast("double")
+            unit_in = F.regexp_extract(s, rx, 2)
+            factor = F.lit(None).cast("double")
+            for u, f in _FACTORS.items():
+                factor = F.when(unit_in == u, F.lit(f)).otherwise(factor)
+            return F.when(
+                s.rlike(rx), mag * factor / F.lit(_FACTORS[out_unit])
+            )
         if base == "parse_url":
             # VRL parse_url(value) → map of URL parts; shares the canonical
             # _URL_PARTS_RE with functions/urls.py normalize_url so the
