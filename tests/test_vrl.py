@@ -375,3 +375,19 @@ def test_parse_duration(spark):
     assert row.bad is None and row.e == 90000.0
     with pytest.raises(VRLError, match="literal output unit"):
         compile_condition("parse_duration(.a, .b)")
+
+
+def test_syslog_level_and_array_helpers(spark):
+    df = spark.createDataFrame([(3, "x"), (9, "y"), (None, "z")], "sev int, t string")
+    rows = df.select(
+        compile_condition("to_syslog_level(.sev)").alias("lvl"),
+        compile_condition('unique(push(split("a b a", " "), "c"))').alias("arr"),
+        compile_condition('flatten([split("a b", " "), split("c d", " ")])').alias("fl"),
+        compile_condition('includes(["x", "y"], .t)').alias("inc"),
+        compile_condition('includes([], .t)').alias("empty"),
+    ).collect()
+    assert [r.lvl for r in rows] == ["err", None, None]  # 9 and NULL → NULL
+    assert rows[0].arr == ["a", "b", "c"]
+    assert rows[0].fl == ["a", "b", "c", "d"]
+    assert [r.inc for r in rows] == [True, True, False]
+    assert [r.empty for r in rows] == [False, False, False]

@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<number>\d+\.\d+|\d+)
   | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\|\||&&|\?\?|==|!=|>=|<=|[<>!()+,=-])
+  | (?P<op>\|\||&&|\?\?|==|!=|>=|<=|[<>!()+,=\[\]-])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
     """,
     re.VERBOSE,
@@ -213,6 +213,21 @@ class _Parser:
             if not self.accept("op", ")"):
                 raise VRLError("expected ')'")
             return inner
+        if t.kind == "op" and t.value == "[":
+            # VRL array literal: [a, b, …]; empty [] is array<string> (the
+            # schemaless build's overflow element type) so push/flatten
+            # compose without a cast.
+            items: list[Column] = []
+            if not self.accept("op", "]"):
+                while True:
+                    items.append(self.expr())
+                    if self.accept("op", "]"):
+                        break
+                    if not self.accept("op", ","):
+                        raise VRLError("expected ',' or ']' in array literal")
+            if not items:
+                return F.array().cast("array<string>")
+            return F.array(*items)
         if t.kind == "path":
             name = t.value[1:]
             # Vector events are SCHEMALESS: a path that doesn't exist is null
@@ -443,6 +458,22 @@ class _Parser:
                 for x in (F.lit(n), F.regexp_extract(msg, APACHE_COMMON_RE, i))
             ]
             return F.when(msg.rlike(APACHE_COMMON_RE), F.create_map(*entries))
+        if base == "to_syslog_level":
+            # VRL to_syslog_level(severity int) → keyword (RFC 5424 table).
+            names = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+            sev = args[0].try_cast("int")
+            return F.when(
+                sev.isNotNull() & (sev >= 0) & (sev <= 7),
+                F.element_at(F.array(*[F.lit(n) for n in names]), sev + 1),
+            )
+        if base == "flatten":
+            # arrays only (VRL also flattens maps; our typed build keeps
+            # nested maps out of the hot schema)
+            return F.flatten(args[0])
+        if base == "unique":
+            return F.array_distinct(args[0])
+        if base == "push":
+            return F.array_append(args[0], args[1])
         if base == "parse_duration":
             # VRL parse_duration(value, unit: "s") → float in `unit`.
             # Simple magnitude+unit strings (the VRL grammar): "300ms",
