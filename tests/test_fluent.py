@@ -140,3 +140,23 @@ _value = st.recursive(
 @settings(max_examples=150, deadline=None)
 def test_msgpack_property_roundtrip(v):
     assert msgpack_unpack(msgpack_pack(v)) == v
+
+
+def test_forward_empty_and_float_time_and_big_values():
+    # empty Forward frame = zero rows, not a crash (clients flush empty
+    # buffers); option dict after the empty list is NOT a record
+    assert decode_forward_frame(msgpack_pack(["t", []])) == []
+    assert decode_forward_frame(msgpack_pack(["t", [], {"size": 0}])) == []
+    # Message mode with a missing record map fails loudly
+    with pytest.raises(ValueError, match="no record map"):
+        decode_forward_frame(msgpack_pack(["t", 5]))
+    # float event time keeps sub-second precision (fluentd time_as_float)
+    got = decode_forward_frame(msgpack_pack(["t", 5.75, {"m": "x"}]))
+    assert got[0][1].microsecond == 750_000
+    # >64KB strings and >65535-element containers round-trip (str32/array32/map32)
+    big = "x" * 70_000
+    assert msgpack_unpack(msgpack_pack(big)) == big
+    arr = list(range(70_000))
+    assert msgpack_unpack(msgpack_pack(arr)) == arr
+    m = {f"k{i}": i for i in range(66_000)}
+    assert msgpack_unpack(msgpack_pack(m)) == m

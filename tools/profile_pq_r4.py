@@ -20,7 +20,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 # 50k clusters × 20 points: every query has ~19 true near neighbors and a
 # million far ones — the shape ANN benchmarks actually have.  (A first run
@@ -33,7 +34,7 @@ N, DIM, NCLUSTERS = 1_000_000, 64, 50_000
 M, KSUB, K, SHORTLIST, NQUERIES = 8, 256, 10, 100, 8
 CORPUS = "/tmp/pq_profile_corpus_r4"
 CODES = "/tmp/vector_spark_pq_codes_r4"
-OUT = "/root/repo/bench_results/pq_profile_r4.json"
+OUT = os.path.join(_REPO, "bench_results", "pq_profile_r4.json")
 
 
 def _dir_bytes(path: str) -> int:

@@ -86,7 +86,9 @@ def msgpack_pack(obj: Any) -> bytes:
             return struct.pack("B", 0xA0 | len(b)) + b
         if len(b) <= 0xFF:
             return b"\xd9" + struct.pack("B", len(b)) + b
-        return b"\xda" + struct.pack(">H", len(b)) + b
+        if len(b) <= 0xFFFF:
+            return b"\xda" + struct.pack(">H", len(b)) + b
+        return b"\xdb" + struct.pack(">I", len(b)) + b
     if isinstance(obj, (bytes, bytearray)):
         b = bytes(obj)
         if len(b) <= 0xFF:
@@ -95,14 +97,18 @@ def msgpack_pack(obj: Any) -> bytes:
     if isinstance(obj, (list, tuple)):
         if len(obj) <= 15:
             head = struct.pack("B", 0x90 | len(obj))
-        else:
+        elif len(obj) <= 0xFFFF:
             head = b"\xdc" + struct.pack(">H", len(obj))
+        else:
+            head = b"\xdd" + struct.pack(">I", len(obj))
         return head + b"".join(msgpack_pack(x) for x in obj)
     if isinstance(obj, dict):
         if len(obj) <= 15:
             head = struct.pack("B", 0x80 | len(obj))
-        else:
+        elif len(obj) <= 0xFFFF:
             head = b"\xde" + struct.pack(">H", len(obj))
+        else:
+            head = b"\xdf" + struct.pack(">I", len(obj))
         return head + b"".join(msgpack_pack(k) + msgpack_pack(v) for k, v in obj.items())
     raise TypeError(f"msgpack_pack: unsupported type {type(obj).__name__}")
 
@@ -204,7 +210,10 @@ def _to_ts(t: Any) -> datetime:
         return datetime.fromtimestamp(t.sec, tz=timezone.utc).replace(
             microsecond=t.nsec // 1000
         )
-    return datetime.fromtimestamp(int(t), tz=timezone.utc)
+    # uint seconds (the common wire form) or float64 seconds (fluentd
+    # time_as_float) — fromtimestamp keeps the fractional part, matching
+    # the microsecond fidelity of the EventTime arm.
+    return datetime.fromtimestamp(float(t), tz=timezone.utc)
 
 
 def decode_forward_frame(frame: bytes) -> list[tuple[str, datetime, dict[str, str]]]:
@@ -215,6 +224,9 @@ def decode_forward_frame(frame: bytes) -> list[tuple[str, datetime, dict[str, st
     tag = msg[0]
     out = []
     body = msg[1]
+    # Mode dispatch is on msg[1]'s TYPE (the spec's discriminator): bytes =
+    # PackedForward, list = Forward (a zero-entry list is a valid, empty
+    # Forward frame — clients flush empty buffers), anything else = Message.
     if isinstance(body, bytes):  # PackedForward / CompressedPackedForward
         option = msg[2] if len(msg) > 2 and isinstance(msg[2], dict) else {}
         if option.get("compressed") == "gzip":
@@ -222,12 +234,15 @@ def decode_forward_frame(frame: bytes) -> list[tuple[str, datetime, dict[str, st
         entries = msgpack_unpack_stream(body)
         for t, rec in entries:
             out.append((tag, _to_ts(t), {str(k): str(v) for k, v in rec.items()}))
-    elif isinstance(body, list) and body and isinstance(body[0], list):  # Forward
+    elif isinstance(body, list):  # Forward (possibly empty)
         for t, rec in body:
             out.append((tag, _to_ts(t), {str(k): str(v) for k, v in rec.items()}))
     else:  # Message
-        t, rec = msg[1], msg[2]
-        out.append((tag, _to_ts(t), {str(k): str(v) for k, v in rec.items()}))
+        if len(msg) < 3 or not isinstance(msg[2], dict):
+            raise ValueError(
+                f"fluent: Message-mode frame for tag {tag!r} has no record map"
+            )
+        out.append((tag, _to_ts(msg[1]), {str(k): str(v) for k, v in msg[2].items()}))
     return out
 
 
