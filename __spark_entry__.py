@@ -596,6 +596,25 @@ def q_text_c4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vrl_parse_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parse_duration over deterministically-formatted duration strings
+    # (unit by event_id residue, magnitude = event_id); oracle recomputes
+    # the unit conversion arithmetically from the residues.
+    from vector_spark.vrl import compile_condition
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    unit = F.element_at(
+        F.array(F.lit("ms"), F.lit("s"), F.lit("m"), F.lit("h")),
+        (eid % 4 + 1).cast("int"),
+    )
+    durs = ev.select(
+        "event_id", F.concat(eid.cast("string"), unit).alias("dur")
+    )
+    secs = compile_condition('parse_duration(.dur, "s")')
+    return durs.select("event_id", F.round(secs, 6).alias("seconds"))
+
+
 def q_vrl_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VRL parse_url over deterministically messy URLs (case-varying scheme
     # and host, optional port / trailing query / fragment, all closed-form
@@ -1350,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "text_c4_gopher": q_text_c4_gopher,
         "vrl_parse_url": q_vrl_parse_url,
+        "vrl_parse_duration": q_vrl_parse_duration,
         "vrl_parse_user_agent": q_vrl_parse_user_agent,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
@@ -2033,6 +2053,14 @@ def oracle_sql() -> dict[str, str]:
                   AND (stop_hits >= 2)) AS gopher_keep
           FROM safe
           ORDER BY doc_id
+        """,
+        "vrl_parse_duration": """
+          SELECT event_id,
+                 ROUND(event_id * (CASE event_id % 4
+                   WHEN 0 THEN 0.001 WHEN 1 THEN 1.0
+                   WHEN 2 THEN 60.0 ELSE 3600.0 END), 6) AS seconds
+          FROM events
+          ORDER BY event_id
         """,
         "vrl_parse_url": """
           SELECT doc_id,
