@@ -370,6 +370,42 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.sha2("text", 256).alias("text_sha"), "n_paras_kept")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Substring-level dedup (Lee et al. 2022 ExactSubstr, windowed): remove
+    # every 8-word span occurring in >=2 distinct docs.  The word-soup
+    # corpus has ~1015 naturally duplicated 8-word windows at sf0.01, so
+    # the query is non-vacuous without planting.  Spark groups windows by
+    # xxhash64; the oracle groups by the window STRING — agreement also
+    # witnesses that no hash collision merged two distinct windows.
+    from vector_spark.functions import duplicate_span_dedup
+
+    docs = _docs(spark, sf_dir)
+    out = duplicate_span_dedup(docs, "doc_id", window=8)
+    return out.select("doc_id", F.sha2("text", 256).alias("text_sha"), "n_tokens_kept")
+
+
+def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance weights (Xie et al. 2023): hashed word-bigram bucket
+    # histograms for raw (all docs) vs target (lang='zh'), per-bucket
+    # log-ratios quantized to integer micro-units on the driver, then a
+    # MAP-ONLY in-row fold scores every doc — the weight is an exact
+    # BIGINT, so the oracle comparison is integer-exact, not
+    # rounding-tolerant.  md5 bucket path = the SQL-recomputable twin.
+    from vector_spark.functions import (
+        dsir_bucket_counts, dsir_logratio_micro, dsir_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kw = dict(buckets=512, seed="dsir1", method="md5")
+    lr = dsir_logratio_micro(
+        dsir_bucket_counts(docs, **kw),
+        dsir_bucket_counts(docs.filter("lang = 'zh'"), **kw),
+    )
+    return dsir_score(docs, lr, seed="dsir1", method="md5").select(
+        "doc_id", "lang", "logw_micro"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub: the corpus is digit-free word soup, so the query plants a
     # deterministic email + IPv4 in every doc and an SSN / US phone /
@@ -1373,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_parse_user_agent": q_vrl_parse_user_agent,
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
+        "dedup_spans": q_dedup_spans,
+        "dsir_score": q_dsir_score,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
@@ -2152,6 +2190,67 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(para, chr(10) ORDER BY pos)) AS text_sha,
                    COUNT(*)::BIGINT AS n_paras_kept
             FROM kept GROUP BY doc_id
+        """,
+        # Window-level (substring) dedup by the window STRING where Spark
+        # groups by xxhash64 of it — agreement additionally witnesses that
+        # no hash collision merged two distinct 8-word windows.
+        "dedup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            wins AS (
+              SELECT doc_id, i.i AS s, array_to_string(tk[i.i : i.i + 7], ' ') AS w
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS i(i)),
+            hot AS (
+              SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT wins.doc_id, p.p AS pos
+              FROM wins JOIN hot USING (w),
+                   unnest(generate_series(wins.s, wins.s + 7)) AS p(p)),
+            kept AS (
+              SELECT t.doc_id, i.i AS pos, tk[i.i] AS tok
+              FROM toks t, unnest(generate_series(1, len(tk))) AS i(i)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = i.i))
+            SELECT doc_id,
+                   sha256(string_agg(tok, ' ' ORDER BY pos)) AS text_sha,
+                   COUNT(*)::BIGINT AS n_tokens_kept
+            FROM kept GROUP BY doc_id
+        """,
+        # DSIR: the oracle recomputes BOTH histograms, the micro-quantized
+        # per-bucket log-ratios, and the integer per-doc sums from scratch.
+        # The only float op is ln() of an identically-derived double; the
+        # 1e-6 quantization happens before any summation, so doc weights
+        # compare as exact BIGINTs.
+        "dsir_score": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(tk[i.i] || ' ' || tk[i.i+1] || 'dsir1'), 1, 7))::BIGINT
+                      % 512)::INT AS b
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i(i)),
+            rawc AS (
+              SELECT s.b, count(g.b) AS c
+              FROM generate_series(0, 511) s(b) LEFT JOIN grams g ON g.b = s.b
+              GROUP BY s.b),
+            tgtc AS (
+              SELECT s.b, count(g.b) AS c
+              FROM generate_series(0, 511) s(b)
+                   LEFT JOIN (SELECT b FROM grams WHERE lang = 'zh') g ON g.b = s.b
+              GROUP BY s.b),
+            tot AS (SELECT (SELECT sum(c) FROM rawc) AS nr, (SELECT sum(c) FROM tgtc) AS nt),
+            lr AS (
+              SELECT r.b,
+                     CAST(round(ln( ((t.c + 1.0) / (tot.nt + 1.0 * 512))
+                                  / ((r.c + 1.0) / (tot.nr + 1.0 * 512)) ) * 1000000) AS BIGINT) AS m
+              FROM rawc r JOIN tgtc t ON r.b = t.b, tot)
+            SELECT g.doc_id, any_value(g.lang) AS lang, sum(lr.m)::BIGINT AS logw_micro
+            FROM grams g JOIN lr ON g.b = lr.b
+            GROUP BY g.doc_id
         """,
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (

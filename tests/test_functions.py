@@ -982,3 +982,112 @@ def test_incremental_int_id_column(spark):
     )
     kept = VF.incremental_neardup_filter(batch, hist)
     assert {r.doc_id for r in kept.collect()} == {(1 << 30) + 1}
+
+
+def test_duplicate_span_dedup_planted(spark):
+    from vector_spark.functions import duplicate_span_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    rows = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared + " six seven eight nine"),
+        (3, "unique words only here nothing repeats at all ok"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_dedup(df, "doc_id", window=8).collect()}
+    # the shared 8-word span is removed from BOTH docs; unique text survives
+    assert out[1]["text"] == "one two three four five"
+    assert out[2]["text"] == "six seven eight nine"
+    # untouched docs pass through verbatim (incl. those shorter than window)
+    assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_kept"] == 9
+    assert out[4]["text"] == "short doc" and out[4]["n_tokens"] == 2
+
+    # keep_first retains the lowest-id copy
+    kf = {r["doc_id"]: r["text"] for r in
+          duplicate_span_dedup(df, "doc_id", window=8, mode="keep_first").collect()}
+    assert shared in kf[1] and shared not in kf[2]
+
+
+def test_duplicate_span_dedup_overlap_and_invariance(spark):
+    from vector_spark.functions import duplicate_span_dedup
+
+    # two OVERLAPPING duplicated windows must merge into one interval,
+    # not double-remove or leave a seam
+    span9 = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two hot 8-windows
+    df = spark.createDataFrame(
+        [(1, "pre " + span9 + " post"), (2, span9)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_span_dedup(df, "doc_id", window=8, keep_empty=True).collect()}
+    assert out[1]["text"] == "pre post"
+    assert out[2]["n_tokens_kept"] == 0  # fully covered
+    # without keep_empty the fully-covered doc disappears
+    ids = {r["doc_id"] for r in duplicate_span_dedup(df, "doc_id", window=8).collect()}
+    assert ids == {1}
+
+    # partition-layout invariance
+    a = sorted(duplicate_span_dedup(df.repartition(1), "doc_id").collect())
+    b = sorted(duplicate_span_dedup(df.repartition(13), "doc_id").collect())
+    assert a == b
+
+
+def test_duplicate_span_dedup_validation(spark):
+    import pytest as _pytest
+    from vector_spark.functions import duplicate_span_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for kw in ({"window": 1}, {"stride": 0}, {"stride": 99}, {"mode": "nope"}, {"min_docs": 1}):
+        with _pytest.raises(ValueError):
+            duplicate_span_dedup(df, "doc_id", **kw)
+
+
+def test_dsir_score_is_exact_and_monotone(spark, docs_table):
+    from pyspark.sql import functions as F
+    from vector_spark.functions import (
+        dsir_bucket_counts, dsir_logratio_micro, dsir_score,
+    )
+
+    kw = dict(buckets=256, seed="t", method="xxhash64")
+    raw = dsir_bucket_counts(docs_table, **kw)
+    tgt = dsir_bucket_counts(docs_table.filter("lang = 'zh'"), **kw)
+    assert sum(tgt) <= sum(raw) and len(raw) == len(tgt) == 256
+    lr = dsir_logratio_micro(raw, tgt)
+
+    scored = dsir_score(docs_table, lr, seed="t", method="xxhash64")
+    # exact-integer determinism across partition layouts
+    a = {r["doc_id"]: r["logw_micro"] for r in
+         scored.select("doc_id", "logw_micro").collect()}
+    b = {r["doc_id"]: r["logw_micro"] for r in
+         dsir_score(docs_table.repartition(17), lr, seed="t", method="xxhash64")
+         .select("doc_id", "logw_micro").collect()}
+    assert a == b
+    # target-domain docs must score higher on average than the rest
+    means = {r["z"]: r["m"] for r in scored.groupBy(
+        (F.col("lang") == "zh").alias("z")).agg(F.avg("logw").alias("m")).collect()}
+    assert means[True] > means[False]
+
+
+def test_dsir_resample_deterministic_fraction(spark, docs_table):
+    from vector_spark.functions import (
+        dsir_bucket_counts, dsir_logratio_micro, dsir_resample,
+    )
+
+    kw = dict(buckets=256, seed="t", method="xxhash64")
+    lr = dsir_logratio_micro(
+        dsir_bucket_counts(docs_table, **kw),
+        dsir_bucket_counts(docs_table.filter("lang = 'zh'"), **kw),
+    )
+    n = docs_table.count()
+    kept = dsir_resample(docs_table, lr, 0.3, key_col="doc_id", seed="t")
+    k1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # approx_percentile cut: keep-rate within a few points of the ask
+    assert 0.25 * n <= len(k1) <= 0.36 * n
+    k2 = sorted(r["doc_id"] for r in dsir_resample(
+        docs_table.repartition(9), lr, 0.3, key_col="doc_id", seed="t"
+    ).select("doc_id").collect())
+    assert k1 == k2
+    # the resample is importance-BIASED: zh share rises vs the corpus
+    kept_zh = kept.filter("lang = 'zh'").count() / len(k1)
+    base_zh = docs_table.filter("lang = 'zh'").count() / n
+    assert kept_zh > base_zh

@@ -159,6 +159,139 @@ def paragraph_dedup(
     )
 
 
+def duplicate_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 1,
+    min_docs: int = 2,
+    mode: str = "drop_all",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """Substring-level dedup: remove word spans that repeat across documents
+    (the ExactSubstr idea of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed as DataFrame ops).  The
+    paper builds a single-machine suffix array; the distributed analog
+    hashes every ``window``-word sliding window, finds windows occurring in
+    ``min_docs``+ DISTINCT documents, and removes the covered word
+    positions.  A duplicated span of length >= window is covered exactly
+    (stride=1); stride>1 trades recall for cost and only guarantees spans
+    of length >= window + stride - 1.
+
+    ``mode="drop_all"`` removes every occurrence of a duplicated span
+    (paragraph_dedup's boilerplate discipline); ``mode="keep_first"``
+    keeps the copy in the lowest ``id_col`` document (the paper's
+    keep-one-occurrence semantics, made deterministic).
+
+    Execution shape — the three shuffles are all on narrow keys:
+      1. windows are generated MAP-SIDE (transform over sequence, one
+         xxhash64 per window: 8-byte keys, never the window string),
+      2. ONE hash-agg on window hash finds hot windows (count distinct
+         doc), LEFT SEMI join marks covered (doc, start) rows,
+      3. covered positions are merged into intervals per doc with a
+         gaps-and-islands window pass (NO per-position explode — a hot
+         window contributes an interval, not ``window`` rows), and each
+         doc's surviving tokens are selected by an index-aware filter()
+         against its (small) interval array.
+    Output is partition-layout invariant: token order comes from the array
+    itself, never collect_list order.  Docs shorter than ``window`` pass
+    through untouched; docs whose every token was covered disappear unless
+    ``keep_empty=True``.
+
+    Output columns: (id_col, text_col cleaned, n_tokens_kept, n_tokens)."""
+    from pyspark.sql import Window as W
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2 words, got {window}")
+    if stride < 1 or stride > window:
+        raise ValueError(f"stride must be in [1, window], got {stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"mode must be drop_all|keep_first, got {mode!r}")
+
+    trimmed = F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    tk = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, " "))
+    toks = df.select(F.col(id_col), tk.alias("_tk"))
+
+    wins = (
+        toks.filter(F.size("_tk") >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - window, F.lit(stride)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("_tk", i + 1, window))).alias("h"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, F.col("_w.s").alias("_s"), F.col("_w.h").alias("_h"))
+    )
+
+    if mode == "drop_all":
+        hot = (
+            wins.groupBy("_h")
+            .agg(F.countDistinct(id_col).alias("_d"))
+            .filter(F.col("_d") >= min_docs)
+            .select("_h")
+        )
+        covered = wins.join(hot, "_h", "left_semi").select(id_col, "_s")
+    else:
+        own = (
+            wins.groupBy("_h")
+            .agg(F.countDistinct(id_col).alias("_d"), F.min(id_col).alias("_keep"))
+            .filter(F.col("_d") >= min_docs)
+            .select("_h", "_keep")
+        )
+        covered = (
+            wins.join(own, "_h")
+            .filter(F.col(id_col) != F.col("_keep"))
+            .select(id_col, "_s")
+        )
+
+    w_doc = W.partitionBy(id_col).orderBy("_s")
+    intervals = (
+        covered.withColumn("_e", F.col("_s") + window - 1)
+        .withColumn(
+            "_prev_e",
+            F.max("_e").over(w_doc.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_e").isNull() | (F.col("_s") > F.col("_prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_doc.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_cov"))
+    )
+
+    kept = F.when(F.col("_cov").isNull(), F.col("_tk")).otherwise(
+        F.filter(
+            "_tk",
+            lambda t, i: ~F.exists(
+                "_cov", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+            ),
+        )
+    )
+    out = toks.join(intervals, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size(kept).alias("n_tokens_kept"),
+        F.size("_tk").alias("n_tokens"),
+    )
+    if keep_empty:
+        return out
+    return out.filter(F.col("n_tokens_kept") > 0)
+
+
 def shingle_df(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, unit: str = "char"
 ) -> DataFrame:

@@ -14,6 +14,8 @@ lets you grow a mix without resampling the world.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,3 +65,161 @@ def stratified_sample(
     for k, v in fractions.items():
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(_bucket(F.col(key_col), seed, method) < rate)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+#
+# Select raw-corpus documents that look like a target domain by importance
+# weighting over HASHED word-n-gram bucket distributions: estimate the
+# target and raw bucket distributions once (two hash-aggs that reduce to
+# `buckets` rows each — driver-collectable by construction, the IVF-centroid
+# pattern), then score every document MAP-ONLY with a literal lookup array:
+# zero shuffle, no Python in the hot path, pushdown-friendly.
+#
+# Determinism discipline: the per-bucket log ratios are quantized to
+# integer MICRO-units (1e-6) on the driver, and each document's weight is
+# the exact INTEGER sum of its grams' micro-ratios — so the score is
+# bit-identical across partitionings, retries, engines, and summation
+# orders (floating addition is order-dependent; integer addition is not).
+
+
+def word_ngrams(text_col: Column | str, n: int = 2) -> Column:
+    """Array of space-joined word n-grams (whitespace-collapsed tokenization,
+    the duplicate_span_dedup convention).  Docs with < n words give []."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    trimmed = F.trim(F.regexp_replace(F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")), r"\s+", " "))
+    tk = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, " "))
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_bucket(gram: Column, buckets: int, seed: str, method: str) -> Column:
+    """Bucket id in [0, buckets) for one n-gram string.  ``xxhash64`` is the
+    throughput path; ``md5`` (28-bit prefix) is the SQL-recomputable twin."""
+    salted = F.concat(gram, F.lit(seed))
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(salted), F.lit(buckets)).cast("int")
+    if method == "md5":
+        return (F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long") % buckets).cast("int")
+    raise ValueError(f"unknown hash method {method!r} (expected xxhash64|md5)")
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    seed: str = "",
+    method: str = "xxhash64",
+) -> list[int]:
+    """Hashed n-gram bucket histogram for a corpus: explode grams → ONE
+    hash-agg on the (int) bucket id → collect exactly ``buckets`` rows.
+    The collect is small by construction (buckets, not documents)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    rows = (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .select(_gram_bucket(F.col("_g"), buckets, seed, method).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    counts = [0] * buckets
+    for r in rows:
+        counts[r["_b"]] = r["_c"]
+    return counts
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+
+def dsir_logratio_micro(
+    raw_counts: list[int], target_counts: list[int], smoothing: float = 1.0
+) -> list[int]:
+    """Per-bucket importance log-ratio ln(p_target / p_raw) with Laplace
+    smoothing, quantized to integer micro-units (×1e6, half-away rounding —
+    matching SQL ``round()``, not Python's banker's rounding).  p_x[b] =
+    (c_x[b] + a) / (N_x + a·B).  The quantization is what makes downstream
+    document scores exact integers."""
+    if len(raw_counts) != len(target_counts):
+        raise ValueError("raw and target histograms must have the same bucket count")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    b = len(raw_counts)
+    n_r = sum(raw_counts)
+    n_t = sum(target_counts)
+    out = []
+    for cr, ct in zip(raw_counts, target_counts):
+        pt = (ct + smoothing) / (n_t + smoothing * b)
+        pr = (cr + smoothing) / (n_r + smoothing * b)
+        out.append(_round_half_away(math.log(pt / pr)))
+    return out
+
+
+def dsir_score(
+    df: DataFrame,
+    logratio_micro: list[int],
+    text_col: str = "text",
+    n: int = 2,
+    seed: str = "",
+    method: str = "xxhash64",
+    out_col: str = "logw",
+) -> DataFrame:
+    """Score every document with its DSIR importance weight: the exact
+    integer sum of its grams' micro-log-ratios, via an in-row fold over the
+    gram array against a LITERAL lookup array — MAP-ONLY, zero shuffle, no
+    Python workers; the literal array ships once inside the plan.  Adds
+    ``{out_col}_micro`` (exact BIGINT) and ``{out_col}`` (micro / 1e6)."""
+    buckets = len(logratio_micro)
+    lr = F.lit([int(v) for v in logratio_micro])
+    micro = F.aggregate(
+        word_ngrams(text_col, n),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(lr, _gram_bucket(g, buckets, seed, method) + 1).cast("long"),
+    )
+    return df.withColumn(f"{out_col}_micro", micro).withColumn(
+        out_col, (F.col(f"{out_col}_micro") / F.lit(1_000_000.0))
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    logratio_micro: list[int],
+    fraction: float,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 2,
+    temperature: float = 1.0,
+    seed: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling, made deterministic: draw each
+    document's Gumbel noise from a HASH of its key (so the sample is a pure
+    function of the data, the stratified_sample doctrine), perturb
+    logw/temperature, and keep the top ``fraction`` of documents by a
+    single distributed quantile cut (approx_percentile at 1e-4 error) —
+    no global sort.  Ties at the threshold are broken toward keeping."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    scored = dsir_score(df, logratio_micro, text_col, n, seed, method)
+    u = _bucket(F.col(key_col), seed + "|gumbel", method)  # [0, 1)
+    # guard u=0 (ln(0)): the bucket grid step is 1e-6, shift by half a step
+    gumbel = -F.log(-F.log(u + F.lit(0.5 / _BUCKETS)))
+    keyed = scored.withColumn(
+        "_dsir_key", F.col("logw") / F.lit(float(temperature)) + gumbel
+    )
+    cut = keyed.agg(
+        F.expr(f"approx_percentile(_dsir_key, {1.0 - fraction}, 10000)")
+    ).first()[0]
+    return keyed.filter(F.col("_dsir_key") >= cut).drop("_dsir_key")
