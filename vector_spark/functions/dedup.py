@@ -232,23 +232,24 @@ def duplicate_span_dedup(
         .select(id_col, F.col("_w.s").alias("_s"), F.col("_w.h").alias("_h"))
     )
 
-    if mode == "drop_all":
-        hot = (
-            wins.groupBy("_h")
-            .agg(F.countDistinct(id_col).alias("_d"))
-            .filter(F.col("_d") >= min_docs)
-            .select("_h")
-        )
-        covered = wins.join(hot, "_h", "left_semi").select(id_col, "_s")
+    # Hot-window detection.  For the common min_docs=2 case "seen in >=2
+    # distinct docs" is exactly min(id) != max(id) — a plain min/max
+    # hash-agg with full map-side combine, skipping countDistinct's
+    # distinct-expansion shuffle (a doc self-repeating a window stays
+    # cold either way).  min(id) doubles as keep_first's canonical doc.
+    if min_docs == 2:
+        grouped = wins.groupBy("_h").agg(
+            F.min(id_col).alias("_keep"), F.max(id_col).alias("_hi")
+        ).filter(F.col("_keep") != F.col("_hi"))
     else:
-        own = (
-            wins.groupBy("_h")
-            .agg(F.countDistinct(id_col).alias("_d"), F.min(id_col).alias("_keep"))
-            .filter(F.col("_d") >= min_docs)
-            .select("_h", "_keep")
-        )
+        grouped = wins.groupBy("_h").agg(
+            F.countDistinct(id_col).alias("_d"), F.min(id_col).alias("_keep")
+        ).filter(F.col("_d") >= min_docs)
+    if mode == "drop_all":
+        covered = wins.join(grouped.select("_h"), "_h", "left_semi").select(id_col, "_s")
+    else:
         covered = (
-            wins.join(own, "_h")
+            wins.join(grouped.select("_h", "_keep"), "_h")
             .filter(F.col(id_col) != F.col("_keep"))
             .select(id_col, "_s")
         )
