@@ -406,6 +406,31 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget-capped selection per language (the unit data mixes are
+    # specified in): docs taken in md5-hash order per stratum while the
+    # running token sum stays within budget.  Budgets are set so every
+    # stratum is genuinely cut (en gets ~60 docs of 218, others ~15-30) —
+    # and the oracle replays the same running sum relationally.
+    from vector_spark.functions import token_budget_select
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tok",
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")),
+    )
+    out = token_budget_select(
+        docs,
+        {"en": 3000, "zh": 1500},
+        token_col="n_tok",
+        strata_col="lang",
+        key_col="doc_id",
+        default_budget=800,
+        seed="mix2",
+        method="md5",
+    )
+    return out.select("doc_id", "lang", "n_tok")
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub: the corpus is digit-free word soup, so the query plants a
     # deterministic email + IPv4 in every doc and an SSN / US phone /
@@ -1411,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_spans": q_dedup_spans,
         "dsir_score": q_dsir_score,
+        "sample_token_budget": q_token_budget,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
@@ -2190,6 +2216,24 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(para, chr(10) ORDER BY pos)) AS text_sha,
                    COUNT(*)::BIGINT AS n_paras_kept
             FROM kept GROUP BY doc_id
+        """,
+        # Token-budget selection: the same md5-hash order and running token
+        # sum, replayed as a SQL window.  1e6-bucket grid, ties by doc_id.
+        "sample_token_budget": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tok,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'mix2|budget'), 1, 7))::BIGINT
+                       % 1000000 AS hb
+              FROM documents),
+            cum AS (
+              SELECT doc_id, lang, n_tok,
+                     SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY hb, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM toks)
+            SELECT doc_id, lang, n_tok FROM cum
+            WHERE c <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1500 ELSE 800 END
         """,
         # Window-level (substring) dedup by the window STRING where Spark
         # groups by xxhash64 of it — agreement additionally witnesses that

@@ -1091,3 +1091,66 @@ def test_dsir_resample_deterministic_fraction(spark, docs_table):
     kept_zh = kept.filter("lang = 'zh'").count() / len(k1)
     base_zh = docs_table.filter("lang = 'zh'").count() / n
     assert kept_zh > base_zh
+
+
+def test_token_budget_select_exact(spark, docs_table):
+    from pyspark.sql import functions as F
+    from vector_spark.functions import token_budget_select
+
+    docs = docs_table.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+    )
+    kw = dict(token_col="n_tok", strata_col="lang", key_col="doc_id", seed="t")
+    out = token_budget_select(docs, {"en": 2000, "zh": 1000}, default_budget=500, **kw)
+    # every stratum honors its budget exactly
+    sums = {r["lang"]: r["s"] for r in
+            out.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()}
+    budget = {"en": 2000, "zh": 1000}
+    for lang, s in sums.items():
+        assert s <= budget.get(lang, 500), (lang, s)
+    # prefix property: doubling a budget only ADDS docs
+    small = {r["doc_id"] for r in out.select("doc_id").collect()}
+    big = {r["doc_id"] for r in token_budget_select(
+        docs, {"en": 4000, "zh": 2000}, default_budget=1000, **kw
+    ).select("doc_id").collect()}
+    assert small <= big and len(big) > len(small)
+    # partition-layout invariance
+    again = {r["doc_id"] for r in token_budget_select(
+        docs.repartition(11), {"en": 2000, "zh": 1000}, default_budget=500, **kw
+    ).select("doc_id").collect()}
+    assert again == small
+
+
+def test_token_budget_select_rate(spark, docs_table):
+    from pyspark.sql import functions as F
+    from vector_spark.functions import token_budget_select
+
+    docs = docs_table.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+    )
+    total = docs.agg(F.sum("n_tok")).first()[0]
+    out = token_budget_select(
+        docs, total // 3, token_col="n_tok", key_col="doc_id", seed="t", mode="rate"
+    )
+    got = out.agg(F.sum("n_tok")).first()[0]
+    # met in expectation: within 25% relative at 500 docs
+    assert abs(got - total / 3) / (total / 3) < 0.25, (got, total)
+    # budget >= total keeps everything; zero budget keeps nothing
+    assert token_budget_select(
+        docs, total * 2, token_col="n_tok", key_col="doc_id", mode="rate"
+    ).count() == docs.count()
+    assert token_budget_select(
+        docs, 0, token_col="n_tok", key_col="doc_id", mode="rate"
+    ).count() == 0
+
+
+def test_token_budget_select_validation(spark, docs_table):
+    import pytest as _pytest
+    from vector_spark.functions import token_budget_select
+
+    with _pytest.raises(ValueError):
+        token_budget_select(docs_table, {"en": 10}, token_col="n_chars")  # no strata_col
+    with _pytest.raises(ValueError):
+        token_budget_select(docs_table, {"en": -1}, token_col="n_chars", strata_col="lang")
+    with _pytest.raises(ValueError):
+        token_budget_select(docs_table, 10, token_col="n_chars", mode="nope")

@@ -223,3 +223,92 @@ def dsir_resample(
         F.expr(f"approx_percentile(_dsir_key, {1.0 - fraction}, 10000)")
     ).first()[0]
     return keyed.filter(F.col("_dsir_key") >= cut).drop("_dsir_key")
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    token_col: str,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    default_budget: int = 0,
+    seed: str = "",
+    method: str = "xxhash64",
+    mode: str = "exact",
+) -> DataFrame:
+    """Select documents up to a TOKEN budget per stratum ("10B tokens of
+    code, 2B of wiki" — the unit data mixes are actually specified in,
+    where stratified_sample's per-ROW rates can't hit a token target when
+    doc lengths differ across strata).  Deterministic: docs are taken in
+    hash-of-key order, so the selection is a pure function of the data and
+    growing a budget only ADDS documents (prefix property).
+
+    ``mode="exact"``: per-stratum running token sum over hash order (one
+    shuffle on the stratum key + an in-partition sort), keep while the
+    running sum stays within budget.  Exact and oracle-able; at 100 TB a
+    single giant stratum serializes into one sort partition, so use it
+    when strata are reasonably balanced or budgets are per-domain.
+
+    ``mode="rate"``: the scale path — ONE small agg collects per-stratum
+    token totals (strata-many rows, driver-safe by construction), then a
+    map-only hash filter keeps each doc with probability budget/total.
+    Zero sort, zero skew, budget met in expectation with relative error
+    ~1/sqrt(docs-per-stratum); same hash ⇒ rate mode's kept set is NOT a
+    prefix of exact mode's (rates thin uniformly, exact takes a prefix).
+    """
+    if mode not in ("exact", "rate"):
+        raise ValueError(f"mode must be exact|rate, got {mode!r}")
+    if isinstance(budgets, int):
+        budget_expr = F.lit(budgets)
+        budget_map = None
+    else:
+        budget_map = dict(budgets)
+        if strata_col is None:
+            raise ValueError("per-stratum budgets require strata_col")
+        for k, v in budget_map.items():
+            if v < 0:
+                raise ValueError(f"budget for stratum {k!r} must be >= 0, got {v}")
+        budget_expr = F.lit(default_budget)
+        for k, v in budget_map.items():
+            budget_expr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(budget_expr)
+
+    if mode == "exact":
+        from pyspark.sql import Window as W
+
+        part = [strata_col] if strata_col else []
+        order = _bucket(F.col(key_col), seed + "|budget", method)
+        w = (
+            W.partitionBy(*part)
+            .orderBy(order.asc(), F.col(key_col).asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return (
+            df.withColumn("_cum_tok", F.sum(token_col).over(w))
+            .filter(F.col("_cum_tok") <= budget_expr)
+            .drop("_cum_tok")
+        )
+
+    # rate mode: totals per stratum (or global), then a hash-rate filter
+    group = [strata_col] if strata_col else []
+    totals = {
+        (r[strata_col] if strata_col else None): r["_tot"]
+        for r in df.groupBy(*group).agg(F.sum(token_col).alias("_tot")).collect()
+    }
+    def _rate(stratum):
+        tot = totals.get(stratum, 0)
+        b = (
+            budget_map.get(stratum, default_budget)
+            if budget_map is not None
+            else budgets
+        )
+        return min(1.0, b / tot) if tot else 0.0
+
+    if strata_col is None:
+        rate = F.lit(_rate(None))
+    else:
+        rate = F.lit(0.0)
+        for stratum in totals:
+            if stratum is None:
+                continue
+            rate = F.when(F.col(strata_col) == stratum, F.lit(_rate(stratum))).otherwise(rate)
+    return df.filter(_bucket(F.col(key_col), seed + "|budget", method) < rate)
