@@ -406,6 +406,34 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Suffix-domain blocklist filtering (the UT1/RefinedWeb URL-filter
+    # convention): hosts synthesized closed-form from doc_id with 4 labels
+    # of subdomain structure; the blocklist mixes a mid-level suffix, a
+    # near-TLD suffix (blocks a third of the corpus), and one exact host.
+    # flag mode returns every doc with its verdict so both outcomes hash.
+    from vector_spark.functions import blocklist_filter
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("s"), (did % 5).cast("string"),
+        F.lit(".site"), (did % 20).cast("string"),
+        F.lit(".zone"), (did % 3).cast("string"),
+        F.lit(".example"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string")).alias("url"),
+    )
+    out = blocklist_filter(
+        urls,
+        ["site3.zone0.example", "zone2.example", "s0.site5.zone0.example"],
+        mode="flag",
+    )
+    return out.select("doc_id", "blocked")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token-budget-capped selection per language (the unit data mixes are
     # specified in): docs taken in md5-hash order per stratum while the
@@ -1437,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dsir_score": q_dsir_score,
         "sample_token_budget": q_token_budget,
+        "url_blocklist": q_url_blocklist,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
@@ -2216,6 +2245,23 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(para, chr(10) ORDER BY pos)) AS text_sha,
                    COUNT(*)::BIGINT AS n_paras_kept
             FROM kept GROUP BY doc_id
+        """,
+        # Suffix-domain blocklist: 'host under domain d' ⟺ host = d OR
+        # host ends with '.d' — replayed with LIKE instead of the suffix
+        # explode Spark uses.
+        "url_blocklist": """
+            WITH hosts AS (
+              SELECT doc_id,
+                     's' || (doc_id % 5) || '.site' || (doc_id % 20)
+                         || '.zone' || (doc_id % 3) || '.example' AS host
+              FROM documents),
+            bl(d) AS (VALUES ('site3.zone0.example'), ('zone2.example'),
+                             ('s0.site5.zone0.example'))
+            SELECT doc_id,
+                   EXISTS (SELECT 1 FROM bl
+                           WHERE hosts.host = bl.d
+                              OR hosts.host LIKE '%.' || bl.d) AS blocked
+            FROM hosts
         """,
         # Token-budget selection: the same md5-hash order and running token
         # sum, replayed as a SQL window.  1e6-bucket grid, ties by doc_id.

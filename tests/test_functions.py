@@ -1154,3 +1154,33 @@ def test_token_budget_select_validation(spark, docs_table):
         token_budget_select(docs_table, {"en": -1}, token_col="n_chars", strata_col="lang")
     with _pytest.raises(ValueError):
         token_budget_select(docs_table, 10, token_col="n_chars", mode="nope")
+
+
+def test_blocklist_filter(spark):
+    from vector_spark.functions import blocklist_filter, domain_suffixes, url_host
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://ads.tracker.example/x"),        # subdomain of blocked
+        (2, "https://tracker.example/y"),            # exact blocked domain
+        (3, "https://nottracker.example/z"),         # suffix must respect label edges
+        (4, "HTTPS://CDN.EU.Tracker.Example:443/a"), # case + port insensitive
+        (5, "https://fine.example.org/b"),
+        (6, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in
+            blocklist_filter(df, ["tracker.example"]).collect()}
+    assert kept == {3, 5, 6}
+    flags = {r["doc_id"]: r["blocked"] for r in
+             blocklist_filter(df, ["tracker.example"], mode="flag").collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: True, 5: False, 6: False}
+    # empty blocklist: everything passes / nothing flagged
+    assert blocklist_filter(df, []).count() == 6
+    assert blocklist_filter(df, [], mode="flag").filter("blocked").count() == 0
+    # suffix chain helper
+    sufs = df.filter("doc_id = 1").select(
+        domain_suffixes(url_host("url")).alias("s")).first()["s"]
+    assert sufs == ["ads.tracker.example", "tracker.example", "example"]
+    with __import__("pytest").raises(ValueError):
+        blocklist_filter(df, ["x"], mode="nope")

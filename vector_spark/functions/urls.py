@@ -97,3 +97,70 @@ def canonical_url_dedup(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased hostname of a URL (port stripped); '' when the URL does
+    not parse.  Pure regexp — codegen, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(u, _URL_PARTS_RE, 2))
+
+
+def domain_suffixes(host: Column | str) -> Column:
+    """All dot-suffix chains of a hostname, most-specific first:
+    'a.b.example.com' → ['a.b.example.com', 'b.example.com', 'example.com',
+    'com'].  Built with transform-over-sequence (codegen-free HOF but pure
+    JVM, no Python); '' hosts give []."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    return F.when(h == "", F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    mode: str = "remove",
+) -> DataFrame:
+    """Drop (or flag) documents whose URL host falls under any blocklisted
+    domain, matching by REGISTRABLE SUFFIX — blocking 'tracker.example'
+    blocks 'cdn.eu.tracker.example' too (the UT1/RefinedWeb URL-filtering
+    convention; exact-host lists work unchanged since a host is its own
+    first suffix).
+
+    Execution shape: hosts explode to their suffix chains (≤ label-count
+    rows per doc, map-side), LEFT SEMI join against the BROADCAST
+    blocklist finds blocked ids, one LEFT ANTI join removes them — the
+    blocklist (even UT1-sized, a few M domains ≈ tens of MB) broadcasts,
+    so the only shuffle is the anti join on the id, and AQE broadcasts
+    THAT side too when few docs are blocked.  ``mode="flag"`` returns all
+    rows with a `blocked` boolean instead of filtering."""
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be remove|flag, got {mode!r}")
+    if isinstance(blocklist, list):
+        if not blocklist:
+            return df.withColumn("blocked", F.lit(False)) if mode == "flag" else df
+        bl = df.sparkSession.createDataFrame(
+            [(d,) for d in blocklist], "domain string"
+        )
+    else:
+        bl = blocklist.select(F.col("domain"))
+    bl = bl.select(F.lower(F.trim("domain")).alias("_bdom")).distinct()
+
+    sufs = df.select(
+        id_col, F.explode(domain_suffixes(url_host(url_col))).alias("_dom")
+    )
+    blocked = sufs.join(
+        F.broadcast(bl), sufs["_dom"] == bl["_bdom"], "left_semi"
+    ).select(id_col).distinct()
+    if mode == "remove":
+        return df.join(blocked, id_col, "left_anti")
+    return df.join(
+        blocked.withColumn("blocked", F.lit(True)), id_col, "left"
+    ).withColumn("blocked", F.coalesce("blocked", F.lit(False)))
