@@ -406,6 +406,23 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Training-shard layout: shard = hash(key) mod 8, in-shard rank by an
+    # INDEPENDENT hash — the deterministic global shuffle a training
+    # reader consumes.  md5 twin path so the oracle replays both hashes.
+    from pyspark.sql import Window as W
+    from vector_spark.plans.sinks import shard_assignment
+
+    docs = _docs(spark, sf_dir)
+    shard, order = shard_assignment("doc_id", 8, seed="tr1", method="md5")
+    w = W.partitionBy("shard").orderBy("shard_order", "doc_id")
+    return (
+        docs.select("doc_id", shard, order)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "shard", "rnk")
+    )
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Suffix-domain blocklist filtering (the UT1/RefinedWeb URL-filter
     # convention): hosts synthesized closed-form from doc_id with 4 labels
@@ -1466,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": q_dsir_score,
         "sample_token_budget": q_token_budget,
         "url_blocklist": q_url_blocklist,
+        "train_shards": q_train_shards,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_filter": q_dedup_neardup_filter,
@@ -2245,6 +2263,21 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(para, chr(10) ORDER BY pos)) AS text_sha,
                    COUNT(*)::BIGINT AS n_paras_kept
             FROM kept GROUP BY doc_id
+        """,
+        # Training-shard layout: both hashes replayed from their md5
+        # formulas; rank via the same (order, doc_id) window.
+        "train_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(doc_id::VARCHAR || 'tr1|shard'), 1, 7))::BIGINT
+                       % 8)::INT AS shard,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'tr1|order'), 1, 7))::BIGINT
+                       % 1000000 AS shard_order
+              FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY shard_order, doc_id)::INT AS rnk
+            FROM h
         """,
         # Suffix-domain blocklist: 'host under domain d' ⟺ host = d OR
         # host ends with '.d' — replayed with LIKE instead of the suffix

@@ -225,3 +225,64 @@ def write_routed(
         tagged = tagged.drop(*drop_binary)
     parts = [route_col] + (extra_partition_cols or [])
     tagged.write.mode(mode).partitionBy(*parts).parquet(base_path)
+
+
+def shard_assignment(
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+    method: str = "xxhash64",
+    what: str = "shard",
+):
+    """(shard, order) Columns for the training-shard layout: shard id in
+    [0, n_shards) and an in-shard ordering key, both pure hash functions
+    of ``key_col`` — INDEPENDENT hashes (different salts), so in-shard
+    order is not correlated with shard assignment.  ``md5`` is the
+    SQL-recomputable twin of the xxhash64 throughput path."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    if method == "xxhash64":
+        shard = F.pmod(F.xxhash64(F.concat(key, F.lit(seed + "|shard"))), F.lit(n_shards))
+        order = F.pmod(F.xxhash64(F.concat(key, F.lit(seed + "|order"))), F.lit(1_000_000))
+    elif method == "md5":
+        shard = F.conv(F.substring(F.md5(F.concat(key, F.lit(seed + "|shard"))), 1, 7), 16, 10).cast("long") % n_shards
+        order = F.conv(F.substring(F.md5(F.concat(key, F.lit(seed + "|order"))), 1, 7), 16, 10).cast("long") % 1_000_000
+    else:
+        raise ValueError(f"unknown hash method {method!r} (expected xxhash64|md5)")
+    return shard.cast("int").alias(what), order.alias(f"{what}_order")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    fmt: str = "parquet",
+    seed: str = "",
+    method: str = "xxhash64",
+    mode: str = "errorifexists",
+) -> None:
+    """The last step of a curation pipeline: write the corpus as a fixed
+    number of GLOBALLY SHUFFLED shards for training readers.  Training
+    jobs want (a) a known shard count so workers map 1:1, (b) rows
+    pre-shuffled so a sequential reader sees an i.i.d.-ish stream, and
+    (c) determinism so a re-run (or a resumed write) produces the same
+    shard contents byte-for-byte.  `df.write` alone gives none of these —
+    partition layout follows the upstream plan and `rand()` breaks on
+    retry.
+
+    Everything is a pure function of ``key_col``: shard = hash(key) mod n,
+    in-shard order = an independent hash.  ONE shuffle (repartition on the
+    shard id) + an in-partition sort; `partitionBy(shard)` then writes one
+    directory per shard.  At 100 TB pick n_shards so a shard fits a
+    training worker's stream buffer; skewless by construction (hash mod)."""
+    shard, order = shard_assignment(key_col, n_shards, seed, method)
+    out = (
+        df.withColumn("shard", shard)
+        .withColumn("_shard_order", order)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_shard_order", key_col)
+        .drop("_shard_order")
+    )
+    out.write.partitionBy("shard").format(fmt).mode(mode).save(path)
