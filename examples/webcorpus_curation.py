@@ -1,11 +1,13 @@
 """End-to-end web-corpus curation — the full training-data pipeline this
 repo provides, run in the order a production curation job would:
 
-    ingest (WARC) → URL canonicalization → C4 line cleaning →
-    Gopher quality rules → PII redaction → exact dedup → paragraph dedup →
+    ingest (WARC) → URL canonicalization → domain blocklist →
+    C4 line cleaning → Gopher quality rules → PII redaction →
+    exact dedup → paragraph dedup → duplicate-span dedup →
     MinHash-LSH near-dup (connected-components keep-canonical) →
     benchmark decontamination → language-stratified sampling →
-    quality/repetition feature columns on the survivors
+    DSIR importance scores → per-language token budgets →
+    quality/repetition feature columns → training-shard write
 
 Every stage is one of the library operators; this file just sequences
 them, so it doubles as the "switching user" walkthrough: each comment
@@ -29,10 +31,15 @@ from pyspark.sql import functions as F  # noqa: E402
 def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
     from vector_spark import synth
     from vector_spark.functions import (
+        blocklist_filter,
         c4_line_filter,
         canonical_url_dedup,
         connected_components,
         decontaminate,
+        dsir_bucket_counts,
+        dsir_logratio_micro,
+        dsir_score,
+        duplicate_span_dedup,
         exact_dedup,
         gopher_quality_filter,
         jaccard_for_pairs,
@@ -43,6 +50,7 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         redact_pii,
         repetition_features,
         stratified_sample,
+        token_budget_select,
     )
 
     stages: dict[str, DataFrame] = {}
@@ -59,6 +67,12 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
     canon = canonical_url_dedup(docs)
     docs = docs.join(canon.select("doc_id"), "doc_id", "left_semi")
     stages["url_canonical"] = docs
+
+    # 1b. Domain blocklist (UT1/RefinedWeb-style suffix matching): drop
+    #    the two hottest Zipf hosts — in production this is the spam/adult
+    #    domain list, broadcast once.
+    docs = blocklist_filter(docs, ["host-0000", "host-0001"])
+    stages["blocklisted"] = docs
 
     # 2-3. C4 line cleaning then Gopher document rules (auditable per-rule
     #    booleans; filter on the conjunction).  The synthetic corpus is
@@ -93,6 +107,18 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
     # 6. Paragraph-level dedup (CCNet-style boilerplate removal).
     docs = paragraph_dedup(docs, "doc_id").drop("n_paras_kept")
 
+    # 6b. Duplicate-span dedup (ExactSubstr, windowed): removes repeated
+    #    sub-paragraph spans that paragraph dedup can't see.
+    docs = duplicate_span_dedup(docs, "doc_id", window=8).select("doc_id", "text")
+
+    #    Materialize the cleaned corpus before the near-dup stage: LSH +
+    #    verify reference `docs` on BOTH sides of a self-join, and without
+    #    a cut the full cleanup lineage is inlined twice into one plan —
+    #    Catalyst re-optimization of that tree dominated wall time (73 s
+    #    of driver time at 400 docs; ~3 s once cut).  A production job
+    #    writes the cleaned corpus as a table here for the same reason.
+    docs = docs.localCheckpoint()
+
     # 7. Near-dup removal: LSH candidates → exact-Jaccard verify →
     #    connected components → keep the component minimum.
     cand = minhash_lsh_pairs(docs, "doc_id", n=3, unit="word", threshold=None)
@@ -102,6 +128,13 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         F.col("node").alias("doc_id")
     )
     docs = docs.join(drops, "doc_id", "left_anti")
+    #    Materialize the dedup survivors ONCE: everything below (the two
+    #    DSIR corpus scans, budgets, feature columns, the shard write)
+    #    re-reads this frame, and without a checkpoint each action would
+    #    re-run the whole LSH→verify→CC lineage.  A production job writes
+    #    an intermediate table here; localCheckpoint is the in-process
+    #    equivalent.
+    docs = docs.localCheckpoint()
     stages["deduped"] = docs
 
     # 8. Benchmark decontamination: 8-gram overlap against the eval set
@@ -122,7 +155,28 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         default_fraction=0.25, seed="mix-example",
     )
 
-    # 10. Feature columns for downstream mixing/analysis.
+    # 10. DSIR importance scores toward an "en-like" target (the same
+    #    machinery doubles as a hashed naive-Bayes quality classifier when
+    #    the target is a curated seed set) — map-only exact-integer logw.
+    kw = dict(buckets=1024, seed="mix-example")
+    lr = dsir_logratio_micro(
+        dsir_bucket_counts(docs, **kw),
+        dsir_bucket_counts(docs.filter("lang = 'en'"), **kw),
+    )
+    docs = dsir_score(docs, lr, seed="mix-example")
+
+    # 11. Per-language TOKEN budgets (the unit mixes are specified in):
+    #    deterministic hash-order prefix per stratum.
+    docs = docs.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+    )
+    docs = token_budget_select(
+        docs, {"en": 20_000, "de": 6_000, "fr": 6_000}, token_col="n_tok",
+        strata_col="lang", key_col="doc_id", default_budget=4_000,
+        seed="mix-example",
+    )
+
+    # 12. Feature columns for downstream mixing/analysis.
     docs = quality_features(docs)
     docs = repetition_features(docs)
     docs = lang_id(docs)
@@ -136,11 +190,23 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     spark = get_spark(cores=8)
     stages = curate(spark, n)
-    for name in ("url_canonical", "quality_filtered", "deduped", "final"):
+    for name in ("url_canonical", "blocklisted", "quality_filtered", "deduped", "final"):
         print(f"{name:18s} {stages[name].count():7d} docs")
-    stages["final"].select("doc_id", "url", "lang_pred", "n_tokens", "dup_line_frac").show(
-        5, truncate=False
-    )
+    stages["final"].select(
+        "doc_id", "url", "lang_pred", "logw", "n_tokens", "dup_line_frac"
+    ).show(5, truncate=False)
+
+    # 13. The last step of a real job: write the survivors as globally
+    #    shuffled, byte-deterministic training shards.
+    import tempfile
+
+    from vector_spark.plans.sinks import write_training_shards
+
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    write_training_shards(stages["final"], out, 4, "doc_id", mode="overwrite")
+    back = spark.read.parquet(out)
+    print(f"shards written to {out}: "
+          f"{back.select('shard').distinct().count()} shards, {back.count()} rows")
 
 
 if __name__ == "__main__":
