@@ -1260,6 +1260,37 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, "vec_id", threshold=0.95)
 
 
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas-2023 cluster-then-prune semantic dedup) over the same
+    # planted-copy augmentation as embedding_neardup.  The contract row runs
+    # the SQL-expressible routing path (cell = argmax of the first 8 dims —
+    # a fixed quantizer, so DuckDB replays routing + priority + the
+    # within-cell τ-prune EXACTLY); the trained-k-means routing shares every
+    # stage after cell assignment and is covered by tests instead (k-means
+    # is not ANSI-expressible — same split as sim_ivf_topk).  keep =
+    # "centroid_far": within a duplicate neighborhood the member LEAST
+    # similar to its cell centroid survives.  mode="flag" exposes the full
+    # (vec_id, cell, dropped) decision surface to the hash compare.
+    from vector_spark.functions import semdedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x, i: x + F.lit(0.005) * F.sin(F.col("vec_id") + i)
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    aug = emb.unionByName(planted)
+    out = semdedup(aug, "vec_id", threshold=0.95, k=8, keep="centroid_far", mode="flag")
+    return out.select("vec_id", "cell", "semdedup_drop")
+
+
 # --------------------------------------------------------------------------
 # Flagship north-rule pipeline as oracle-checked contract rows.
 #
@@ -1495,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf,
         "sim_pq_topk": q_sim_pq,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_semdedup": q_dedup_semdedup,
     }
 
 
@@ -2427,5 +2459,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.emb_d, b.emb_d)
                   / (sqrt(list_dot_product(a.emb_d, a.emb_d))
                      * sqrt(list_dot_product(b.emb_d, b.emb_d))) >= 0.95
+        """,
+        # SemDeDup with the fixed argmax-over-first-8-dims quantizer: the
+        # oracle replays routing (list_position/list_max on the same array
+        # slice), the centroid-similarity priority (v[cell]/|v|, rounded 6),
+        # and the within-cell dominance prune verbatim.  A row is dropped
+        # iff SOME same-cell τ-neighbor precedes it in (prio, vec_id) order.
+        "dedup_semdedup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 aug AS (
+                   SELECT vec_id, v FROM base
+                   UNION ALL
+                   SELECT vec_id + 100000,
+                          list_transform(v, (x, i) -> x + 0.005 * sin(vec_id + i - 1))
+                   FROM base WHERE vec_id % 20 = 0
+                 ),
+                 proj AS (
+                   SELECT vec_id, v,
+                          list_position(v[1:8], list_max(v[1:8])) - 1 AS cell,
+                          ROUND(v[list_position(v[1:8], list_max(v[1:8]))]
+                                / GREATEST(sqrt(list_sum(list_transform(v, x -> x*x))),
+                                           1e-12), 6) AS prio
+                   FROM aug),
+                 drops AS (
+                   SELECT DISTINCT a.vec_id
+                   FROM proj a JOIN proj b ON a.cell = b.cell
+                    AND (b.prio < a.prio OR (b.prio = a.prio AND b.vec_id < a.vec_id))
+                    AND ROUND(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95)
+            SELECT p.vec_id, p.cell, (d.vec_id IS NOT NULL) AS semdedup_drop
+            FROM proj p LEFT JOIN drops d USING (vec_id)
         """,
     }

@@ -1213,3 +1213,96 @@ def test_write_training_shards(spark, docs_table, tmp_path):
         assert a == b and len(a) > 20  # 500/8 ≈ 62, hash-balanced
         # one file (one task) per shard — the determinism precondition
         assert len(glob.glob(f"{p1}/shard={s}/*.parquet")) == 1
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (embedding-space cluster-then-prune dedup)
+
+
+def _semdedup_corpus(spark, n=80, dim=16, seed=3):
+    """Random unit vectors + planted near-identical copies (id+1000) of every
+    5th vector; random pairs sit far below any sane τ."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    for i in range(0, n, 5):
+        pert = base[i] + 0.01 * rng.standard_normal(dim)
+        rows.append((i + 1000, [float(x) for x in pert]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_axis_routing_drops_planted(spark):
+    """Axis-argmax routing puts a near-identical copy in its parent's cell
+    (the argmax dim survives a 1% perturbation here), so every planted pair
+    loses exactly one member; unrelated vectors are untouched."""
+    rows, df = _semdedup_corpus(spark)
+    kept = VF.semdedup(df, "vec_id", threshold=0.95, k=8, keep="min_id")
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert all(i in kept_ids for i in range(80)), "originals (min id) must survive"
+    cell = {vid: int(np.argmax(np.asarray(v)[:8])) for vid, v in rows}
+    co_celled = [i for i in range(0, 80, 5) if cell[i] == cell[i + 1000]]
+    assert len(co_celled) >= 8, "corpus regression: too few co-celled pairs"
+    assert all(i + 1000 not in kept_ids for i in co_celled), "co-celled copies drop"
+    split = [i for i in range(0, 80, 5) if cell[i] != cell[i + 1000]]
+    assert all(i + 1000 in kept_ids for i in split), "split pairs are recall misses, kept"
+
+
+def test_semdedup_centroid_far_keeps_boundary_copy(spark):
+    """keep='centroid_far' keeps the pair member LESS similar to its cell
+    centroid (the paper's rule) — verified against a numpy replay."""
+    rows, df = _semdedup_corpus(spark)
+    flagged = VF.semdedup(df, "vec_id", threshold=0.95, k=8, keep="centroid_far", mode="flag")
+    got = {r.vec_id: (r.cell, r.semdedup_drop) for r in flagged.collect()}
+    assert len(got) == len(rows)
+    vecs = {vid: np.asarray(v) / np.linalg.norm(v) for vid, v in rows}
+    for i in range(0, 80, 5):
+        j = i + 1000
+        ci, cj = got[i][0], got[j][0]
+        if ci != cj:  # split across cells: recall miss is allowed, no drop
+            assert not got[i][1] and not got[j][1]
+            continue
+        # axis-cell "centroid" is the unit vector of dim `cell`
+        pi = round(vecs[i][ci], 6)
+        pj = round(vecs[j][cj], 6)
+        keep_id = i if (pi, i) <= (pj, j) else j
+        assert not got[keep_id][1] and got[i + j - keep_id + 0][1] == (True)
+
+
+def test_semdedup_partition_invariance(spark):
+    """Output is a pure function of the data — identical under repartition."""
+    _, df = _semdedup_corpus(spark, seed=9)
+    a = sorted(r.vec_id for r in VF.semdedup(df.repartition(1), "vec_id").collect())
+    b = sorted(r.vec_id for r in VF.semdedup(df.repartition(16), "vec_id").collect())
+    assert a == b and 0 < len(a) < 96
+
+
+def test_semdedup_kmeans_routing(spark):
+    """Trained-centroid routing: on a corpus with real cluster structure the
+    k-means path must drop every planted duplicate (copies land in their
+    parent's cell because assignment is argmax cosine)."""
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(96):
+        v = centers[i % 4] + 0.15 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i in range(0, 96, 8):
+        pert = np.asarray(rows[i][1]) + 0.01 * rng.standard_normal(16)
+        rows.append((i + 1000, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = VF.train_centroids(df, 4, "vec_id", "embedding", iters=3)
+    kept = VF.semdedup(df, "vec_id", threshold=0.95, centroids=cents, keep="min_id")
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert all(i + 1000 not in kept_ids for i in range(0, 96, 8))
+    assert all(i in kept_ids for i in range(96))
+
+
+def test_semdedup_max_cell_conservative(spark):
+    """Docs in a cell over max_cell are excluded from the probe — all KEPT
+    (conservative), never silently dropped."""
+    rows, df = _semdedup_corpus(spark)
+    kept = VF.semdedup(df, "vec_id", threshold=0.95, k=1, max_cell=3, keep="min_id")
+    # k=1 ⇒ every vector in cell 0 ⇒ the single cell exceeds the cap ⇒ no dedup
+    assert kept.count() == len(rows)

@@ -96,3 +96,33 @@ def test_scan_pushdown_filter_and_pruning(spark, tmp_path):
     p = _plan(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
     assert "ReadSchema" in p and "html" not in p.split("ReadSchema")[1][:200]
+
+
+def test_semdedup_plan_is_one_cell_shuffle(spark):
+    """SemDeDup's prune is ONE groupBy(cell) into the pairwise-matmul
+    kernel (FlatMapGroupsInPandas) plus the anti-join back — never a
+    nested-loop/cartesian product, never a B²/2 pair-row join, and the
+    ROUTING projection stays Python-free on the oracle path (the only
+    Python in the plan is the sanctioned per-cell kernel)."""
+    import numpy as np
+
+    from vector_spark.functions import semdedup
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((64, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(df, "vec_id", threshold=0.95, k=8, keep="centroid_far")
+    out.collect()
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p
+    # no row-wise Python: routing is JVM expressions on the oracle path
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # worst case (no broadcasts on a stats-free local relation): the
+    # groupBy(cell) shuffle + anti-join 2 sides + one AQE stage
+    # re-exchange = 4; more would mean a refactor added a shuffle (at
+    # scale the dominated-id side broadcasts and this collapses further)
+    assert _exchanges(out) <= 4
