@@ -1306,3 +1306,27 @@ def test_semdedup_max_cell_conservative(spark):
     kept = VF.semdedup(df, "vec_id", threshold=0.95, k=1, max_cell=3, keep="min_id")
     # k=1 ⇒ every vector in cell 0 ⇒ the single cell exceeds the cap ⇒ no dedup
     assert kept.count() == len(rows)
+
+
+def test_semdedup_multiprobe_catches_boundary_pairs(spark):
+    """A near-identical pair straddling a cell boundary (each member's
+    primary cell differs) is invisible at nprobe=1 and caught at nprobe=2;
+    the flag-mode `cell` column stays the primary assignment."""
+    cents = np.eye(2, 4)
+    rows = [
+        (0, [1.0, 1.001, 0.0, 0.0]),   # primary cell 1
+        (1, [1.001, 1.0, 0.0, 0.0]),   # primary cell 0, cosine≈1.0 to doc 0
+        (2, [0.0, 0.0, 1.0, 0.0]),     # far from everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k1 = {r.vec_id for r in VF.semdedup(df, "vec_id", threshold=0.99, centroids=cents,
+                                        keep="min_id").collect()}
+    assert k1 == {0, 1, 2}, "split pair must be a recall miss at nprobe=1"
+    flagged = VF.semdedup(df, "vec_id", threshold=0.99, centroids=cents,
+                          keep="min_id", nprobe=2, mode="flag")
+    got = {r.vec_id: (r.cell, r.semdedup_drop) for r in flagged.collect()}
+    assert got[0] == (1, False) and got[1] == (0, True) and got[2][1] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        VF.semdedup(df, "vec_id", nprobe=2)  # multi-probe needs centroids

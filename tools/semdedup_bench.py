@@ -16,7 +16,7 @@ Measures: k-means training (nlist=2048, 3 iters), the semdedup prune
 
 Writes bench_results/semdedup_r4.json and prints it.
 
-Usage: python tools/semdedup_bench.py [N_docs] [nlist]
+Usage: python tools/semdedup_bench.py [N_docs] [nlist] [nprobe]
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ from vector_spark.session import get_spark  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 NLIST = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+NPROBE = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 DIM = 32
 N_BLOBS = 2048
 N_PLANTED = N // 100
@@ -77,7 +78,7 @@ def main():
 
     t0 = time.time()
     flagged = semdedup(
-        df, "vec_id", threshold=TAU, centroids=cents, keep="min_id", mode="flag"
+        df, "vec_id", threshold=TAU, centroids=cents, keep="min_id", mode="flag", nprobe=NPROBE
     )
     agg = flagged.agg(
         F.sum(F.col("semdedup_drop").cast("long")).alias("dropped"),
@@ -93,6 +94,7 @@ def main():
         "n_vectors": n_total,
         "dim": DIM,
         "nlist": NLIST,
+        "nprobe": NPROBE,
         "tau": TAU,
         "planted": N_PLANTED,
         "train_sec": round(t_train, 2),

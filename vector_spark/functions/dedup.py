@@ -1134,6 +1134,7 @@ def semdedup(
     keep: str = "centroid_far",
     max_cell: int | None = None,
     mode: str = "remove",
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding space,
@@ -1158,6 +1159,14 @@ def semdedup(
     Routing quality only affects RECALL (a pair split across cells is never
     examined — same contract as every LSH family here); it can never create
     a false drop, because each drop is backed by an exact cosine ≥ τ.
+    ``nprobe`` (trained-centroid path only) assigns each vector to its top
+    ``nprobe`` cells — the standard multi-probe fix for pairs straddling a
+    cell boundary (measured: planted-pair recall 0.985 → 1.0 at 1M vectors
+    for nprobe=2, BENCH.md §22).  Cost scales ~nprobe² (cells hold nprobe×
+    the rows and the kernel is quadratic per cell: 47 s → 204 s at 1M), so
+    raise nlist alongside nprobe to hold cell sizes.  Priority stays
+    anchored to the PRIMARY cell so the dominance order remains a total
+    order on docs regardless of membership count.
 
     Keep rule (the priority order; ascending, minimum kept):
 
@@ -1212,29 +1221,64 @@ def semdedup(
     else:
         cents = np.asarray(centroids, dtype=np.float64)
         cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        if not 1 <= nprobe <= len(cents):
+            raise ValueError(f"nprobe must be in [1, nlist], got {nprobe}")
         bc = df.sparkSession.sparkContext.broadcast(cents)
+        np_ = int(nprobe)
 
-        @F.pandas_udf("struct<cell:int, csim:double>")
+        @F.pandas_udf("struct<cells:array<int>, csim:double>")
         def route(vecs: pd.Series) -> pd.DataFrame:
             c = bc.value
             m = np.stack(vecs.to_numpy()).astype(np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ c.T
-            cell = np.argmax(sims, axis=1)
+            if np_ == 1:
+                idx = np.argmax(sims, axis=1)[:, None]
+            else:
+                rows = np.arange(len(m))[:, None]
+                idx = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
+                idx = idx[rows, np.argsort(-sims[rows, idx], axis=1)]
             return pd.DataFrame(
-                {"cell": cell.astype(np.int32), "csim": sims[np.arange(len(cell)), cell]}
+                {
+                    "cells": [r.astype(np.int32).tolist() for r in idx],
+                    "csim": sims[np.arange(len(m)), idx[:, 0]],
+                }
             )
 
-        proj = df.select(
+        routed = df.select(
             F.col(id_col), vd.alias("_v"), route(vd).alias("_r")
         ).select(
-            id_col, "_v", F.col("_r.cell").alias("cell"),
+            id_col, "_v", F.col("_r.cells").alias("_cells"),
             F.round(F.col("_r.csim"), 6).alias("_prio"),
         )
+        # flag mode references the routed frame in two join branches (the
+        # per-cell prune and the primary-cell audit column), so Spark
+        # evaluates the routing matmul twice there.  Measured at 1M
+        # vectors this is CHEAPER than cutting the lineage: a localCheckpoint
+        # of the routed corpus (vectors + cells) costs a full serialize
+        # round-trip that exceeds the map-only matmul it saves (86 s vs
+        # 47 s prune wall at nlist=2048).  Remove mode routes once by
+        # construction either way.
+        # `cell` (the flag-mode audit column and the doc's priority anchor)
+        # is always the PRIMARY cell; secondary probes only add detection
+        # opportunities.  Priority is per-DOC (top-1 centroid sim), constant
+        # across memberships, so the dominance order stays a total order on
+        # docs no matter how many cells a doc lands in.
+        proj = routed.select(
+            id_col, "_v", F.explode("_cells").alias("cell"), "_prio"
+        )
+        proj_primary = routed.select(
+            id_col, "_v", F.element_at("_cells", 1).alias("cell"), "_prio"
+        )
+    if centroids is None:
+        proj_primary = proj
+    if nprobe != 1 and centroids is None:
+        raise ValueError("nprobe > 1 requires trained centroids (the fixed "
+                         "argmax-dim quantizer is single-probe by design)")
     if keep == "min_id":
         proj = proj.withColumn("_prio", F.lit(0.0))
 
-    proj_all = proj
+    proj_all = proj_primary
     proj = _cap_buckets(proj, ["cell"], max_cell, "semdedup")
 
     # Within-cell prune = ONE groupBy(cell).applyInPandas: each cell's
@@ -1268,6 +1312,8 @@ def semdedup(
         return pd.DataFrame({id_col: ids[dropped]})
 
     dominated = proj.groupBy("cell").applyInPandas(_prune_cell, f"{id_col} {id_field}")
+    if nprobe > 1:  # a doc can be dominated in more than one probed cell
+        dominated = dominated.distinct()
     if mode == "remove":
         return df.join(dominated, id_col, "left_anti")
     flagged = df.join(
