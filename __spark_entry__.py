@@ -842,7 +842,18 @@ _ORACLE_URL_NORM = r"""
           SELECT url_norm, MIN(doc_id) AS doc_id,
                  COUNT(*) AS n_dups
           FROM norm GROUP BY 1
-""".replace("{re}", r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$")
+"""
+
+
+def _url_parts_re() -> str:
+    # the oracle must replay EXACTLY the regex the operators use (incl.
+    # the userinfo-stripping group) — import it rather than copy it
+    from vector_spark.functions.urls import _URL_PARTS_RE
+
+    return _URL_PARTS_RE
+
+
+_ORACLE_URL_NORM = _ORACLE_URL_NORM.replace("{re}", _url_parts_re())
 
 
 def _s3_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

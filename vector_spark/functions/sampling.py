@@ -306,7 +306,12 @@ def token_budget_select(
     if strata_col is None:
         rate = F.lit(_rate(None))
     else:
-        rate = F.lit(0.0)
+        # NULL strata take default_budget, like exact mode (whose budget
+        # CASE falls through to default_budget on a NULL stratum) and like
+        # stratified_sample's default_fraction convention — without an
+        # explicit isNull branch every `col == stratum` WHEN is NULL and
+        # NULL-stratum docs would silently fall to the 0.0 base rate.
+        rate = F.when(F.col(strata_col).isNull(), F.lit(_rate(None))).otherwise(F.lit(0.0))
         for stratum in totals:
             if stratum is None:
                 continue

@@ -29,7 +29,16 @@ from pyspark.sql import functions as F
 TRACKING_PREFIX = "utm_"
 TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
 
-_URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+# The optional non-capturing userinfo segment ("user:pass@") is consumed
+# but never captured: a host must not be spoofable as "junk@real-host" —
+# without this, `http://x@tracker.example/` would parse its host as
+# "x@tracker.example", whose dot-suffix chain never contains the
+# blocklisted "tracker.example" (a trivial blocklist bypass; UT1-style
+# URL filters strip userinfo for the same reason).
+_URL_PARTS_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(:\d+)?"
+    r"([^?#]*)(\?[^#]*)?(#.*)?$"
+)
 
 
 def normalize_url(
