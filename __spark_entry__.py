@@ -476,6 +476,28 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tok")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-and-chunk sequence packing: every doc's exclusive
+    # global token offset via the distributed two-phase prefix sum
+    # (hash-shard → in-shard window cumsum → broadcast shard bases), then
+    # pure arithmetic for (seq_id, seq_pos, seq_id_end).  The oracle
+    # replays the SAME md5 shard/order hashes and the whole prefix sum as
+    # ONE global ORDER BY + window cumsum — agreement proves the
+    # distributed scan equals the sequential one token-for-token.
+    from vector_spark.functions import pack_offsets
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tok",
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")),
+    )
+    out = pack_offsets(
+        docs, "n_tok", "doc_id", seq_len=512, n_shards=8, seed="pack", method="md5"
+    )
+    return out.select(
+        "doc_id", "n_tok", "pack_offset", "seq_id", "seq_pos", "seq_id_end"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub: the corpus is digit-free word soup, so the query plants a
     # deterministic email + IPv4 in every doc and an SSN / US phone /
@@ -1524,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dsir_score": q_dsir_score,
         "sample_token_budget": q_token_budget,
+        "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
         "train_shards": q_train_shards,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2356,6 +2379,31 @@ def oracle_sql() -> dict[str, str]:
               FROM toks)
             SELECT doc_id, lang, n_tok FROM cum
             WHERE c <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1500 ELSE 800 END
+        """,
+        # Sequence packing: the distributed two-phase prefix sum must equal
+        # a sequential scan of the whole corpus in (shard, order, id) hash
+        # order — replayed here as ONE global window cumsum.
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tok,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'pack|pack|shard'), 1, 7))::BIGINT
+                       % 8 AS shard,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'pack|pack|order'), 1, 7))::BIGINT
+                       % 1000000 AS ord
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tok,
+                     CAST(SUM(n_tok) OVER (
+                       ORDER BY shard, ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                       AS BIGINT) AS off
+              FROM toks)
+            SELECT doc_id, n_tok, off AS pack_offset,
+                   off // 512 AS seq_id,
+                   off % 512 AS seq_pos,
+                   (off + greatest(n_tok, 1) - 1) // 512 AS seq_id_end
+            FROM cum
         """,
         # Window-level (substring) dedup by the window STRING where Spark
         # groups by xxhash64 of it — agreement additionally witnesses that

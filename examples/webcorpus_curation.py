@@ -7,7 +7,8 @@ repo provides, run in the order a production curation job would:
     MinHash-LSH near-dup (connected-components keep-canonical) →
     benchmark decontamination → language-stratified sampling →
     DSIR importance scores → per-language token budgets →
-    quality/repetition feature columns → training-shard write
+    sequence packing → quality/repetition feature columns →
+    training-shard write
 
 Every stage is one of the library operators; this file just sequences
 them, so it doubles as the "switching user" walkthrough: each comment
@@ -45,6 +46,7 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         jaccard_for_pairs,
         lang_id,
         minhash_lsh_pairs,
+        pack_offsets,
         paragraph_dedup,
         quality_features,
         redact_pii,
@@ -176,7 +178,13 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         seed="mix-example",
     )
 
-    # 12. Feature columns for downstream mixing/analysis.
+    # 12. Sequence packing: every doc's exclusive token offset in the
+    #    concat-and-chunk training stream (distributed two-phase prefix
+    #    sum — ONE shuffle, no global sort).
+    docs = pack_offsets(docs, "n_tok", "doc_id", seq_len=512, n_shards=8,
+                        seed="mix-example")
+
+    # 13. Feature columns for downstream mixing/analysis.
     docs = quality_features(docs)
     docs = repetition_features(docs)
     docs = lang_id(docs)
@@ -196,7 +204,7 @@ def main() -> None:
         "doc_id", "url", "lang_pred", "logw", "n_tokens", "dup_line_frac"
     ).show(5, truncate=False)
 
-    # 13. The last step of a real job: write the survivors as globally
+    # 14. The last step of a real job: write the survivors as globally
     #    shuffled, byte-deterministic training shards.
     import tempfile
 

@@ -1370,3 +1370,64 @@ def test_url_host_strips_userinfo(spark):
     assert hosts == {1: "tracker.example", 2: "cdn.eu.tracker.example", 3: "clean.example"}
     kept = {r.doc_id for r in blocklist_filter(df, ["tracker.example"]).collect()}
     assert kept == {3}
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+
+
+def test_pack_offsets_is_a_gapless_token_stream(spark):
+    """Offsets form an exact exclusive prefix sum of token counts in a
+    deterministic order: sorted by pack_offset, each doc starts where the
+    previous ended; seq fields are pure arithmetic on the offset."""
+    from vector_spark.functions import pack_offsets
+
+    rows = [(i, (i * 7) % 23 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = pack_offsets(df, "n_tok", "doc_id", seq_len=64, n_shards=8).collect()
+    got = sorted((r.pack_offset, r.n_tok, r.seq_id, r.seq_pos, r.seq_id_end) for r in out)
+    expect_off = 0
+    for off, tok, sid, pos, send in got:
+        assert off == expect_off, "stream must be gapless"
+        assert sid == off // 64 and pos == off % 64
+        assert send == (off + max(tok, 1) - 1) // 64
+        expect_off += tok
+    assert expect_off == sum(t for _, t in rows)
+
+
+def test_pack_offsets_partition_invariant_and_stable(spark):
+    """Same data, any partitioning, growing corpus: offsets are a pure
+    function of the key set — identical across layouts, and adding docs
+    never reorders existing ones relative to each other."""
+    from vector_spark.functions import pack_offsets
+
+    rows = [(i, i % 11 + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    kw = dict(token_col="n_tok", key_col="doc_id", seq_len=32, n_shards=8, seed="s")
+    a = {r.doc_id: r.pack_offset for r in pack_offsets(df.repartition(1), **kw).collect()}
+    b = {r.doc_id: r.pack_offset for r in pack_offsets(df.repartition(17), **kw).collect()}
+    assert a == b
+    bigger = spark.createDataFrame(rows + [(1000 + i, 5) for i in range(20)],
+                                   "doc_id long, n_tok int")
+    c = {r.doc_id: r.pack_offset for r in pack_offsets(bigger, **kw).collect()}
+    order_small = sorted(a, key=a.get)
+    order_big = [d for d in sorted(c, key=c.get) if d in a]
+    assert order_small == order_big, "existing docs keep their relative order"
+
+
+def test_pack_offsets_md5_twin_and_validation(spark):
+    """The md5 path packs every doc exactly once (the SQL-replayable twin);
+    nulls and negative counts raise instead of silently packing as 0."""
+    import pytest as _pytest
+
+    from vector_spark.functions import pack_offsets
+
+    df = spark.createDataFrame([(i, 3) for i in range(50)], "doc_id long, n_tok int")
+    out = pack_offsets(df, "n_tok", "doc_id", seq_len=10, n_shards=4, method="md5")
+    offs = sorted(r.pack_offset for r in out.collect())
+    assert offs == [3 * i for i in range(50)]
+    bad = spark.createDataFrame([(1, None)], "doc_id long, n_tok int")
+    with _pytest.raises(Exception):
+        pack_offsets(bad, "n_tok", "doc_id", seq_len=10).collect()
+    with _pytest.raises(ValueError):
+        pack_offsets(df, "n_tok", "doc_id", seq_len=0)

@@ -126,3 +126,20 @@ def test_semdedup_plan_is_one_cell_shuffle(spark):
     # re-exchange = 4; more would mean a refactor added a shuffle (at
     # scale the dominated-id side broadcasts and this collapses further)
     assert _exchanges(out) <= 4
+
+
+def test_pack_offsets_single_shuffle(spark):
+    """The packed-offset plan is EXACTLY one shuffle (the in-shard window);
+    shard bases arrive as a literal CASE, not a join — a second exchange
+    would mean the prefix sum degenerated toward a global sort."""
+    from vector_spark.functions import pack_offsets
+
+    df = spark.range(500).selectExpr("id AS doc_id", "CAST(id % 9 + 1 AS INT) AS n_tok")
+    out = pack_offsets(df, "n_tok", "doc_id", seq_len=64, n_shards=8)
+    out.collect()
+    # AdaptiveSparkPlan.toString prints final AND initial plans — count
+    # exchanges in the final section only
+    p = _plan(out).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange") == 1
+    assert "Window" in p
