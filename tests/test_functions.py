@@ -1431,3 +1431,36 @@ def test_pack_offsets_md5_twin_and_validation(spark):
         pack_offsets(bad, "n_tok", "doc_id", seq_len=10).collect()
     with _pytest.raises(ValueError):
         pack_offsets(df, "n_tok", "doc_id", seq_len=0)
+
+
+def test_shard_assignment_rejects_null_keys(spark):
+    """A NULL key must fail loudly — not become shard NULL (a
+    __HIVE_DEFAULT_PARTITION__ directory / a None in pack_offsets' base
+    table) — and both hash twins must agree on the rejection."""
+    import pytest as _pytest
+
+    from vector_spark.functions import pack_offsets
+
+    bad = spark.createDataFrame([(None, 5), (1, 5)], "doc_id long, n_tok int")
+    for method in ("xxhash64", "md5"):
+        with _pytest.raises(Exception, match="must not be NULL"):
+            pack_offsets(bad, "n_tok", "doc_id", seq_len=10, method=method).collect()
+
+
+def test_decode_audio_empty_wav_zero_not_nan(spark):
+    """A structurally valid WAV with an empty data chunk yields rms=0.0
+    and peak=0.0, never NaN (NaN would silently poison downstream
+    feature aggregates)."""
+    import numpy as np
+
+    from vector_spark.functions.multimodal import decode_audio, encode_wav
+
+    empty = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(empty))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = decode_audio(df).collect()[0]
+    assert row.decode_error is None
+    assert row.rms == 0.0 and row.peak == 0.0
+    assert not any(isinstance(v, float) and v != v for v in row.asDict().values())

@@ -630,7 +630,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
                     out["channels"].append(ch)
                     out["n_samples"].append(n)
                     out["duration_ms"].append(int(round(n * 1000 / rate)))
-                    out["rms"].append(round(float(np.sqrt((x**2).mean())), 6))
+                    out["rms"].append(round(float(np.sqrt((x**2).mean())) if n else 0.0, 6))
                     out["peak"].append(round(float(np.abs(x).max()) if n else 0.0, 6))
                     out["zero_cross_rate"].append(round(zc, 6))
                     out["decode_error"].append(None)

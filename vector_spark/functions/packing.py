@@ -13,8 +13,8 @@ a DISTRIBUTED PREFIX SUM — the textbook two-phase scan:
      (one shuffle, each shard sorts independently — no global sort, no
      single-task bottleneck),
   3. per-shard token totals (n_shards tiny rows, driver-safe by
-     construction) become exclusive shard base offsets, rejoined as a
-     broadcast.
+     construction) become exclusive shard base offsets, folded back in
+     as one flat literal CASE — map-only, no join.
 
 offset = shard_base + local_prefix is then a pure function of the data:
 partition-layout invariant, byte-stable across re-runs, and replayable
@@ -62,8 +62,21 @@ def pack_offsets(
     At 100 TB: one shuffle (the in-shard window; each shard sorts
     independently, so parallelism = n_shards — size n_shards to O(cores)
     × a small factor, NOT to 1, which would serialize into a global
-    sort), one n_shards-row aggregate, one broadcast join.  Null token
-    counts are rejected loudly rather than silently packed as 0.
+    sort) and one n_shards-row aggregate folded into a flat literal CASE
+    (no join).  Null token counts and NULL keys are rejected loudly
+    rather than silently packed as 0 / shard NULL.
+
+    Preconditions and cost, stated plainly:
+
+    * ``key_col`` must be UNIQUE — duplicates share (_shard, _order, key)
+      and their relative order (hence their offsets, and every offset
+      between them) would be partition-iteration luck.  Run the dedup
+      stage first; this is the same precondition the shard writer has.
+    * The shard-totals aggregate is a SECOND pass over the input (the
+      dsir_bucket_counts discipline).  In a long pipeline checkpoint the
+      upstream frame first — the curation walkthrough materializes the
+      dedup survivors before reaching this stage — or the whole lineage
+      runs twice.
     """
     from vector_spark.plans.sinks import shard_assignment
 
@@ -94,9 +107,15 @@ def pack_offsets(
     for s, t in tot_rows:
         bases[s] = base
         base += t
-    base_expr: Column = F.lit(0).cast("long")
-    for s, b in bases.items():  # ≤ n_shards branches, tiny literal CASE
-        base_expr = F.when(F.col("_shard") == s, F.lit(b)).otherwise(base_expr)
+    # ONE flat CaseWhen with n_shards sibling branches (chained .when()),
+    # NOT nested when().otherwise(when(...)) — nesting builds an
+    # n_shards-deep expression tree that recursive Catalyst transforms
+    # choke on at the shard counts the docstring recommends for clusters.
+    base_expr: Column | None = None
+    for s, b in bases.items():
+        cond = F.col("_shard") == s
+        base_expr = F.when(cond, F.lit(b)) if base_expr is None else base_expr.when(cond, F.lit(b))
+    base_expr = F.lit(0).cast("long") if base_expr is None else base_expr.otherwise(F.lit(0)).cast("long")
 
     out = local.withColumn("pack_offset", base_expr + F.col("_local_off"))
     last = F.col("pack_offset") + F.greatest(F.col("_tok"), F.lit(1)) - 1

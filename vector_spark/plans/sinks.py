@@ -241,7 +241,17 @@ def shard_assignment(
     SQL-recomputable twin of the xxhash64 throughput path."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.col(key_col).cast("string")
+    # NULL keys are rejected loudly: md5(NULL) is NULL, which would
+    # silently become a shard=__HIVE_DEFAULT_PARTITION__ directory in the
+    # shard write (breaking the 1:1 worker↔shard mapping) and a None
+    # shard id in pack_offsets' driver-side base-offset table — and the
+    # xxhash64/md5 twins would disagree (xxhash64 hashes NULL to the
+    # seed).  A shard layout keyed on NULL has no meaning; fail at the
+    # source.
+    key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(f"shard_assignment: {key_col} must not be NULL")),
+    ).otherwise(F.col(key_col).cast("string"))
     if method == "xxhash64":
         shard = F.pmod(F.xxhash64(F.concat(key, F.lit(seed + "|shard"))), F.lit(n_shards))
         order = F.pmod(F.xxhash64(F.concat(key, F.lit(seed + "|order"))), F.lit(1_000_000))
