@@ -134,3 +134,29 @@ inputs = ["big"]
 """
     df = Pipeline.from_toml(toml).build(spark)["out"]
     assert sorted(r["k"] for r in df.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_sqs_cross_bucket_and_traversal_keys(spark, bucket, tmp_path_factory):
+    """Notifications for ANOTHER bucket are skipped (never read a same-named
+    key from ours); traversal keys are refused loudly; a legal
+    leading-slash key stays inside the bucket."""
+    queue_dir = str(tmp_path_factory.mktemp("queue_x"))
+    q = NotificationQueue(spark, queue_dir)
+    q.send("some-other-bucket", ["logs/2026/01/a.ndjson.gz"], "msg-x1")
+    df, notes, queue = s3_sqs_source(
+        spark, bucket, queue_dir, codec="json", schema="k int, msg string"
+    )
+    assert df is None and len(notes) == 1  # polled, nothing of ours to read
+    queue.ack(notes)
+
+    # leading-slash key: resolves INSIDE the bucket (S3 allows such keys)
+    q.send(bucket, ["/logs/2026/02/b.ndjson"], "msg-x2")
+    df2, notes2, queue = s3_sqs_source(
+        spark, bucket, queue_dir, codec="json", schema="k int, msg string"
+    )
+    assert sorted(r["k"] for r in df2.collect()) == [100, 101, 102, 103, 104]
+    queue.ack(notes2)
+
+    q.send(bucket, ["../../etc/passwd"], "msg-x3")
+    with pytest.raises(ValueError, match="traversal"):
+        s3_sqs_source(spark, bucket, queue_dir, codec="json")

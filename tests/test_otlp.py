@@ -95,3 +95,34 @@ def test_otlp_malformed_rows_drop_not_crash(spark):
     out = otlp_logs_parse(df)
     assert out.count() == 3
     assert {r["req_id"] for r in out.collect()} == {1}
+
+
+def test_otlp_duplicate_attribute_key_keeps_last(spark):
+    """A repeated attribute key (legal on the wire, emitted by buggy
+    exporters) must not abort the job via mapKeyDedupPolicy=EXCEPTION —
+    the LAST occurrence wins (proto3 merge semantics)."""
+    body = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "k", "value": {"stringValue": "a"}},
+                {"key": "k", "value": {"stringValue": "b"}},
+            ]},
+            "scopeLogs": [{
+                "scope": {"name": "s"},
+                "logRecords": [{
+                    "timeUnixNano": "1700000000000000000",
+                    "body": {"stringValue": "m"},
+                    "attributes": [
+                        {"key": "a", "value": {"intValue": "1"}},
+                        {"key": "a", "value": {"intValue": "2"}},
+                        {"key": "b", "value": {"intValue": "3"}},
+                    ],
+                }],
+            }],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(body),)], "message string")
+    rows = otlp_logs_parse(df).collect()
+    assert len(rows) == 1
+    assert rows[0].resource == {"k": "b"}
+    assert rows[0].attributes == {"a": "2", "b": "3"}

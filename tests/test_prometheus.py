@@ -127,3 +127,16 @@ def test_label_escape_roundtrip_property(spark, values):
     df = spark.createDataFrame(rows, "i int, message string")
     got = {r["i"]: r["labels"]["v"] for r in prometheus_parse(df).collect()}
     assert got == {i: v for i, v in enumerate(values)}
+
+
+def test_prometheus_duplicate_label_keeps_last(spark):
+    """A repeated label name (invalid exposition text) degrades per-line —
+    last occurrence wins — instead of killing the scrape job."""
+    from vector_spark.sources import prometheus_parse
+
+    df = spark.createDataFrame(
+        [('m{a="1",a="2",b="x"} 5',), ('ok{c="3"} 1',)], "message string"
+    )
+    got = {r.name: r.labels for r in prometheus_parse(df, "message").collect()}
+    assert got["m"] == {"a": "2", "b": "x"}
+    assert got["ok"] == {"c": "3"}

@@ -197,3 +197,25 @@ def test_warc_property_roundtrip(recs, gz):
         r["target_uri"].strip() for r in recs
     ]
     assert [p for _, p in got] == [r["payload"] for r in recs]
+
+
+def test_warc_bad_date_degrades_to_nat(spark, tmp_path):
+    """A malformed WARC-Date on a well-framed record yields NaT for that
+    row — never a task failure (only STRUCTURAL corruption raises)."""
+    from vector_spark.sources.warc import warc_source
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: unknown\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    p = tmp_path / "seg.warc"
+    p.write_bytes(rec)
+    rows = warc_source(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].warc_date is None
+    assert rows[0].target_uri == "http://x/"

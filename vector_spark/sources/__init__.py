@@ -315,6 +315,31 @@ def _prom_unescape(v):
     return F.regexp_replace(v, ph, r"\\")
 
 
+def _prom_labels_map(labels_blk):
+    """labels block \u2192 map<string,string>, keeping the LAST occurrence of a
+    repeated label name.  A repeated name is invalid exposition text, but
+    map_from_arrays under the default mapKeyDedupPolicy=EXCEPTION would
+    fail the whole scrape job on one bad line \u2014 one misbehaving target
+    must degrade, not take down the fleet scrape.  Label lists are tiny;
+    the in-row exists is O(n\u00b2) per row with n \u2264 a dozen."""
+    names = F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(1))
+    vals = F.transform(
+        F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(2)),
+        _prom_unescape,
+    )
+    ents = F.zip_with(
+        names, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+    )
+    deduped = F.filter(
+        ents,
+        lambda e, i: ~F.exists(
+            F.slice(ents, i + 2, F.greatest(F.size(ents) - i - 1, F.lit(0))),
+            lambda e2: e2.getField("key") == e.getField("key"),
+        ),
+    )
+    return F.map_from_entries(deduped)
+
+
 def prometheus_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
     """Prometheus exposition lines → metric sample rows
     (name, labels map, value, timestamp_ms) — pure regexp/codegen, the
@@ -339,13 +364,7 @@ def prometheus_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
     return df.select(
         *keep,
         F.nullif(F.regexp_extract(msg, _PROM_SAMPLE_RE, 1), F.lit("")).alias("name"),
-        F.map_from_arrays(
-            F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(1)),
-            F.transform(
-                F.regexp_extract_all(labels_blk, F.lit(_PROM_LABEL_RE), F.lit(2)),
-                _prom_unescape,
-            ),
-        ).alias("labels"),
+        _prom_labels_map(labels_blk).alias("labels"),
         value.alias("value"),
         F.nullif(F.regexp_extract(msg, _PROM_SAMPLE_RE, 4), F.lit(""))
         .try_cast("long")
@@ -418,4 +437,5 @@ def prometheus_scrape_source(
         F.lit(None).cast("long").alias("timestamp_ms"),
         "scrape_error",
     )
-    return ok.withColumn("scrape_error", F.lit(None).cast("string")).unionByName(failed)
+    # `ok` rows already carry a NULL scrape_error (they were filtered on it)
+    return ok.unionByName(failed)

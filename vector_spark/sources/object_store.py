@@ -37,12 +37,15 @@ bounded batch of new objects (no full-bucket relist), and the full-scan path
 from __future__ import annotations
 
 import json
+import logging
 import posixpath
 from dataclasses import dataclass
 from urllib.parse import unquote_plus
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 # --- Hadoop FileSystem plumbing (scheme-agnostic) ---------------------------
@@ -158,10 +161,13 @@ def object_source(
 
 @dataclass(frozen=True)
 class Notification:
-    """One queue message: its handle (for ack) and the object keys it names."""
+    """One queue message: its handle (for ack), the object keys it names,
+    and the bucket each key belongs to (parallel to ``keys``; "" when the
+    message omits it)."""
 
     handle: str
     keys: tuple[str, ...]
+    buckets: tuple[str, ...] = ()
 
 
 class NotificationQueue:
@@ -207,13 +213,16 @@ class NotificationQueue:
 
         for m in msgs[:max_messages]:
             doc = json.loads(_hadoop_read_text(self.spark, m["path"]))
-            keys = tuple(
-                unquote_plus(r["s3"]["object"]["key"])
-                for r in doc.get("Records", [])
+            recs = [
+                r for r in doc.get("Records", [])
                 if str(r.get("eventName", "")).startswith("ObjectCreated")
+            ]
+            keys = tuple(unquote_plus(r["s3"]["object"]["key"]) for r in recs)
+            buckets = tuple(
+                str(r["s3"].get("bucket", {}).get("name", "")) for r in recs
             )
             if keys:
-                out.append(Notification(handle=m["path"], keys=keys))
+                out.append(Notification(handle=m["path"], keys=keys, buckets=buckets))
         return out
 
     def ack(self, notifications: list[Notification]) -> None:
@@ -241,6 +250,31 @@ def s3_sqs_source(
     if not notes:
         return None, [], queue
     bucket_uri = bucket.rstrip("/")
-    paths = [posixpath.join(bucket_uri, k) for n in notes for k in n.keys]
+    expected = posixpath.basename(bucket_uri)
+
+    def _ours(b: str) -> bool:
+        # notifications may carry the bare bucket name or a full URI
+        return b in ("", expected, bucket_uri) or posixpath.basename(b.rstrip("/")) == expected
+
+    paths = []
+    for n in notes:
+        buckets = n.buckets or ("",) * len(n.keys)
+        for b, k in zip(buckets, n.keys):
+            if not _ours(b):
+                # a shared/misconfigured queue can carry events for another
+                # bucket — reading a same-named key from OUR bucket would
+                # silently ingest the wrong object, so skip it loudly
+                _log.warning(
+                    "s3_sqs_source: skipping key %r for bucket %r "
+                    "(this source reads bucket %r)", k, b, expected,
+                )
+                continue
+            kk = k.lstrip("/")  # S3 keys may legally start with '/'
+            if ".." in kk.split("/"):
+                # never let a queue message walk out of the bucket
+                raise ValueError(f"s3_sqs_source: refusing traversal key {k!r}")
+            paths.append(bucket_uri + "/" + kk)
+    if not paths:
+        return None, notes, queue
     df = _read_objects(spark, sorted(set(paths)), bucket_uri, codec=codec, schema=schema)
     return df, notes, queue

@@ -55,9 +55,27 @@ def _any_to_string(v) -> F.Column:
 
 
 def _attrs_to_map(attrs) -> F.Column:
-    return F.map_from_entries(
-        F.transform(attrs, lambda kv: F.struct(kv.getField("key"), _any_to_string(kv.getField("value"))))
+    # OTLP allows a repeated attribute key on the wire (buggy exporters do
+    # emit them); map_from_entries under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION would fail the whole task on
+    # one such record.  Keep the LAST occurrence (proto3 merge semantics)
+    # with an in-row filter — attribute lists are tiny, the O(n²) exists
+    # is per-row and allocation-free.
+    ents = F.transform(
+        attrs,
+        lambda kv: F.struct(
+            kv.getField("key").alias("key"),
+            _any_to_string(kv.getField("value")).alias("value"),
+        ),
     )
+    deduped = F.filter(
+        ents,
+        lambda e, i: ~F.exists(
+            F.slice(ents, i + 2, F.greatest(F.size(ents) - i - 1, F.lit(0))),
+            lambda e2: e2.getField("key") == e.getField("key"),
+        ),
+    )
+    return F.map_from_entries(deduped)
 
 
 def _nanos_to_ts(nanos) -> F.Column:

@@ -168,7 +168,13 @@ def warc_source(spark: SparkSession, path: str) -> DataFrame:
             def _ts(hdrs: dict[str, str]) -> pd.Timestamp:
                 if "warc-date" not in hdrs:
                     return pd.NaT
-                t = pd.Timestamp(hdrs["warc-date"])
+                try:
+                    t = pd.Timestamp(hdrs["warc-date"])
+                except (ValueError, TypeError):
+                    # real crawls carry the odd unparsable WARC-Date; a bad
+                    # METADATA value on a well-framed record degrades to
+                    # NaT per-row — only STRUCTURAL corruption raises
+                    return pd.NaT
                 return t.tz_convert(None) if t.tzinfo is not None else t
 
             for p, content in zip(pdf["path"], pdf["content"]):
