@@ -323,6 +323,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_quality_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trained quality classifier (fastText-style hashed uni+bigram logreg,
+    # pyspark.ml): train curated-vs-crawl on a deterministic split of the
+    # corpus (en docs = "curated" seed, the rest = "crawl"), score every
+    # doc with the frozen model.  ROWS-ONLY BY DECLARED DESIGN: LBFGS
+    # training is iterative and cluster-wide, not ANSI-expressible — the
+    # same split as sim_ivf_topk; holdout accuracy, partition invariance,
+    # and save/load identity are pinned in tests instead.
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    model = train_quality_classifier(pos, neg, n_features=1 << 14, max_iter=15)
+    out = score_quality(docs, model)
+    return out.select(
+        "doc_id", "lang", (F.col("quality_prob") > 0.5).alias("quality_pred")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Modular-arithmetic rolling hash (md5-prefix token hashes, fold mod
     # 2^31-1): order-sensitive like the Karp-Rabin UDF but recomputable in
@@ -1525,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "text_token_count": q_token_count,
         "text_quality": q_text_quality,
+        "text_quality_ml": q_quality_ml,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_text_repetition,

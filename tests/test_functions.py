@@ -1464,3 +1464,70 @@ def test_decode_audio_empty_wav_zero_not_nan(spark):
     assert row.decode_error is None
     assert row.rms == 0.0 and row.peak == 0.0
     assert not any(isinstance(v, float) and v != v for v in row.asDict().values())
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (fastText-style hashed n-gram logreg)
+
+
+def _quality_corpora(spark, n=150, seed=7):
+    import random
+
+    r = random.Random(seed)
+    good = ["science", "history", "reference", "analysis", "method",
+            "theory", "study", "result", "evidence", "review"]
+    bad = ["click", "win", "free", "casino", "pills", "buy", "now",
+           "offer", "deal", "prize"]
+    mk = lambda v: " ".join(r.choice(v) for _ in range(30))
+    pos = spark.createDataFrame([(i, mk(good)) for i in range(n)], "id long, text string")
+    neg = spark.createDataFrame([(i, mk(bad)) for i in range(n)], "id long, text string")
+    hold = spark.createDataFrame(
+        [(i, mk(good), 1.0) for i in range(n, n + 40)]
+        + [(i, mk(bad), 0.0) for i in range(n + 40, n + 80)],
+        "id long, text string, truth double",
+    )
+    return pos, neg, hold
+
+
+def test_quality_classifier_separates_holdout(spark):
+    """Train on curated-vs-crawl-style corpora, classify a HOLDOUT set:
+    accuracy must be ~perfect on separable vocab."""
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    pos, neg, hold = _quality_corpora(spark)
+    m = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=20)
+    got = score_quality(hold, m).withColumn(
+        "pred", (F.col("quality_prob") > 0.5).cast("double")
+    )
+    acc = got.filter("pred = truth").count() / got.count()
+    assert acc >= 0.95, acc
+
+
+def test_quality_classifier_score_partition_invariant(spark):
+    """Scoring a frozen model is a pure map — identical under any input
+    partitioning."""
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    pos, neg, hold = _quality_corpora(spark, seed=11)
+    m = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=10)
+    a = {r.id: r.quality_prob for r in score_quality(hold.repartition(1), m).collect()}
+    b = {r.id: r.quality_prob for r in score_quality(hold.repartition(13), m).collect()}
+    assert a == b
+
+
+def test_quality_classifier_save_load_roundtrip(spark, tmp_path):
+    """The frozen model persists and reloads (the build-once discipline:
+    train per corpus version, score the full corpus with the saved
+    model) — scores are identical after reload."""
+    from pyspark.ml import PipelineModel
+
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    pos, neg, hold = _quality_corpora(spark, seed=13)
+    m = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=10)
+    path = str(tmp_path / "qmodel")
+    m.save(path)
+    m2 = PipelineModel.load(path)
+    a = {r.id: r.quality_prob for r in score_quality(hold, m).collect()}
+    b = {r.id: r.quality_prob for r in score_quality(hold, m2).collect()}
+    assert a == b

@@ -143,3 +143,20 @@ def test_pack_offsets_single_shuffle(spark):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange") == 1
     assert "Window" in p
+
+
+def test_quality_classifier_scoring_is_jvm_only(spark):
+    """Scoring with the frozen model is a pure JVM map — tokenize (codegen
+    split), NGram + HashingTF + LR.transform (MLlib JVM): no Python
+    workers, no shuffle in the scoring plan."""
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    pos = spark.createDataFrame([(i, "alpha beta gamma") for i in range(30)], "id long, text string")
+    neg = spark.createDataFrame([(i, "zeta eta theta") for i in range(30)], "id long, text string")
+    m = train_quality_classifier(pos, neg, n_features=1 << 10, max_iter=5)
+    out = score_quality(pos.unionByName(neg), m)
+    out.collect()
+    p = _plan(out)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert _exchanges(out) == 0

@@ -50,6 +50,10 @@ from vector_spark.functions.sampling import (
 from vector_spark.functions.packing import (
     pack_offsets,
 )
+from vector_spark.functions.quality_ml import (
+    score_quality,
+    train_quality_classifier,
+)
 from vector_spark.functions.urls import (
     normalize_url,
     canonical_url_dedup,
@@ -92,7 +96,7 @@ __all__ = [
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "semdedup", "neardup_filter",
-    "pack_offsets",
+    "pack_offsets", "train_quality_classifier", "score_quality",
     "incremental_neardup_filter",
     "connected_components", "neardup_filter_cc", "decontaminate",
     "stratified_sample", "word_ngrams", "dsir_bucket_counts",
