@@ -6,9 +6,9 @@ repo provides, run in the order a production curation job would:
     exact dedup → paragraph dedup → duplicate-span dedup →
     MinHash-LSH near-dup (connected-components keep-canonical) →
     benchmark decontamination → language-stratified sampling →
-    DSIR importance scores → per-language token budgets →
-    sequence packing → quality/repetition feature columns →
-    training-shard write
+    DSIR importance scores → trained quality classifier →
+    per-language token budgets → sequence packing →
+    quality/repetition feature columns → training-shard write
 
 Every stage is one of the library operators; this file just sequences
 them, so it doubles as the "switching user" walkthrough: each comment
@@ -51,8 +51,10 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         quality_features,
         redact_pii,
         repetition_features,
+        score_quality,
         stratified_sample,
         token_budget_select,
+        train_quality_classifier,
     )
 
     stages: dict[str, DataFrame] = {}
@@ -166,6 +168,16 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
         dsir_bucket_counts(docs.filter("lang = 'en'"), **kw),
     )
     docs = dsir_score(docs, lr, seed="mix-example")
+
+    # 10b. Trained quality classifier (fastText/GPT-3 style): the en docs
+    #    stand in for the curated seed corpus (production: wiki/books);
+    #    every doc gets P(curated | text) from the frozen model — train
+    #    once per corpus version, score many.
+    model = train_quality_classifier(
+        docs.filter("lang = 'en'"), docs.filter("lang != 'en'"),
+        n_features=1 << 14, max_iter=10,
+    )
+    docs = score_quality(docs, model)
 
     # 11. Per-language TOKEN budgets (the unit mixes are specified in):
     #    deterministic hash-order prefix per stratum.
