@@ -40,6 +40,7 @@ from vector_spark.functions.dedup import (
 )
 from vector_spark.functions.sampling import (
     stratified_sample,
+    word_tokens,
     word_ngrams,
     dsir_bucket_counts,
     dsir_logratio_micro,
@@ -96,7 +97,7 @@ __all__ = [
     "jaccard_for_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_neardup_pairs", "simhash_md5", "simhash_md5_neardup_pairs",
     "hamming_pairs", "embedding_neardup_pairs", "semdedup", "neardup_filter",
-    "pack_offsets", "train_quality_classifier", "score_quality",
+    "pack_offsets", "train_quality_classifier", "score_quality", "word_tokens",
     "incremental_neardup_filter",
     "connected_components", "neardup_filter_cc", "decontaminate",
     "stratified_sample", "word_ngrams", "dsir_bucket_counts",

@@ -11,49 +11,90 @@ Complements the two UNSUPERVISED quality signals already here:
 discriminative member of the family — same hashing-trick idea as DSIR's
 histograms, but with LEARNED per-bucket weights.
 
-Spark-first: tokenization is the module's standard whitespace split
-(pure codegen), n-grams/hashing/training are pyspark.ml's JVM
+Spark-first: tokenization is the repo's standard `word_tokens`
+expression wrapped in a params-serializable Transformer so it is PART
+of the persisted model (train/serve skew is impossible by
+construction — the lowercase flag and input column travel with the
+PipelineModel); n-grams/hashing/training are pyspark.ml's JVM
 estimators (`NGram`, `HashingTF`, `LogisticRegression` — LBFGS, one
-pass per iteration, driver holds only the 2^b-float coefficient
-vector), scoring is a map-only `PipelineModel.transform`.  No Python
-workers anywhere.
+corpus pass per iteration, the driver holds only the n_features-float
+coefficient vector), and scoring is a map-only
+`PipelineModel.transform`.  No Python workers anywhere.
 
 Training is iterative and cluster-wide, so it is NOT ANSI-SQL
 expressible — like IVF's k-means, the contract is pinned by tests
 (holdout accuracy on separable corpora, partition invariance of the
-score) instead of a DuckDB oracle; the driver row is rows-only by
-declared design.
+score, save/load identity) instead of a DuckDB oracle; the driver row
+is rows-only by declared design.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.ml import Transformer
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_quality_classifier", "score_quality", "tokens_expr"]
+__all__ = ["train_quality_classifier", "score_quality"]
+
+# columns the MLlib stages create; a clash with user data is an error,
+# never a silent overwrite/drop
+_RESERVED = ("_toks", "_bi", "_grams", "features", "rawPrediction",
+             "probability", "prediction")
 
 
-def tokens_expr(text_col: str | Column, lowercase: bool = True) -> Column:
-    """Whitespace tokens of a document (the repo's standard
-    normalize-and-split, matching whitespace_token_count)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    if lowercase:
-        c = F.lower(c)
-    trimmed = F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, " ")
-    )
+class _Tokenize(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """`word_tokens` (+ optional lowercase) as a pipeline stage, so the
+    tokenization settings persist INSIDE the saved model."""
+
+    inputCol = Param(Params._dummy(), "inputCol", "text column",
+                     typeConverter=TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol", "token array column",
+                      typeConverter=TypeConverters.toString)
+    lowercase = Param(Params._dummy(), "lowercase", "lowercase before split",
+                      typeConverter=TypeConverters.toBoolean)
+
+    def __init__(self, inputCol="text", outputCol="_toks", lowercase=True):
+        super().__init__()
+        self._set(inputCol=inputCol, outputCol=outputCol, lowercase=lowercase)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from vector_spark.functions.sampling import word_tokens
+
+        c = F.col(self.getOrDefault(self.inputCol))
+        if self.getOrDefault(self.lowercase):
+            c = F.lower(c)
+        return df.withColumn(self.getOrDefault(self.outputCol), word_tokens(c))
 
 
-def _assemble(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
-    # uni+bigram bag: bigrams via the JVM NGram transformer, concatenated
-    # onto the unigrams so ONE HashingTF covers both (fastText's
-    # wordNgrams=2 setup)
-    from pyspark.ml.feature import NGram
+class _ConcatGrams(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """Concatenates token-array columns (pyspark.ml has no stock
+    array-concat transformer); pure DataFrame API, JVM-executed."""
 
-    toks = df.withColumn("_toks", tokens_expr(text_col, lowercase))
-    bi = NGram(n=2, inputCol="_toks", outputCol="_bi").transform(toks)
-    return bi.withColumn("_grams", F.concat(F.col("_toks"), F.col("_bi")))
+    inputCols = Param(Params._dummy(), "inputCols", "columns to concat",
+                      typeConverter=TypeConverters.toListString)
+    outputCol = Param(Params._dummy(), "outputCol", "output column",
+                      typeConverter=TypeConverters.toString)
+
+    def __init__(self, inputCols=None, outputCol=None):
+        super().__init__()
+        self._set(inputCols=inputCols or ["_toks", "_bi"], outputCol=outputCol or "_grams")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        cols = self.getOrDefault(self.inputCols)
+        return df.withColumn(
+            self.getOrDefault(self.outputCol), F.concat(*[F.col(c) for c in cols])
+        )
+
+
+def _check_reserved(df: DataFrame, what: str) -> None:
+    clash = [c for c in _RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{what}: input already has column(s) {clash} which the model "
+            f"pipeline creates — rename them first (reserved: {list(_RESERVED)})"
+        )
 
 
 def train_quality_classifier(
@@ -67,11 +108,13 @@ def train_quality_classifier(
 ):
     """Fit the curated-vs-crawl classifier.  ``positive`` is the curated
     seed corpus (wiki/books/reference pages), ``negative`` a raw-crawl
-    sample — the GPT-3 recipe.  Returns a fitted ``PipelineModel``
-    (HashingTF + LogisticRegression); persist with ``model.save(path)``
-    and reload with ``PipelineModel.load`` — the IVF build-once
-    discipline: train on samples once per corpus version, score the full
-    100 TB with the frozen model.
+    sample — the GPT-3 recipe.  Returns a fitted ``PipelineModel`` whose
+    FIRST stage is the tokenizer (input column + lowercase flag persist
+    with the model, so a reloaded model always re-tokenizes exactly as
+    trained); persist with ``model.save(path)``, reload with
+    ``PipelineModel.load`` — the IVF build-once discipline: train on
+    samples once per corpus version, score the full 100 TB with the
+    frozen model.
 
     Class balance is the caller's job (sample the bigger side); training
     cost is one corpus pass per LBFGS iteration with only the
@@ -82,10 +125,12 @@ def train_quality_classifier(
 
     if n_features < 2:
         raise ValueError(f"n_features must be >= 2, got {n_features}")
-    pos = positive.select(tokens_expr(text_col, lowercase).alias("_toks"), F.lit(1.0).alias("label"))
-    neg = negative.select(tokens_expr(text_col, lowercase).alias("_toks"), F.lit(0.0).alias("label"))
+    pos = positive.select(F.col(text_col), F.lit(1.0).alias("label"))
+    neg = negative.select(F.col(text_col), F.lit(0.0).alias("label"))
     train = pos.unionByName(neg)
+    _check_reserved(train, "train_quality_classifier")
     pipe = Pipeline(stages=[
+        _Tokenize(inputCol=text_col, outputCol="_toks", lowercase=lowercase),
         NGram(n=2, inputCol="_toks", outputCol="_bi"),
         _ConcatGrams(inputCols=["_toks", "_bi"], outputCol="_grams"),
         HashingTF(inputCol="_grams", outputCol="features", numFeatures=n_features),
@@ -97,42 +142,40 @@ def train_quality_classifier(
 def score_quality(
     df: DataFrame,
     model,
-    text_col: str = "text",
+    text_col: str | None = None,
     out_col: str = "quality_prob",
-    lowercase: bool = True,
 ) -> DataFrame:
     """Score every document with P(curated | text) — map-only transform of
-    the frozen model; adds ``out_col`` (double in [0, 1]).  Filter with
-    e.g. ``df.filter("quality_prob > 0.5")`` or Pareto-sample on the score
+    the frozen model; adds ``out_col`` (double in [0, 1]).  Tokenization
+    comes from the model's own first stage (no train/serve skew);
+    ``text_col`` only needs to be passed when the scoring frame names its
+    text column differently from training.  Filter with e.g.
+    ``df.filter("quality_prob > 0.5")`` or Pareto-sample on the score
     (the GPT-3 trick) downstream."""
+    _check_reserved(df, "score_quality")
+    tok = model.stages[0]
+    model_text = tok.getOrDefault(tok.inputCol)
+    alias_added = False
+    if text_col is not None and text_col != model_text:
+        if model_text in df.columns:
+            raise ValueError(
+                f"score_quality: both {text_col!r} and the model's text "
+                f"column {model_text!r} exist — ambiguous input"
+            )
+        df = df.withColumn(model_text, F.col(text_col))
+        alias_added = True
+    if model_text not in df.columns:
+        raise ValueError(
+            f"score_quality: input has no {model_text!r} column (the model "
+            f"was trained on it); pass text_col= to map another column"
+        )
+    scored = model.transform(df).withColumn(
+        out_col, _prob_of_positive()
+    ).drop(*_RESERVED)
+    return scored.drop(model_text) if alias_added else scored
+
+
+def _prob_of_positive():
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(
-        df.withColumn("_toks", tokens_expr(text_col, lowercase))
-    )
-    return scored.withColumn(
-        out_col, vector_to_array("probability")[1]
-    ).drop("_toks", "_bi", "_grams", "features", "rawPrediction", "probability", "prediction")
-
-
-# A minimal JVM-free Transformer: concatenates two token-array columns.
-# (pyspark.ml has no stock array-concat transformer; this one is pure
-# DataFrame API so the pipeline stays serializable and JVM-executed.)
-from pyspark.ml import Transformer  # noqa: E402
-from pyspark.ml.param import Param, Params  # noqa: E402
-from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable  # noqa: E402
-
-
-class _ConcatGrams(Transformer, DefaultParamsReadable, DefaultParamsWritable):
-    inputCols = Param(Params._dummy(), "inputCols", "columns to concat")
-    outputCol = Param(Params._dummy(), "outputCol", "output column")
-
-    def __init__(self, inputCols=None, outputCol=None):
-        super().__init__()
-        self._set(inputCols=inputCols or ["_toks", "_bi"], outputCol=outputCol or "_grams")
-
-    def _transform(self, df: DataFrame) -> DataFrame:
-        cols = self.getOrDefault(self.inputCols)
-        return df.withColumn(
-            self.getOrDefault(self.outputCol), F.concat(*[F.col(c) for c in cols])
-        )
+    return vector_to_array("probability")[1]

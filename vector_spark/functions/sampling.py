@@ -85,13 +85,25 @@ def stratified_sample(
 # orders (floating addition is order-dependent; integer addition is not).
 
 
+def word_tokens(text_col: Column | str) -> Column:
+    """THE repo's standard whitespace tokenization (the duplicate_span_dedup
+    convention): collapse whitespace runs, trim, split; empty/null text
+    gives [].  Every operator that tokenizes words (n-grams/DSIR, the
+    trained quality classifier) calls this one expression so their token
+    streams can never silently diverge."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, " ")
+    )
+
+
 def word_ngrams(text_col: Column | str, n: int = 2) -> Column:
-    """Array of space-joined word n-grams (whitespace-collapsed tokenization,
-    the duplicate_span_dedup convention).  Docs with < n words give []."""
+    """Array of space-joined word n-grams over :func:`word_tokens`.  Docs
+    with < n words give []."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    trimmed = F.trim(F.regexp_replace(F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")), r"\s+", " "))
-    tk = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, " "))
+    tk = word_tokens(text_col)
     return F.when(
         F.size(tk) >= n,
         F.transform(
