@@ -426,6 +426,25 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stupid Backoff LM (Brants et al. 2007): bigram counts trained on the
+    # English stratum (the CCNet "clean corpus" role), then EVERY document
+    # scored by distributed count-table joins — unlike DSIR's driver-literal
+    # histogram, the LM stays a DataFrame end-to-end (the Brants design:
+    # count tables are corpus-sized, scoring is joins against them).
+    # Per-token log-scores quantize to integer micro-units BEFORE summation
+    # (the dsir_score doctrine), so logprob_micro compares as an exact
+    # BIGINT: counts, backoff decisions, and join semantics replay verbatim
+    # in the oracle.
+    from vector_spark.functions import ngram_counts, stupid_backoff_score
+
+    docs = _docs(spark, sf_dir)
+    counts = ngram_counts(docs.filter("lang = 'en'"), order=2)
+    return stupid_backoff_score(docs, counts, order=2).select(
+        "doc_id", "n_tokens", "logprob_micro"
+    )
+
+
 def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Training-shard layout: shard = hash(key) mod 8, in-shard rank by an
     # INDEPENDENT hash — the deterministic global shuffle a training
@@ -1566,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_spans": q_dedup_spans,
         "dsir_score": q_dsir_score,
+        "lm_perplexity": q_lm_perplexity,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2486,6 +2506,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, any_value(g.lang) AS lang, sum(lr.m)::BIGINT AS logw_micro
             FROM grams g JOIN lr ON g.b = lr.b
             GROUP BY g.doc_id
+        """,
+        # Stupid Backoff LM: the oracle retrains the bigram/unigram count
+        # tables on the same 'en' stratum and replays every per-token
+        # decision — seen-bigram ratio vs alpha-backoff to the Laplace
+        # unigram — with the identical micro-quantization-before-summation,
+        # so logprob_micro compares as an exact BIGINT.  The CASE WHEN s=''
+        # guard mirrors word_tokens (DuckDB string_split('') is [''], not []).
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, CASE WHEN s = '' THEN [] ELSE string_split(s, ' ') END AS tk
+              FROM (SELECT doc_id, lang,
+                           trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS s
+                    FROM documents)),
+            c1 AS (
+              SELECT tk[i.i] AS gram, count(*)::BIGINT AS cnt
+              FROM toks, unnest(generate_series(1, len(tk))) AS i(i)
+              WHERE lang = 'en' GROUP BY 1),
+            c2 AS (
+              SELECT tk[i.i] || ' ' || tk[i.i+1] AS gram, count(*)::BIGINT AS cnt
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i(i)
+              WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(cnt) FROM c1) AS n_tok,
+                           (SELECT count(*) FROM c1) AS v),
+            tokens AS (
+              SELECT t.doc_id, i.i AS pos, tk[i.i] AS w,
+                     CASE WHEN i.i > 1 THEN tk[i.i - 1] END AS vtok
+              FROM toks t, unnest(generate_series(1, len(tk))) AS i(i)),
+            scored AS (
+              SELECT tok.doc_id,
+                     CAST(round(ln(
+                       CASE
+                         WHEN tok.pos = 1
+                           THEN (coalesce(cw.cnt, 0) + 1) / CAST(tot.n_tok + tot.v AS DOUBLE)
+                         WHEN cb.cnt IS NOT NULL AND cv.cnt IS NOT NULL
+                           THEN CAST(cb.cnt AS DOUBLE) / cv.cnt
+                         ELSE CAST(0.4 AS DOUBLE)
+                              * ((coalesce(cw.cnt, 0) + 1) / CAST(tot.n_tok + tot.v AS DOUBLE))
+                       END) * 1000000) AS BIGINT) AS m
+              FROM tokens tok
+              LEFT JOIN c1 cw ON cw.gram = tok.w
+              LEFT JOIN c1 cv ON cv.gram = tok.vtok
+              LEFT JOIN c2 cb ON cb.gram = tok.vtok || ' ' || tok.w
+              CROSS JOIN tot)
+            SELECT doc_id, count(*)::INT AS n_tokens, sum(m)::BIGINT AS logprob_micro
+            FROM scored GROUP BY doc_id
         """,
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (

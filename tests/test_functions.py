@@ -1531,3 +1531,25 @@ def test_quality_classifier_save_load_roundtrip(spark, tmp_path):
     a = {r.id: r.quality_prob for r in score_quality(hold, m).collect()}
     b = {r.id: r.quality_prob for r in score_quality(hold, m2).collect()}
     assert a == b
+
+
+def test_quality_classifier_scores_after_observation(spark):
+    """Regression: once ANY pyspark Observation has run on the session (the
+    metrics module attaches them), scoring with a freshly-fitted model used
+    to die with `NotSerializableException: ObservationManager` — the LR
+    trainingSummary pins the SparkSession into the task closure.
+    train_quality_classifier strips the summary; this pins the fix."""
+    from pyspark.sql import Observation
+
+    from vector_spark.functions import score_quality, train_quality_classifier
+
+    obs = Observation("quality_obs_regression")
+    spark.range(100).repartition(3).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert obs.get["n"] == 100
+
+    pos, neg, hold = _quality_corpora(spark, seed=17)
+    m = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=5)
+    assert not m.stages[-1].hasSummary
+    assert score_quality(hold, m).count() == 80

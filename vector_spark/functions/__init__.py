@@ -73,6 +73,11 @@ from vector_spark.functions.multimodal import (
     extract_features,
     frame_sample,
 )
+from vector_spark.functions.lm import (
+    ngram_counts,
+    stupid_backoff_score,
+    perplexity_filter,
+)
 from vector_spark.functions.similarity import (
     cosine_expr,
     brute_force_topk,
@@ -111,4 +116,5 @@ __all__ = [
     "train_pq_codebooks", "pq_encode", "pq_search",
     "normalize_url", "canonical_url_dedup", "url_host", "domain_suffixes",
     "blocklist_filter",
+    "ngram_counts", "stupid_backoff_score", "perplexity_filter",
 ]

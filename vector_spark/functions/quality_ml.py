@@ -136,7 +136,20 @@ def train_quality_classifier(
         HashingTF(inputCol="_grams", outputCol="features", numFeatures=n_features),
         LogisticRegression(maxIter=max_iter, regParam=reg_param, labelCol="label"),
     ])
-    return pipe.fit(train)
+    model = pipe.fit(train)
+    # Drop the training summary from the fitted LR stage.  It pins the
+    # SparkSession into the model object graph
+    # (BinaryClassificationSummary.sparkSession), and scoring serializes the
+    # model into every task closure — which crashes with
+    # `NotSerializableException: ObservationManager` the moment ANY
+    # `Observation` has run on the session (our metrics module attaches
+    # them; reproduced + verified on Spark 4.1.2).  Saved-and-reloaded
+    # models never carry a summary, so stripping it also removes a
+    # fresh-model-vs-reloaded-model behavioral difference.
+    lr_model = model.stages[-1]
+    spark = train.sparkSession
+    lr_model._java_obj.setSummary(spark.sparkContext._jvm.scala.Option.apply(None))
+    return model
 
 
 def score_quality(
