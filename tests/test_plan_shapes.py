@@ -160,3 +160,38 @@ def test_quality_classifier_scoring_is_jvm_only(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
     assert _exchanges(out) == 0
+
+
+def test_lm_training_is_one_shuffle_jvm_only(spark):
+    """ngram_counts builds every order's grams IN-ROW and feeds one explode
+    into one map-side-combined hash agg: exactly ONE shuffle (keyed on the
+    gram), no Python workers — the Brants et al. count-extraction shape."""
+    from vector_spark.functions import ngram_counts
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(200)], "id long, text string"
+    )
+    counts = ngram_counts(df, order=3)
+    counts.collect()
+    # AQE's toString appends an "== Initial Plan ==" copy — count the
+    # executed (final) section only
+    p = _plan(counts).split("== Initial Plan")[0]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange") == 1
+
+
+def test_lm_scoring_is_jvm_only(spark):
+    """stupid_backoff_score is explode → count-table joins → hash agg: all
+    JVM (no Python workers), and no nested-loop/cartesian fallback — the
+    totals are driver literals, never a cross join in the scoring plan."""
+    from vector_spark.functions import ngram_counts, stupid_backoff_score
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(200)], "doc_id long, text string"
+    )
+    counts = ngram_counts(df, order=2)
+    out = stupid_backoff_score(df, counts)
+    out.collect()
+    p = _plan(out)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

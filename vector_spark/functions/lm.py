@@ -122,6 +122,7 @@ def stupid_backoff_score(
     key_col: str = "doc_id",
     order: int = 2,
     alpha: float = 0.4,
+    broadcast_counts: bool = False,
 ) -> DataFrame:
     """Per-document Stupid Backoff log-score and perplexity.
 
@@ -144,8 +145,26 @@ def stupid_backoff_score(
     treats them).
 
     Plan: in-row (pos, w, v[, u]) structs → ONE explode → one left join per
-    needed count level (unique-keyed build sides, AQE-skew-safe) → one
-    hash-agg back to the document key.
+    n-gram ORDER (c1 on w, c2 on v·w, c3 on u·v·w — unique-keyed build
+    sides, AQE-skew-safe) → ONE shuffle on the document key that a window
+    and the final hash-agg share.  The backoff DENOMINATORS need no joins
+    of their own: c(v) for the token at position i is c(w) at position
+    i-1, and c(u·v) is c(v·w) at i-1 — a ``lag`` over (doc, pos) inside
+    the already-required doc partitioning, which cuts the token-stream
+    join legs from 2·order-1 to order.
+
+    ``broadcast_counts=True`` marks every count-table probe broadcastable —
+    correct when the trained LM is known-small (min_count-pruned, bounded
+    vocabulary); leave False at corpus scale, where the count table is
+    itself huge and sort-merge + AQE is the honest plan (Brants et al.
+    serve the LM from distributed shards for the same reason).
+
+    ``counts`` is referenced several times (the totals scalar plus one join
+    probe per level).  Spark's exchange reuse covers the in-plan references,
+    but at corpus scale persist the trained model once and reuse it —
+    ``counts.persist()`` for a session, or write/read parquet across jobs
+    (the IVF build-once discipline; Brants et al. likewise materialize the
+    count shards once and serve every scoring pass from them).
     """
     if order not in (2, 3):
         raise ValueError(f"order must be 2 or 3, got {order}")
@@ -184,35 +203,45 @@ def stupid_backoff_score(
         key_col, "t.*"
     )
 
-    c1 = uni.select(F.col("gram").alias("w"), F.col("cnt").alias("c_w"))
-    c2 = counts.filter(F.col("n") == 2).select(
-        F.col("gram").alias("vw"), F.col("cnt").alias("c_vw")
+    def _build(side: DataFrame) -> DataFrame:
+        return F.broadcast(side) if broadcast_counts else side
+
+    c1 = _build(uni.select(F.col("gram").alias("w"), F.col("cnt").alias("c_w")))
+    c2 = _build(
+        counts.filter(F.col("n") == 2).select(
+            F.col("gram").alias("vw"), F.col("cnt").alias("c_vw")
+        )
     )
-    cv = uni.select(F.col("gram").alias("v"), F.col("cnt").alias("c_v"))
     j = (
         toks.withColumn("vw", F.concat_ws(" ", "v", "w"))
         .join(c1, "w", "left")
-        .join(cv, "v", "left")
         .join(c2, "vw", "left")
     )
+    if order == 3:
+        c3 = _build(
+            counts.filter(F.col("n") == 3).select(
+                F.col("gram").alias("uvw"), F.col("cnt").alias("c_uvw")
+            )
+        )
+        j = j.withColumn("uvw", F.concat_ws(" ", "u", "v", "w")).join(c3, "uvw", "left")
+
+    # Backoff denominators via lag inside the doc partitioning: c(v) at
+    # position i ≡ c(w) at i-1; c(u·v) ≡ c(v·w) at i-1.  The window's
+    # doc-key shuffle is the SAME partitioning the final groupBy needs, so
+    # this adds zero extra exchanges (pinned by test_plan_shapes).
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy(key_col).orderBy("pos")
+    j = j.withColumn("c_v", F.lag("c_w").over(w_doc))
+    if order == 3:
+        j = j.withColumn("c_uv", F.lag("c_vw").over(w_doc))
+
     s1 = (F.coalesce(F.col("c_w"), F.lit(0)) + 1) / F.lit(float(n_total + vocab))
     s2 = F.when(
         F.col("c_vw").isNotNull() & F.col("c_v").isNotNull(),
         F.col("c_vw") / F.col("c_v"),
     ).otherwise(F.lit(alpha) * s1)
     if order == 3:
-        c3 = counts.filter(F.col("n") == 3).select(
-            F.col("gram").alias("uvw"), F.col("cnt").alias("c_uvw")
-        )
-        cuv = counts.filter(F.col("n") == 2).select(
-            F.col("gram").alias("uv"), F.col("cnt").alias("c_uv")
-        )
-        j = (
-            j.withColumn("uvw", F.concat_ws(" ", "u", "v", "w"))
-            .withColumn("uv", F.concat_ws(" ", "u", "v"))
-            .join(c3, "uvw", "left")
-            .join(cuv, "uv", "left")
-        )
         s3 = F.when(
             F.col("c_uvw").isNotNull() & F.col("c_uv").isNotNull(),
             F.col("c_uvw") / F.col("c_uv"),
