@@ -445,6 +445,53 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Host-graph PageRank (the Common-Crawl host-ranking curation signal):
+    # a 50-host link graph synthesized closed-form from doc_id (the
+    # url_blocklist convention), ranked with the all-INTEGER micro-unit
+    # iteration (damping 85/100, floor divisions, BIGINT sums) — so the
+    # oracle, which unrolls the same 5 rounds as chained CTEs, compares
+    # rank_micro as an exact BIGINT with no float tolerance anywhere.
+    from vector_spark.functions import pagerank
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("h"), (did % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((did * 7 + 3) % 50).cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=5).select(
+        F.col("node").alias("host"), "rank_micro"
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unroll the integer PageRank rounds as chained CTEs (DuckDB's
+    recursive CTEs restrict aggregation over the recursive term, so a
+    fixed-round unroll is the faithful replay)."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+            r{k} AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * coalesce(c.sm, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node, sum(r.r // deg.deg) AS sm
+                FROM e JOIN r{k-1} r ON r.node = e.s JOIN deg ON deg.s = e.s
+                GROUP BY e.d) c ON c.node = n.node)""")
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT 'h' || (doc_id % 50) AS s,
+                          'h' || ((doc_id * 7 + 3) % 50) AS d
+          FROM documents),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        deg AS (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        {",".join(rounds)}
+        SELECT node AS host, r AS rank_micro FROM r{iters}
+    """
+
+
 def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Training-shard layout: shard = hash(key) mod 8, in-shard rank by an
     # INDEPENDENT hash — the deterministic global shuffle a training
@@ -1586,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dsir_score": q_dsir_score,
         "lm_perplexity": q_lm_perplexity,
+        "host_pagerank": q_host_pagerank,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2552,6 +2600,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::INT AS n_tokens, sum(m)::BIGINT AS logprob_micro
             FROM scored GROUP BY doc_id
         """,
+        # Integer PageRank: 5 rounds unrolled as chained CTEs, floor
+        # divisions and BIGINT sums only — exact replay, no float anywhere.
+        "host_pagerank": _pagerank_oracle_sql(5),
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

@@ -78,6 +78,9 @@ from vector_spark.functions.lm import (
     stupid_backoff_score,
     perplexity_filter,
 )
+from vector_spark.functions.graph import (
+    pagerank,
+)
 from vector_spark.functions.similarity import (
     cosine_expr,
     brute_force_topk,
@@ -117,4 +120,5 @@ __all__ = [
     "normalize_url", "canonical_url_dedup", "url_host", "domain_suffixes",
     "blocklist_filter",
     "ngram_counts", "stupid_backoff_score", "perplexity_filter",
+    "pagerank",
 ]
