@@ -445,6 +445,25 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 ranked search (Lucene idf variant) over the documents
+    # corpus: postings = one explode + one map-side-combined hash agg;
+    # search prunes postings to the (broadcast) query vocabulary BEFORE the
+    # df count, so no full-vocabulary aggregate ever runs.  Per-term scores
+    # quantize to integer micro-units before the BIGINT sum (the lm_perplexity
+    # doctrine), so score_micro and the rank order compare exactly; ties
+    # break on ascending doc_id in both engines.
+    from vector_spark.functions import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q1", "hash join table"), ("q2", "window agg spark"),
+         ("q3", "slow scan filter value")],
+        ["query_id", "query"],
+    )
+    return bm25_topk(docs, qdf, k=10)
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Host-graph PageRank (the Common-Crawl host-ranking curation signal):
     # a 50-host link graph synthesized closed-form from doc_id (the
@@ -1634,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": q_dsir_score,
         "lm_perplexity": q_lm_perplexity,
         "host_pagerank": q_host_pagerank,
+        "search_bm25_topk": q_bm25_topk,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2603,6 +2623,52 @@ def oracle_sql() -> dict[str, str]:
         # Integer PageRank: 5 rounds unrolled as chained CTEs, floor
         # divisions and BIGINT sums only — exact replay, no float anywhere.
         "host_pagerank": _pagerank_oracle_sql(5),
+        # BM25 (k1=1.2, b=0.75): the float constants 2.2 / 0.25 are the
+        # Python-folded k1+1.0 / 1.0-b (repr round-trips, so both engines
+        # parse the same doubles); per-term micro quantization before the
+        # BIGINT sum makes score_micro exact (see functions/search.py).
+        "search_bm25_topk": r"""
+            WITH q(query_id, query) AS (VALUES
+              ('q1', 'hash join table'),
+              ('q2', 'window agg spark'),
+              ('q3', 'slow scan filter value')),
+            toks AS (
+              SELECT doc_id, CASE WHEN s = '' THEN [] ELSE string_split(s, ' ') END AS tk
+              FROM (SELECT doc_id,
+                           trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS s
+                    FROM documents)),
+            stats AS (SELECT count(*)::BIGINT AS n_docs,
+                             coalesce(sum(len(tk)), 0)::BIGINT AS total_len FROM toks),
+            postings AS (
+              SELECT doc_id, len(tk)::BIGINT AS dl, tk[i.i] AS term,
+                     count(*)::BIGINT AS tf
+              FROM toks, unnest(generate_series(1, len(tk))) AS i(i)
+              GROUP BY 1, 2, 3),
+            qterms AS (SELECT DISTINCT query_id, u.term
+                       FROM q, unnest(string_split(query, ' ')) AS u(term)),
+            hits AS (SELECT p.* FROM postings p
+                     WHERE p.term IN (SELECT term FROM qterms)),
+            dfs AS (SELECT term, count(*)::BIGINT AS df FROM hits GROUP BY 1),
+            scored AS (
+              SELECT qt.query_id, h.doc_id,
+                CAST(round(
+                  ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * ((h.tf * 2.2)
+                     / (h.tf + 1.2 * (0.25 + 0.75 * ((h.dl * s.n_docs) / s.total_len))))
+                  * 1000000.0) AS BIGINT) AS m
+              FROM hits h
+              JOIN qterms qt USING (term)
+              JOIN dfs d USING (term)
+              CROSS JOIN stats s),
+            agg AS (SELECT query_id, doc_id, sum(m)::BIGINT AS score_micro
+                    FROM scored GROUP BY 1, 2),
+            ranked AS (SELECT query_id, doc_id, score_micro,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_micro DESC, doc_id ASC) AS rnk
+                       FROM agg)
+            SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, score_micro
+            FROM ranked WHERE rnk <= 10
+        """,
         "sim_bruteforce_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

@@ -81,6 +81,10 @@ from vector_spark.functions.lm import (
 from vector_spark.functions.graph import (
     pagerank,
 )
+from vector_spark.functions.search import (
+    bm25_postings,
+    bm25_topk,
+)
 from vector_spark.functions.similarity import (
     cosine_expr,
     brute_force_topk,
@@ -121,4 +125,5 @@ __all__ = [
     "blocklist_filter",
     "ngram_counts", "stupid_backoff_score", "perplexity_filter",
     "pagerank",
+    "bm25_postings", "bm25_topk",
 ]
