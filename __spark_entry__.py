@@ -464,6 +464,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qdf, k=10)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trained BPE (Sennrich 2016), the SentencePiece/HF trainer shape: the
+    # cluster computes the word histogram (one explode + hash agg +
+    # TakeOrderedAndProject cap), the driver runs the inherently-sequential
+    # merge loop over that bounded histogram, and encoding is a map-only
+    # Arrow-batched pandas UDF fed the JVM word_tokens array (tokenizer
+    # parity by construction).  Declared ROWS-ONLY: an ordered per-word
+    # merge loop is not ANSI-expressible (the sim_ivf_topk precedent);
+    # exactness is pinned by tests/test_bpe.py's sequential-reference
+    # parity, greedy-apply, roundtrip, and partition-invariance properties.
+    from vector_spark.functions import bpe_token_count_trained, bpe_word_counts, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(bpe_word_counts(docs, max_words=100_000), num_merges=120)
+    return bpe_token_count_trained(docs, merges).select("doc_id", "n_bpe")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Host-graph PageRank (the Common-Crawl host-ranking curation signal):
     # a 50-host link graph synthesized closed-form from doc_id (the
@@ -1654,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "host_pagerank": q_host_pagerank,
         "search_bm25_topk": q_bm25_topk,
+        "bpe_tokenize": q_bpe_tokenize,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,

@@ -81,6 +81,13 @@ from vector_spark.functions.lm import (
 from vector_spark.functions.graph import (
     pagerank,
 )
+from vector_spark.functions.bpe import (
+    bpe_word_counts,
+    train_bpe,
+    encode_word,
+    bpe_encode,
+    bpe_token_count_trained,
+)
 from vector_spark.functions.search import (
     bm25_postings,
     bm25_topk,
@@ -126,4 +133,6 @@ __all__ = [
     "ngram_counts", "stupid_backoff_score", "perplexity_filter",
     "pagerank",
     "bm25_postings", "bm25_topk",
+    "bpe_word_counts", "train_bpe", "encode_word", "bpe_encode",
+    "bpe_token_count_trained",
 ]
