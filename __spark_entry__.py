@@ -481,6 +481,44 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count_trained(docs, merges).select("doc_id", "n_bpe")
 
 
+def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact per-column corpus profile (the Deequ-style data-quality gate a
+    # curation pipeline runs between stages): counts, nulls, EXACT distinct,
+    # min/max, serialized byte mass, and the modal value with ascending-value
+    # tie-break.  All integer/string arithmetic — every cell hash-compares.
+    from vector_spark.functions import profile_corpus
+
+    docs = _docs(spark, sf_dir)
+    return profile_corpus(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _profile_oracle_sql(cols: list[str], trunc: int = 40) -> str:
+    parts = []
+    for c in cols:
+        top = (
+            f"(SELECT v FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt "
+            f"FROM documents WHERE {c} IS NOT NULL GROUP BY 1 "
+            f"ORDER BY cnt DESC, v ASC LIMIT 1))"
+        )
+        topc = (
+            f"(SELECT cnt FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt "
+            f"FROM documents WHERE {c} IS NOT NULL GROUP BY 1 "
+            f"ORDER BY cnt DESC, v ASC LIMIT 1))"
+        )
+        parts.append(f"""
+            SELECT '{c}' AS col_name,
+                   count(*)::BIGINT AS n_rows,
+                   (count(*) - count({c}))::BIGINT AS n_null,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   substr(CAST(min({c}) AS VARCHAR), 1, {trunc}) AS min_val,
+                   substr(CAST(max({c}) AS VARCHAR), 1, {trunc}) AS max_val,
+                   coalesce(sum(strlen(CAST({c} AS VARCHAR))), 0)::BIGINT AS total_bytes,
+                   substr({top}, 1, {trunc}) AS top_value,
+                   CAST({topc} AS BIGINT) AS top_count
+            FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Host-graph PageRank (the Common-Crawl host-ranking curation signal):
     # a 50-host link graph synthesized closed-form from doc_id (the
@@ -1672,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "search_bm25_topk": q_bm25_topk,
         "bpe_tokenize": q_bpe_tokenize,
+        "profile_corpus": q_profile_corpus,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2641,6 +2680,9 @@ def oracle_sql() -> dict[str, str]:
         # Integer PageRank: 5 rounds unrolled as chained CTEs, floor
         # divisions and BIGINT sums only — exact replay, no float anywhere.
         "host_pagerank": _pagerank_oracle_sql(5),
+        "profile_corpus": _profile_oracle_sql(
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         # BM25 (k1=1.2, b=0.75): the float constants 2.2 / 0.25 are the
         # Python-folded k1+1.0 / 1.0-b (repr round-trips, so both engines
         # parse the same doubles); per-term micro quantization before the

@@ -88,6 +88,9 @@ from vector_spark.functions.bpe import (
     bpe_encode,
     bpe_token_count_trained,
 )
+from vector_spark.functions.profile import (
+    profile_corpus,
+)
 from vector_spark.functions.search import (
     bm25_postings,
     bm25_topk,
@@ -135,4 +138,5 @@ __all__ = [
     "bm25_postings", "bm25_topk",
     "bpe_word_counts", "train_bpe", "encode_word", "bpe_encode",
     "bpe_token_count_trained",
+    "profile_corpus",
 ]
