@@ -519,6 +519,34 @@ def _profile_oracle_sql(cols: list[str], trunc: int = 40) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_anomaly_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-mean burst detection per event_type over the previous 20
+    # events (ordered by ts with event_id tiebreak → deterministic frames):
+    # flag value > 3× rolling mean, compared cross-multiplied in exact
+    # milli-integers — no division, no float tolerance.
+    from vector_spark.functions import detect_bursts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return detect_bursts(ev, window=20, k_milli=3_000, min_prev=5)
+
+
+def q_anomaly_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling 10-minute event-rate spikes per event_type: one map-side-
+    # combined hash agg to bucket counts, then a lag comparison flagged when
+    # cnt·1000 > 1500·prev_cnt.  Bucket emitted as epoch seconds (integer)
+    # so the row hash is timezone-proof.
+    from vector_spark.functions import rate_spikes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rate_spikes(ev, bucket_s=600, ratio_milli=1_500)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_epoch"),
+        "cnt",
+        "prev_cnt",
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Host-graph PageRank (the Common-Crawl host-ranking curation signal):
     # a 50-host link graph synthesized closed-form from doc_id (the
@@ -1711,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_bm25_topk,
         "bpe_tokenize": q_bpe_tokenize,
         "profile_corpus": q_profile_corpus,
+        "anomaly_bursts": q_anomaly_bursts,
+        "anomaly_rate_spikes": q_anomaly_rate_spikes,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2683,6 +2713,43 @@ def oracle_sql() -> dict[str, str]:
         "profile_corpus": _profile_oracle_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "anomaly_bursts": r"""
+            WITH base AS (
+              SELECT event_type, event_id, ts,
+                     CAST(round(value * 1000) AS BIGINT) AS value_milli
+              FROM events),
+            win AS (
+              SELECT *,
+                     count(value_milli) OVER w AS prev_cnt,
+                     coalesce(sum(value_milli) OVER w, 0) AS prev_sum_milli
+              FROM base
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, event_id, ts, value_milli,
+                   CAST(prev_cnt AS BIGINT) AS prev_cnt,
+                   CAST(prev_sum_milli AS BIGINT) AS prev_sum_milli
+            FROM win
+            WHERE prev_cnt >= 5 AND prev_sum_milli > 0
+              AND (value_milli * prev_cnt - prev_sum_milli) * 1000
+                  > 3000 * prev_sum_milli
+        """,
+        "anomaly_rate_spikes": r"""
+            WITH b AS (
+              SELECT event_type,
+                     (floor(epoch(ts))::BIGINT // 600) * 600 AS bucket_epoch,
+                     count(*)::BIGINT AS cnt
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, bucket_epoch, cnt,
+                     lag(cnt, 1) OVER (PARTITION BY event_type
+                                       ORDER BY bucket_epoch ASC) AS prev_cnt
+              FROM b)
+            SELECT event_type, bucket_epoch, cnt,
+                   CAST(prev_cnt AS BIGINT) AS prev_cnt
+            FROM lagged
+            WHERE prev_cnt IS NOT NULL AND cnt * 1000 > 1500 * prev_cnt
+        """,
         # BM25 (k1=1.2, b=0.75): the float constants 2.2 / 0.25 are the
         # Python-folded k1+1.0 / 1.0-b (repr round-trips, so both engines
         # parse the same doubles); per-term micro quantization before the

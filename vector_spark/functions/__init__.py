@@ -88,6 +88,10 @@ from vector_spark.functions.bpe import (
     bpe_encode,
     bpe_token_count_trained,
 )
+from vector_spark.functions.anomaly import (
+    detect_bursts,
+    rate_spikes,
+)
 from vector_spark.functions.profile import (
     profile_corpus,
 )
@@ -139,4 +143,5 @@ __all__ = [
     "bpe_word_counts", "train_bpe", "encode_word", "bpe_encode",
     "bpe_token_count_trained",
     "profile_corpus",
+    "detect_bursts", "rate_spikes",
 ]
