@@ -519,6 +519,21 @@ def _profile_oracle_sql(cols: list[str], trunc: int = 40) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature sampling (mC4/XLM-R alpha-mixing): p_l ∝ count^0.3, keep
+    # rate min(1, budget·p_l/c_l).  The only float op (pow) quantizes to an
+    # integer micro-weight immediately; the rate derivation after that is
+    # arbitrary-precision integer floor arithmetic, and membership is an
+    # integer md5-bucket comparison — so the oracle recomputes the rates in
+    # HUGEINT and matches membership row-for-row.
+    from vector_spark.functions import alpha_mix_sample
+
+    docs = _docs(spark, sf_dir)
+    return alpha_mix_sample(
+        docs, "lang", "doc_id", alpha=0.3, budget=200, seed="amix1", method="md5"
+    ).select("doc_id", "lang")
+
+
 def q_anomaly_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rolling-mean burst detection per event_type over the previous 20
     # events (ordered by ts with event_id tiebreak → deterministic frames):
@@ -1739,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_bm25_topk,
         "bpe_tokenize": q_bpe_tokenize,
         "profile_corpus": q_profile_corpus,
+        "sample_alpha_mix": q_alpha_mix,
         "anomaly_bursts": q_anomaly_bursts,
         "anomaly_rate_spikes": q_anomaly_rate_spikes,
         "sample_token_budget": q_token_budget,
@@ -2713,6 +2729,23 @@ def oracle_sql() -> dict[str, str]:
         "profile_corpus": _profile_oracle_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "sample_alpha_mix": r"""
+            WITH c AS (SELECT lang, count(*)::BIGINT AS cnt
+                       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+            w AS (SELECT lang, cnt,
+                         CAST(round(pow(cnt, 0.3) * 1000000) AS BIGINT) AS w_micro
+                  FROM c),
+            s AS (SELECT sum(w_micro)::HUGEINT AS sw FROM w),
+            r AS (SELECT lang, cnt,
+                         least(1000000::HUGEINT,
+                               (200::HUGEINT * w_micro * 1000000) // (sw * cnt))
+                           AS rate_micro
+                  FROM w, s)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || 'amix1'), 1, 7))::BIGINT
+                   % 1000000) < r.rate_micro
+        """,
         "anomaly_bursts": r"""
             WITH base AS (
               SELECT event_type, event_id, ts,

@@ -1553,3 +1553,52 @@ def test_quality_classifier_scores_after_observation(spark):
     m = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=5)
     assert not m.stages[-1].hasSummary
     assert score_quality(hold, m).count() == 80
+
+
+def test_alpha_mix_rates_exact_integers():
+    """Rate derivation is pure integer arithmetic after the pow quantize."""
+    import vector_spark.functions.sampling as S
+
+    counts = {"en": 8000, "de": 1000, "yo": 10}
+    rates = S.alpha_mix_rates_micro(counts, alpha=0.3, budget=1000)
+    # hand-derived: w = round(c^0.3 * 1e6)
+    w = {k: round((c ** 0.3) * 1_000_000) for k, c in counts.items()}
+    sw = sum(w.values())
+    exp = {k: min(1_000_000, (1000 * w[k] * 1_000_000) // (sw * counts[k]))
+           for k in counts}
+    assert rates == exp
+    # low-resource strata get HIGHER keep rates (the whole point of alpha)
+    assert rates["yo"] > rates["de"] > rates["en"]
+    # alpha=1 reproduces natural proportions: equal rates everywhere
+    nat = S.alpha_mix_rates_micro(counts, alpha=1.0, budget=1000)
+    assert len(set(nat.values())) == 1
+    # budget >= corpus -> every rate caps at 1e6 (keep everything)
+    assert set(S.alpha_mix_rates_micro(counts, alpha=0.3, budget=10**9).values()) == {1_000_000}
+    with pytest.raises(ValueError, match="alpha"):
+        S.alpha_mix_rates_micro(counts, alpha=0.0, budget=10)
+    with pytest.raises(ValueError, match="count for stratum"):
+        S.alpha_mix_rates_micro({"en": 0}, alpha=0.3, budget=10)
+
+
+def test_alpha_mix_sample(spark):
+    """Realized sizes near budget·p; determinism; budget monotonicity;
+    NULL strata dropped."""
+    import vector_spark.functions.sampling as S
+
+    rows = [(i, "en") for i in range(5000)] + \
+           [(5000 + i, "de") for i in range(800)] + \
+           [(5800 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = S.alpha_mix_sample(df, "lang", "id", alpha=0.3, budget=600, seed="t")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert None not in got
+    rates = S.alpha_mix_rates_micro({"en": 5000, "de": 800}, 0.3, 600)
+    for lang, n_total in (("en", 5000), ("de", 800)):
+        exp = n_total * rates[lang] / 1_000_000
+        assert abs(got.get(lang, 0) - exp) < 0.25 * exp + 30, (lang, got, exp)
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in S.alpha_mix_sample(
+        df.repartition(13), "lang", "id", alpha=0.3, budget=600, seed="t").collect())
+    assert a == b
+    lo = {r.id for r in S.alpha_mix_sample(df, "lang", "id", alpha=0.3, budget=300, seed="t").collect()}
+    assert lo <= set(a)

@@ -39,6 +39,8 @@ from vector_spark.functions.dedup import (
     decontaminate,
 )
 from vector_spark.functions.sampling import (
+    alpha_mix_rates_micro,
+    alpha_mix_sample,
     stratified_sample,
     word_tokens,
     word_ngrams,
@@ -144,4 +146,5 @@ __all__ = [
     "bpe_token_count_trained",
     "profile_corpus",
     "detect_bursts", "rate_spikes",
+    "alpha_mix_rates_micro", "alpha_mix_sample",
 ]

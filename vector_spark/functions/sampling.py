@@ -67,6 +67,88 @@ def stratified_sample(
     return df.filter(_bucket(F.col(key_col), seed, method) < rate)
 
 
+def _bucket_micro(key: Column, seed: str, method: str) -> Column:
+    """Integer bucket in [0, 1e6) — the exact-comparison twin of
+    :func:`_bucket` (no float division, so rate tests compare BIGINTs)."""
+    salted = F.concat(key.cast("string"), F.lit(seed))
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(salted), F.lit(_BUCKETS))
+    if method == "md5":
+        return F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long") % _BUCKETS
+    raise ValueError(f"unknown hash method {method!r} (expected xxhash64|md5)")
+
+
+def alpha_mix_rates_micro(
+    counts: dict[str, int], alpha: float, budget: int
+) -> dict[str, int]:
+    """Per-stratum keep rates (micro-units) for temperature sampling.
+
+    The multilingual mixing rule (mC4 / XLM-R: Xue et al. 2021 §3.1,
+    Conneau et al. 2020 §3): sample stratum *l* with probability
+    ``p_l ∝ c_l^alpha`` so low-resource strata are up-weighted relative to
+    their natural share; ``budget`` is the target total row count, so the
+    keep rate is ``min(1, budget·p_l / c_l)``.
+
+    Exactness discipline: the only float op is ``c^alpha``, quantized to an
+    integer micro-weight IMMEDIATELY (half-away rounding); everything after
+    — the weight sum, ``budget·w·1e6 // (Σw·c)`` — is arbitrary-precision
+    integer arithmetic (Python ints; the oracle uses HUGEINT), so rates are
+    reproducible to the unit regardless of stratum iteration order.  A
+    float weight SUM would be order-dependent; an integer sum cannot be.
+    """
+    if not counts:
+        raise ValueError("counts is empty")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    for k, c in counts.items():
+        if c < 1:
+            raise ValueError(f"count for stratum {k!r} must be >= 1, got {c}")
+    w_micro = {
+        k: _round_half_away((c ** alpha) * _BUCKETS) for k, c in counts.items()
+    }
+    sw = sum(w_micro.values())
+    return {
+        k: min(_BUCKETS, (budget * w_micro[k] * _BUCKETS) // (sw * counts[k]))
+        for k in counts
+    }
+
+
+def alpha_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.3,
+    budget: int,
+    seed: str = "",
+    method: str = "xxhash64",
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Temperature-sample ``df`` so strata follow ``p ∝ count^alpha``.
+
+    One tiny counts aggregate (rows = #strata — languages/domains, bounded
+    by construction; pass ``counts`` to skip it) and then a MAP-ONLY
+    integer filter ``bucket_micro(key) < rate_micro(stratum)`` — zero
+    shuffle on the corpus, deterministic under retries/partitioning, and
+    monotone in ``budget`` (growing the budget only adds rows).  NULL
+    strata are dropped (rate 0).
+
+    Overflow bound: rates are computed in arbitrary-precision Python ints,
+    so no int64 ceiling applies to ``budget·w·1e6`` — only the final
+    per-stratum rate (≤ 1e6) reaches the plan, as a literal.
+    """
+    if counts is None:
+        rows = df.groupBy(strata_col).count().collect()
+        counts = {r[strata_col]: r["count"] for r in rows if r[strata_col] is not None}
+    rates = alpha_mix_rates_micro(counts, alpha, budget)
+    rate = F.lit(0).cast("long")
+    for k in sorted(rates):
+        rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
+    return df.filter(_bucket_micro(F.col(key_col), seed, method) < rate)
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS 2023)
 # ---------------------------------------------------------------------------
