@@ -489,3 +489,94 @@ def test_streaming_incremental_dedup_loop(spark, tmp_path):
     ).to_parquet(in_dir / "c2.parquet")
     drain()  # 20 near-dups batch-1's SURVIVOR 11 → dropped; 21 fresh → kept
     assert {r.doc_id for r in spark.read.parquet(hist_dir).collect()} == {0, 11, 21}
+
+
+def test_streaming_rate_spikes_matches_batch(spark, tmp_path):
+    """Window-over-window spike flags persist across micro-batches and match
+    the batch rate_spikes operator on every bucket that has a successor."""
+    import pandas as pd
+
+    from vector_spark.functions import rate_spikes
+
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+
+    def events(offsets):
+        return pd.DataFrame(
+            {
+                "event_id": list(range(len(offsets))),
+                "ts": [base + pd.Timedelta(seconds=s) for s in offsets],
+                "event_type": ["a"] * len(offsets),
+                "value": [1.0] * len(offsets),
+            }
+        )
+
+    # bucket0 (0-59s): 2 events | bucket1: 5 (flag: 2.5x) | bucket2: 5 (no)
+    # | bucket3: 20 (flag: 4x) | bucket4: 1 closer event so bucket3 closes
+    offs = (
+        [0, 30]
+        + [60 + i for i in range(5)]
+        + [120 + i for i in range(5)]
+        + [180 + i % 50 for i in range(20)]
+        + [240]
+    )
+    # split into 3 files -> 3 micro-batches, cutting ACROSS bucket1 so its
+    # count must accumulate in state over a batch boundary
+    chunks = [events(offs)[i::3].sort_values("ts") for i in range(3)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    # per-batch files must arrive in event-time order for the cross-batch
+    # bucket accounting (the operator's documented ordering contract)
+    ordered = pd.concat(chunks).sort_values("ts").reset_index(drop=True)
+    per_batch = [ordered.iloc[:9], ordered.iloc[9:17], ordered.iloc[17:]]
+    for i, pdf in enumerate(per_batch):
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(
+            str(in_dir / f"f{i}")
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        from vector_spark import streaming as st
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        spikes = st.streaming_rate_spikes(
+            stream, key_field="event_type", ts_col="ts", bucket_s=60,
+            ratio_milli=2_000,
+        )
+        q = (
+            spikes.writeStream.format("memory")
+            .queryName("spikes")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.bucket_epoch, r.cnt, r.prev_cnt)
+            for r in spark.sql("select * from spikes").collect()
+        }
+        batch_df = spark.createDataFrame(ordered, schema)
+        exp = {
+            (r.bucket_epoch, r.cnt, r.prev_cnt)
+            for r in rate_spikes(batch_df, bucket_s=60, ratio_milli=2_000)
+            .select(
+                F.unix_timestamp("bucket_start").cast("long").alias("bucket_epoch"),
+                "cnt",
+                "prev_cnt",
+            )
+            .collect()
+        }
+        # bucket3 closed by the 240s event; the still-open 240s bucket has
+        # cnt=1 < 2x20 so the batch side doesn't flag it either -> exact
+        # batch/stream parity on this stream
+        assert got == exp
+        assert len(got) == 2
+        assert sorted(c for _, c, _ in got) == [5, 20]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -51,6 +51,7 @@ __all__ = [
     "streaming_throttle",
     "streaming_reduce_sessions",
     "streaming_reduce_ends_when",
+    "streaming_rate_spikes",
     "run_available_now",
 ]
 
@@ -472,6 +473,82 @@ def streaming_reduce_ends_when(
 
     return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         reduce_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_rate_spikes(
+    stream: DataFrame,
+    key_field: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 600,
+    ratio_milli: int = 2_000,
+) -> DataFrame:
+    """Streaming twin of :func:`vector_spark.functions.anomaly.rate_spikes`:
+    per-key tumbling-bucket counts flagged when a bucket exceeds ratio× the
+    PREVIOUS bucket.  Window-over-window comparison needs cross-batch state
+    (the previous bucket may have closed many micro-batches ago), so this
+    is applyInPandasWithState, not a windowed agg.
+
+    State per key: (open_bucket_epoch, open_cnt, prev_closed_cnt) — three
+    scalars, O(distinct keys); -1 encodes "no bucket yet" (state columns
+    are non-nullable by schema).  A bucket closes when a later-bucket event
+    for the same key arrives (event-time order enforced per batch by the
+    throttle sort discipline), and the flag rule is the SAME
+    cross-multiplied integer comparison as the batch operator
+    (cnt·1000 > ratio·prev) — so a replayed stream and a batch run over the
+    same events flag the same (key, bucket) pairs for every bucket that has
+    a successor; the still-open final bucket flushes on the next event,
+    exactly Vector's interval-flush semantics.  Events older than the open
+    bucket count into it (documented: out-of-order beyond one bucket needs
+    an upstream watermark sort).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_field, T.StringType()),
+            T.StructField("bucket_epoch", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("prev_cnt", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("open_epoch", T.LongType()),
+            T.StructField("open_cnt", T.LongType()),
+            T.StructField("prev_cnt", T.LongType()),
+        ]
+    )
+
+    def spike_fn(key, pdf_iter, state: GroupState):
+        open_epoch, open_cnt, prev_cnt = state.get if state.exists else (-1, 0, -1)
+        flagged = []
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            epochs = (pdf[ts_col].astype("int64").to_numpy() // 10**9) // bucket_s * bucket_s
+            for e in epochs:
+                e = int(e)
+                if open_epoch == -1:
+                    open_epoch, open_cnt = e, 0
+                elif e > open_epoch:
+                    # close the open bucket: flag it against its predecessor
+                    if prev_cnt != -1 and open_cnt * 1000 > ratio_milli * prev_cnt:
+                        flagged.append((*key, open_epoch, open_cnt, prev_cnt))
+                    prev_cnt, open_epoch, open_cnt = open_cnt, e, 0
+                open_cnt += 1
+        if flagged:
+            yield pd.DataFrame(
+                flagged, columns=[key_field, "bucket_epoch", "cnt", "prev_cnt"]
+            )
+        state.update((int(open_epoch), int(open_cnt), int(prev_cnt)))
+
+    return stream.groupBy(F.col(key_field)).applyInPandasWithState(
+        spike_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
