@@ -274,6 +274,85 @@ def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """facts = click/purchase events; dim = signup 'state' rows, deduped to
+    one row per (user_id, ts) so DuckDB's ASOF tie behavior can't diverge."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    facts = ev.where(F.col("event_type").isin("click", "purchase"))
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    return facts, dim
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join (union+window method): each click/purchase is enriched with
+    # the latest signup row at-or-before its timestamp per user — the
+    # time-versioned enrichment lookup.  ONE shuffle on user_id, no join
+    # node (tests/test_asof_enrich.py pins the plan); DuckDB replays it as a
+    # literal ASOF LEFT JOIN.  Timestamps emitted as epoch MICROSECONDS so
+    # the value hash is timezone- and rounding-proof.
+    from vector_spark.operators import asof_join
+
+    facts, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join(facts, dim, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "signup_id",
+    )
+
+
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SKEW-PROOF as-of plan: tolerance-bounded matches become a pure
+    # (user, time-bucket) equi-join + max_by — no per-key sort, so a hot key
+    # spreads across buckets and AQE can split cells.  Same semantics as the
+    # window method when a tolerance applies (test_asof_bucketed_matches_union);
+    # the oracle is ASOF JOIN + null-out beyond the tolerance.
+    from vector_spark.operators import asof_join
+
+    facts, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join(
+        facts, dim, on="user_id", ts_col="ts",
+        tolerance_s=86_400.0, method="bucketed",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "signup_id",
+    )
+
+
+def q_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GeoIP-style IP-RANGE enrichment: ranges decompose into /16 prefixes →
+    # broadcast HASH join (plan pinned in tests), never the nested-loop scan
+    # a raw BETWEEN join would run.  IPs derive from event_id by a Knuth
+    # multiplicative hash (exact BIGINT both sides); the 64 synthetic ranges
+    # tile the space with gaps so the null path is exercised too.
+    from vector_spark.operators import ip_range_enrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ips = ev.select(
+        "event_id",
+        F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)).alias("ip"),
+    )
+    i = F.col("id")
+    ranges = spark.range(64).select(
+        (i * 67108864).alias("start_ip"),
+        (i * 67108864 + 39999999).alias("end_ip"),
+        F.concat(F.lit("r"), i.cast("string")).alias("label"),
+    )
+    return ip_range_enrich(ips, ranges, "ip").select("event_id", "ip", "label")
+
+
 # implicit union: multi-input components union their streams
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1724,6 +1803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_metric_to_log": q_metric_to_log,
         "t11_tag_cardinality": q_tag_cardinality,
         "enrich_broadcast_join": q_enrich_join,
+        "enrich_ip_ranges": q_ip_range_enrich,
+        "asof_join_state": q_asof_join,
+        "asof_join_bucketed": q_asof_join_bucketed,
         "union_multi_input": q_union,
         "topk_per_user": q_topk_per_user,
         "text_token_count": q_token_count,
@@ -2030,6 +2112,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "enrich_ip_ranges": """
+            WITH ips AS (
+              SELECT event_id,
+                     (event_id * 2654435761) % 4294967296 AS ip
+              FROM events),
+            r AS (
+              SELECT i * 67108864 AS start_ip,
+                     i * 67108864 + 39999999 AS end_ip,
+                     'r' || i AS label
+              FROM range(64) t(i))
+            SELECT d.event_id, d.ip, r.label
+            FROM ips d LEFT JOIN r
+              ON d.ip BETWEEN r.start_ip AND r.end_ip
+        """,
+        "asof_join_state": """
+            WITH facts AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE user_id IS NOT NULL AND event_type IN ('click','purchase')),
+            dim AS (
+              SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'signup'
+              GROUP BY user_id, ts)
+            SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+                   f.event_type, d.signup_id
+            FROM facts f ASOF LEFT JOIN dim d
+              ON f.user_id = d.user_id AND f.ts >= d.ts
+        """,
+        "asof_join_bucketed": """
+            WITH facts AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE user_id IS NOT NULL AND event_type IN ('click','purchase')),
+            dim AS (
+              SELECT user_id, ts, MAX(event_id) AS signup_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'signup'
+              GROUP BY user_id, ts)
+            SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+                   f.event_type,
+                   CASE WHEN epoch_us(f.ts) - epoch_us(d.ts) <= 86400000000
+                        THEN d.signup_id END AS signup_id
+            FROM facts f ASOF LEFT JOIN dim d
+              ON f.user_id = d.user_id AND f.ts >= d.ts
         """,
         "union_multi_input": """
             SELECT event_type, COUNT(*) AS n FROM (

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
     from vector_spark import synth
     from vector_spark.functions import (
+        alpha_mix_sample,
         blocklist_filter,
         c4_line_filter,
         canonical_url_dedup,
@@ -157,6 +158,14 @@ def curate(spark: SparkSession, n_docs: int = 2000) -> dict[str, DataFrame]:
     docs = stratified_sample(
         docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5}, "doc_id",
         default_fraction=0.25, seed="mix-example",
+    )
+
+    # 9b. Temperature (alpha-mix) sampling — the mC4/XLM-R rule that DERIVES
+    #    the per-language rates from counts (p ∝ c^alpha): shown on a branch
+    #    so both mixing styles stay executable; production picks one.
+    stages["alpha_mixed"] = alpha_mix_sample(
+        docs, "lang", "doc_id", alpha=0.3,
+        budget=max(n_docs // 4, 50), seed="mix-example",
     )
 
     # 10. DSIR importance scores toward an "en-like" target (the same

@@ -42,7 +42,14 @@ from vector_spark.operators.metrics_conv import (
 )
 from vector_spark.operators.map_events import map_events, register_map_hook
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit
-from vector_spark.operators.enrich import enrich, salted_join, salted_repartition
+from vector_spark.operators.enrich import (
+    enrich,
+    ip_range_enrich,
+    salted_join,
+    salted_repartition,
+    validate_ip_ranges,
+)
+from vector_spark.operators.asof import asof_join
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -55,4 +62,5 @@ __all__ = [
     "log_to_metric_distribution_sketch",
     "map_events", "register_map_hook",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
+    "ip_range_enrich", "validate_ip_ranges", "asof_join",
 ]

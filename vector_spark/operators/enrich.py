@@ -61,6 +61,89 @@ def salted_join(
     return out.drop("_salt")
 
 
+def ip_range_enrich(
+    df: DataFrame,
+    ranges: DataFrame,
+    ip_col: str,
+    start_col: str = "start_ip",
+    end_col: str = "end_ip",
+    prefix_bits: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """GeoIP-style IP-RANGE lookup as a broadcast equi-join, not a theta join.
+
+    Vector's enrichment tables serve GeoIP lookups — a static table of
+    ``[start_ip, end_ip) → payload`` rows probed per event (enrichment_tables,
+    vectorize-cli/src/validation/mod.rs:184).  The naive Spark translation is
+    a non-equi join (``ip BETWEEN start AND end``), which Spark executes as
+    BroadcastNestedLoopJoin — every event row tests EVERY range: O(rows ×
+    ranges), catastrophic at 10^12 events.
+
+    Scale design: decompose each range into the /``prefix_bits`` prefixes it
+    covers (one explode over ``sequence(start>>s, end>>s)``), key events by
+    ``ip>>s``, and BROADCAST HASH JOIN on the prefix with the BETWEEN check
+    as the join residual.  Each event now probes a hash table once and tests
+    only the handful of ranges sharing its /16 — O(rows).  A real-world GeoIP
+    table (~3M ranges) explodes to <10M prefix rows at /16, still far under
+    broadcast limits.
+
+    ``ip_col`` / ``start_col`` / ``end_col`` are IPv4s as BIGINT (use
+    vrl.ip_to_long / ``ip_cidr_contains`` machinery to convert dotted quads).
+    Ranges must be non-overlapping (validate_ip_ranges checks) — an overlap
+    would duplicate event rows, which is a correctness error for a lookup.
+    """
+    if not (0 <= prefix_bits <= 32):
+        raise ValueError(f"prefix_bits must be in [0, 32], got {prefix_bits}")
+    shift = 32 - prefix_bits
+    exploded = ranges.withColumn(
+        "_pfx",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col(start_col).cast("long"), shift),
+                F.shiftright(F.col(end_col).cast("long"), shift),
+            )
+        ),
+    )
+    keyed = df.withColumn("_pfx", F.shiftright(F.col(ip_col).cast("long"), shift))
+    cond = (
+        (keyed["_pfx"] == exploded["_pfx"])
+        & (keyed[ip_col] >= exploded[start_col])
+        & (keyed[ip_col] <= exploded[end_col])
+    )
+    out = keyed.join(F.broadcast(exploded), on=cond, how=how)
+    return out.drop(exploded["_pfx"]).drop(keyed["_pfx"]).drop(
+        exploded[start_col]
+    ).drop(exploded[end_col])
+
+
+def validate_ip_ranges(
+    ranges: DataFrame, start_col: str = "start_ip", end_col: str = "end_ip"
+) -> None:
+    """Raise if any range is inverted or overlaps its successor (sorted by
+    start).  One window pass over the (small) ranges table — run it once at
+    table-load time, not per query."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("s"))
+    bad = (
+        ranges.select(
+            F.col(start_col).cast("long").alias("s"),
+            F.col(end_col).cast("long").alias("e"),
+        )
+        .withColumn("_prev_e", F.lag("e").over(w))
+        .where((F.col("s") > F.col("e")) | (F.col("_prev_e") >= F.col("s")))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"ip range table invalid near start={r['s']}: inverted or "
+            f"overlapping ranges (prev end={r['_prev_e']}, end={r['e']}) — "
+            "a lookup table must partition the address space"
+        )
+
+
 def salted_repartition(
     df: DataFrame,
     key: str,
