@@ -47,6 +47,104 @@ def aggregate(
     )
 
 
+#: mergeable aggregate palette: (base_fn, merge_fn) — merge re-aggregates a
+#: finer level's OUTPUT, so only algebraic aggregates qualify (avg is derived
+#: as sum/count at read time, never stored)
+_MERGEABLE = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _grain_seconds(g: str) -> int:
+    parts = g.split()
+    if len(parts) != 2:
+        raise ValueError(f"granularity {g!r} must look like '10 minutes'")
+    n, unit = int(parts[0]), parts[1].rstrip("s")
+    if unit not in _UNIT_S:
+        raise ValueError(f"unknown unit in granularity {g!r}")
+    return n * _UNIT_S[unit]
+
+
+def rollup_hypertable(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    granularities: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    group_by: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """TimescaleDB-style continuous-aggregate stack: one rollup per
+    granularity, each COARSER level re-aggregated from the previous level's
+    output instead of rescanning the base table.
+
+    ``aggs`` maps output column name → ("count"|"sum"|"min"|"max", col)
+    (col ignored for count).  Granularities must ascend and nest (each a
+    multiple of the previous) so merge-aggregation is exact: count merges by
+    sum, sum by sum, min/max by themselves — the algebraic-aggregate rule
+    every rollup system relies on (Vector's `aggregate` T8 is the
+    single-level special case, config_panel.rs:1831-1861).
+
+    Scale shape: the base table is scanned ONCE (the finest level); every
+    coarser level aggregates the much smaller previous rollup — at 10^12
+    rows the 1-minute level is ~10^7 rows per key-day and the 1-hour/1-day
+    levels are nearly free.  In production each level is a sink table
+    (write level k, read it back for k+1); returned here as a lazy dict so
+    the caller picks materialization.  Buckets are epoch-aligned tumbling
+    windows (`F.window`), so the shuffle key is (bucket, keys) with map-side
+    partial combine at every level.
+    """
+    keys = list(group_by or [])
+    secs = [_grain_seconds(g) for g in granularities]
+    if sorted(secs) != secs or len(set(secs)) != len(secs):
+        raise ValueError(f"granularities must strictly ascend: {granularities}")
+    for fine, coarse in zip(secs, secs[1:]):
+        if coarse % fine:
+            raise ValueError(
+                f"granularities must nest (each a multiple of the previous); "
+                f"{coarse}s is not a multiple of {fine}s"
+            )
+    for name, (how, _col) in aggs.items():
+        if how not in _MERGEABLE:
+            raise ValueError(
+                f"aggregate {how!r} for {name!r} is not mergeable "
+                f"(supported: {sorted(_MERGEABLE)}); derive avg as sum/count"
+            )
+
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for g in granularities:
+        if prev is None:
+            exprs = [
+                _MERGEABLE[how][0](col).alias(name)
+                for name, (how, col) in aggs.items()
+            ]
+            level = (
+                df.groupBy(F.window(ts_col, g).alias("_w"), *keys)
+                .agg(*exprs)
+            )
+        else:
+            exprs = [
+                _MERGEABLE[how][1](name).alias(name)
+                for name, (how, _col) in aggs.items()
+            ]
+            level = (
+                prev.groupBy(F.window("bucket_start", g).alias("_w"), *keys)
+                .agg(*exprs)
+            )
+        level = (
+            level.withColumn("bucket_start", F.col("_w.start"))
+            .drop("_w")
+            .select("bucket_start", *keys, *aggs.keys())
+        )
+        out[g] = level
+        prev = level
+    return out
+
+
 def sink_aggregate(
     df: DataFrame,
     ts_col: str = "warc_ts",
