@@ -289,6 +289,43 @@ def _asof_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return facts, dim
 
 
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style continuous-aggregate stack: 10 min → 1 h → 1 d, each
+    # coarser level re-aggregated from the FINER level's output (one base
+    # scan, chained hash aggs — plan pinned in tests/test_rollup.py).  The
+    # oracle recomputes every grain from raw; equality IS the mergeable-
+    # aggregate guarantee.  Values in exact milli-integers, buckets in
+    # epoch-µs floor arithmetic — no float or timezone tolerance anywhere.
+    from vector_spark.operators import rollup_hypertable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    grains = {"10 minutes": 600, "1 hour": 3600, "1 day": 86400}
+    levels = rollup_hypertable(
+        ev,
+        "ts",
+        {"n": ("count", None), "v_sum": ("sum", "v"),
+         "v_min": ("min", "v"), "v_max": ("max", "v")},
+        tuple(grains),
+        group_by=["event_type"],
+    )
+    parts = [
+        df.select(
+            F.lit(grains[g]).cast("long").alias("grain_s"),
+            F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("bucket_us"),
+            "event_type", "n", "v_sum", "v_min", "v_max",
+        )
+        for g, df in levels.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # As-of join (union+window method): each click/purchase is enriched with
     # the latest signup row at-or-before its timestamp per user — the
@@ -1805,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast_join": q_enrich_join,
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
+        "rollup_hypertable": q_rollup_hypertable,
         "asof_join_bucketed": q_asof_join_bucketed,
         "union_multi_input": q_union,
         "topk_per_user": q_topk_per_user,
@@ -2126,6 +2164,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.ip, r.label
             FROM ips d LEFT JOIN r
               ON d.ip BETWEEN r.start_ip AND r.end_ip
+        """,
+        "rollup_hypertable": """
+            WITH base AS (
+              SELECT epoch_us(ts) AS tus, event_type,
+                     CAST(round(value * 1000) AS BIGINT) AS v
+              FROM events)
+            SELECT CAST(600 AS BIGINT) AS grain_s,
+                   (tus // 600000000) * 600000000 AS bucket_us, event_type,
+                   COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+                   MIN(v) AS v_min, MAX(v) AS v_max
+            FROM base GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(3600 AS BIGINT),
+                   (tus // 3600000000) * 3600000000, event_type,
+                   COUNT(*), CAST(SUM(v) AS BIGINT), MIN(v), MAX(v)
+            FROM base GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(86400 AS BIGINT),
+                   (tus // 86400000000) * 86400000000, event_type,
+                   COUNT(*), CAST(SUM(v) AS BIGINT), MIN(v), MAX(v)
+            FROM base GROUP BY 2, 3
         """,
         "asof_join_state": """
             WITH facts AS (
