@@ -98,13 +98,52 @@ class CommitLog:
                 os.unlink(tmp)
         return version
 
+    def manifest(self) -> dict[str, dict[str, dict]]:
+        """Fold all snapshots → {sink: {part_key: {"rows": n, "files": ...}}}.
+
+        ``files`` is ``None`` for DIR-mode partitions (readers scan the whole
+        partition directory — the original shim behavior) or an explicit
+        basename list for FILE-mode partitions (readers see exactly those
+        files; anything else in the directory is invisible — Iceberg's
+        manifest semantics, which is what makes compaction crash-safe).
+
+        Fold rules per operation:
+          append     — sets rows, resets the partition to dir-mode (a dynamic
+                       partition overwrite physically replaced the directory)
+          pin        — records the current file list (metadata-only, flips a
+                       partition to file-mode; rows unchanged)
+          rewrite    — replaces the file list (rows unchanged by definition)
+          checkpoint — wholesale state replacement (written by
+                       expire_snapshots before old metadata is dropped)
+        """
+        state: dict[str, dict[str, dict]] = {}
+        for snap in self.snapshots():
+            op = snap.get("operation", "append")
+            if op == "checkpoint":
+                state = {
+                    sink: {p: dict(info) for p, info in parts.items()}
+                    for sink, parts in (snap.get("state") or {}).items()
+                }
+                continue
+            for sink, info in (snap.get("sinks") or {}).items():
+                tgt = state.setdefault(sink, {})
+                if op == "append":
+                    for part, rows in (info.get("parts") or {}).items():
+                        tgt[part] = {"rows": rows, "files": None}
+                elif op in ("pin", "rewrite"):
+                    for part, files in (info.get("files") or {}).items():
+                        cur = tgt.setdefault(part, {"rows": 0, "files": None})
+                        cur["files"] = sorted(files)
+                else:
+                    raise ValueError(f"unknown snapshot operation {op!r}")
+        return state
+
     def committed(self) -> dict[str, dict[str, int]]:
         """Fold all snapshots → {sink: {part_key: rows}} of committed parts."""
-        state: dict[str, dict[str, int]] = {}
-        for snap in self.snapshots():
-            for sink, info in (snap.get("sinks") or {}).items():
-                state.setdefault(sink, {}).update(info.get("parts", {}))
-        return state
+        return {
+            sink: {part: info["rows"] for part, info in parts.items()}
+            for sink, parts in self.manifest().items()
+        }
 
 
 def write_multi_sink(
@@ -172,11 +211,178 @@ def read_table(
     spark: SparkSession, base: str, sink: str, part_col: str = PART_COL
 ) -> DataFrame | None:
     """Snapshot-isolated read: only partitions recorded in committed
-    snapshots are visible (None when nothing is committed).  The explicit
-    path list doubles as partition pruning."""
+    snapshots are visible (None when nothing is committed).  Dir-mode
+    partitions contribute their directory; file-mode partitions contribute
+    EXACTLY their manifest files (staged/orphaned files are invisible).
+    The explicit path list doubles as partition pruning."""
     log = CommitLog(base)
-    parts = sorted(log.committed().get(sink, {}))
+    parts = log.manifest().get(sink, {})
     if not parts:
         return None
-    paths = [os.path.join(base, sink, f"{part_col}={k}") for k in parts]
+    paths = []
+    for k in sorted(parts):
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        files = parts[k]["files"]
+        if files is None:
+            paths.append(pdir)
+        else:
+            paths.extend(os.path.join(pdir, f) for f in files)
     return spark.read.option("basePath", os.path.join(base, sink)).parquet(*paths)
+
+
+def _data_files(pdir: str) -> list[str]:
+    """Parquet data files in a partition dir (committer sidecars excluded)."""
+    try:
+        names = os.listdir(pdir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        n for n in names if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+
+
+def pin_files(base: str, sink: str, part_col: str = PART_COL) -> dict[str, list[str]]:
+    """Flip every dir-mode partition of ``sink`` to FILE-mode by recording
+    its current data-file list in one metadata-only snapshot.
+
+    This is the safety precondition for compaction: once a partition is
+    file-mode, new files appearing in its directory are INVISIBLE until a
+    rewrite snapshot references them — so a compactor can stage output into
+    the live directory with no torn-read window.  Returns {part: files}
+    newly pinned (empty dict → no snapshot written).
+    """
+    log = CommitLog(base)
+    parts = log.manifest().get(sink, {})
+    pinned = {
+        part: _data_files(os.path.join(base, sink, f"{part_col}={part}"))
+        for part, info in parts.items()
+        if info["files"] is None
+    }
+    pinned = {p: fl for p, fl in pinned.items() if fl}
+    if pinned:
+        log.commit({"operation": "pin", "sinks": {sink: {"files": pinned}}})
+    return pinned
+
+
+def compact_table(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    part_col: str = PART_COL,
+    max_files: int = 4,
+    target_files: int = 1,
+) -> dict[str, dict]:
+    """Iceberg ``rewrite_data_files`` analog: merge small files per partition.
+
+    The small-files problem is the canonical 100 TB log-table failure mode —
+    a streaming/multi-task writer leaves hundreds of KB-scale parquet files
+    per partition and scan cost becomes per-FILE, not per-byte.  Protocol,
+    crash-safe at every step:
+
+      1. ``pin_files`` (metadata-only) — partitions become file-mode, so
+         staged output is invisible by default;
+      2. per oversized partition: read EXACTLY the manifest files →
+         ``repartition(target_files)`` → write to a staging dir → move the
+         outputs into the live partition dir under a versioned ``rw{v}-``
+         prefix (same-filesystem rename; an object store would PUT —
+         either way the files are dark until referenced);
+      3. ONE ``rewrite`` snapshot atomically swaps every compacted
+         partition's file list.  Crash before it: readers unchanged, the
+         staged files are orphans (``vacuum_table`` removes them).  Crash
+         after it: the OLD files are the orphans — same remedy.
+
+    Rewrites never change rows (asserted per partition before commit).
+    Returns {part: {"before": n_files, "after": n_files}} for compacted
+    partitions.
+    """
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    parts = log.manifest().get(sink, {})
+    version = log.current_version() + 1
+    new_lists: dict[str, list[str]] = {}
+    stats: dict[str, dict] = {}
+    for part in sorted(parts):
+        files = parts[part]["files"]
+        if files is None or len(files) <= max_files:
+            continue
+        pdir = os.path.join(base, sink, f"{part_col}={part}")
+        src = [os.path.join(pdir, f) for f in files]
+        df = spark.read.option("basePath", os.path.join(base, sink)).parquet(*src)
+        n_before = df.count()
+        stage = tempfile.mkdtemp(dir=base, prefix=f"_compact_{sink}_")
+        out_dir = os.path.join(stage, "out")
+        df.drop(part_col).repartition(target_files).write.parquet(out_dir)
+        moved = []
+        for i, name in enumerate(_data_files(out_dir)):
+            dst = f"rw{version}-{i:05d}.parquet"
+            os.rename(os.path.join(out_dir, name), os.path.join(pdir, dst))
+            moved.append(dst)
+        _rmtree(stage)
+        n_after = (
+            spark.read.option("basePath", os.path.join(base, sink))
+            .parquet(*[os.path.join(pdir, f) for f in moved])
+            .count()
+        )
+        if n_after != n_before:
+            raise RuntimeError(
+                f"compaction of {sink}/{part} would change row count "
+                f"({n_before} → {n_after}); aborting before commit"
+            )
+        new_lists[part] = moved
+        stats[part] = {"before": len(files), "after": len(moved)}
+    if new_lists:
+        log.commit({"operation": "rewrite", "sinks": {sink: {"files": new_lists}}})
+    return stats
+
+
+def vacuum_table(base: str, sink: str, part_col: str = PART_COL) -> list[str]:
+    """Delete files invisible to the current snapshot: data files not in a
+    FILE-mode partition's manifest (pre-crash staging or post-rewrite
+    originals) and leftover compaction staging dirs.  Dir-mode partitions
+    are untouched (every file there IS the table).  Returns deleted paths.
+    Run after compaction, or any time — it can never remove a live file."""
+    log = CommitLog(base)
+    deleted = []
+    for part, info in log.manifest().get(sink, {}).items():
+        if info["files"] is None:
+            continue
+        live = set(info["files"])
+        pdir = os.path.join(base, sink, f"{part_col}={part}")
+        for name in _data_files(pdir):
+            if name not in live:
+                os.unlink(os.path.join(pdir, name))
+                deleted.append(os.path.join(pdir, name))
+    for name in os.listdir(base):
+        if name.startswith(f"_compact_{sink}_"):
+            _rmtree(os.path.join(base, name))
+            deleted.append(os.path.join(base, name))
+    return deleted
+
+
+def expire_snapshots(base: str, keep_history: bool = False) -> int:
+    """Iceberg ``expire_snapshots`` analog: consolidate the fold of all
+    snapshots into ONE ``checkpoint`` snapshot, then drop the older metadata
+    files.  Readers and resume logic are unaffected (the checkpoint IS the
+    fold); what is lost is only per-run history — the reason to expire is
+    that a long-lived table otherwise accretes one metadata file per run
+    and every reader folds all of them.  Returns the number of metadata
+    files removed.  ``keep_history=True`` writes the checkpoint but keeps
+    the old files (audit mode)."""
+    log = CommitLog(base)
+    state = log.manifest()
+    if not state:
+        return 0
+    new_v = log.commit({"operation": "checkpoint", "state": state})
+    removed = 0
+    if not keep_history:
+        for v in log.versions():
+            if v < new_v:
+                os.unlink(os.path.join(log.dir, f"v{v}.json"))
+                removed += 1
+    return removed
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
