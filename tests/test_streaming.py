@@ -580,3 +580,74 @@ def test_streaming_rate_spikes_matches_batch(spark, tmp_path):
         assert sorted(c for _, c, _ in got) == [5, 20]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_streaming_rollup_fine_matches_batch(spark, tmp_path):
+    """Continuous-aggregate parity: the streaming fine grain emits (append,
+    exactly-once) rows value-identical to the batch rollup's fine level, and
+    the coarser grain derived from the emitted rows via rollup_merge_aggs
+    equals the same merge over the batch fine level."""
+    from vector_spark.operators.aggregate import rollup_hypertable, rollup_merge_aggs
+
+    in_dir = tmp_path / "roll_in"
+    in_dir.mkdir()
+    synth.documents_pdf(400).to_parquet(in_dir / "a.parquet")
+    synth.documents_pdf(300).iloc[150:].to_parquet(in_dir / "b.parquet")
+
+    AGGS = {"n": ("count", None), "b_sum": ("sum", "b"), "b_max": ("max", "b")}
+
+    # synth warc_ts spans only ~7 min; spread events over ~4 h (hash of the
+    # url, identical on the stream and batch sides) so the 30-min watermark
+    # actually closes windows
+    def _spread(df):
+        return df.select(
+            (F.col("warc_ts") + F.make_interval(secs=F.pmod(F.xxhash64("url"), F.lit(14400)))).alias("warc_ts"),
+            "lang",
+            F.length("text").alias("b"),
+        )
+
+    stream = st.document_stream(spark, str(in_dir), max_files_per_trigger=1)
+    ev_s = _spread(stream)
+    fine_s = st.streaming_rollup_fine(
+        ev_s, "warc_ts", AGGS, grain="10 minutes",
+        watermark="30 minutes", group_by=("lang",),
+    )
+    q = (
+        fine_s.writeStream.format("memory")
+        .queryName("roll_fine")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("select * from roll_fine").cache()
+    assert emitted.count() > 0, "watermark must have closed some windows"
+
+    batch_ev = _spread(spark.read.parquet(str(in_dir)))
+    batch_fine = rollup_hypertable(
+        batch_ev, "warc_ts", AGGS, ("10 minutes",), group_by=["lang"]
+    )["10 minutes"]
+
+    # 1) every emitted row is value-identical to its batch counterpart
+    joined = emitted.join(batch_fine, on=["bucket_start", "lang", "n", "b_sum", "b_max"])
+    assert joined.count() == emitted.count()
+
+    # 2) exactly the watermark-closed windows were emitted
+    max_ts = batch_ev.agg(F.max("warc_ts")).collect()[0][0]
+    closed = batch_fine.filter(
+        F.col("bucket_start") + F.expr("interval 10 minutes")
+        <= F.expr(f"timestamp'{max_ts}' - interval 30 minutes")
+    )
+    assert emitted.count() == closed.count()
+
+    # 3) coarse refresh from the EMITTED fine rows == same merge over batch
+    merge = rollup_merge_aggs(AGGS)
+    coarse_s = rollup_hypertable(emitted, "bucket_start", merge, ("1 hour",), group_by=["lang"])["1 hour"]
+    batch_restricted = batch_fine.join(
+        emitted.select("bucket_start", "lang"), on=["bucket_start", "lang"], how="left_semi"
+    )
+    coarse_b = rollup_hypertable(batch_restricted, "bucket_start", merge, ("1 hour",), group_by=["lang"])["1 hour"]
+    s_rows = {tuple(r) for r in coarse_s.collect()}
+    b_rows = {tuple(r) for r in coarse_b.collect()}
+    assert s_rows == b_rows

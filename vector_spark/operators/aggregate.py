@@ -145,6 +145,22 @@ def rollup_hypertable(
     return out
 
 
+def rollup_merge_aggs(aggs: dict[str, tuple[str, str | None]]) -> dict[str, tuple[str, str]]:
+    """Rewrite an ``aggs`` spec to re-aggregate a ROLLUP's output instead of
+    raw rows: count folds by summing the stored counts; sum/min/max fold by
+    themselves over their own output column.  Feed the result back into
+    ``rollup_hypertable(fine_level, "bucket_start", ...)`` to derive coarser
+    grains from an already-materialized fine grain — the refresh step of a
+    continuous aggregate (streaming keeps the fine level current; coarser
+    levels are cheap batch views over it)."""
+    out: dict[str, tuple[str, str]] = {}
+    for name, (how, _col) in aggs.items():
+        if how not in _MERGEABLE:
+            raise ValueError(f"aggregate {how!r} for {name!r} is not mergeable")
+        out[name] = ("sum" if how == "count" else how, name)
+    return out
+
+
 def sink_aggregate(
     df: DataFrame,
     ts_col: str = "warc_ts",

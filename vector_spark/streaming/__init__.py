@@ -121,6 +121,37 @@ def streaming_windowed_agg(
     )
 
 
+def streaming_rollup_fine(
+    stream: DataFrame,
+    ts_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    grain: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """The streaming half of a continuous aggregate: maintain the FINEST
+    rollup grain as a watermarked windowed agg.  Append mode emits each
+    (bucket, keys) row exactly once when the watermark closes the window, so
+    the sink table accumulates closed fine-grain buckets with no updates —
+    ready for ``rollup_hypertable(fine, "bucket_start",
+    rollup_merge_aggs(aggs), coarser_grains)`` to derive the 1 h / 1 d
+    levels as cheap batch views (operators/aggregate.py).  This split is the
+    standard continuous-aggregate architecture: the stream touches only the
+    smallest level; coarser refreshes read rollup rows, never raw events.
+    State is bounded by (watermark / grain) open windows per key set."""
+    from vector_spark.operators.aggregate import _MERGEABLE
+
+    exprs = [
+        _MERGEABLE[how][0](col).alias(name) for name, (how, col) in aggs.items()
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, grain).alias("_w"), *[F.col(k) for k in group_by])
+        .agg(*exprs)
+        .select(F.col("_w.start").alias("bucket_start"), *group_by, *aggs.keys())
+    )
+
+
 def streaming_dedupe(
     stream: DataFrame,
     fields: list[str],
