@@ -137,6 +137,48 @@ def test_asof_collision_suffix_and_errors(spark):
                   tolerance_s=100.0, bucket_s=50.0)
 
 
+def test_asof_null_key_parity(spark):
+    """NULL join keys match NOTHING under SQL equality semantics — both
+    methods must agree: NULL-keyed left rows keep a NULL payload, NULL-keyed
+    right rows enrich nobody (ADVICE r4: the union method used to group the
+    NULLs into one window partition and cross-enrich them)."""
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"])
+    lp = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "ts": ts, "lv": [0, 1]})
+    rp = pd.DataFrame(
+        {"k": pd.array([1, None], dtype="Int64"),
+         "ts": ts - pd.Timedelta(minutes=5), "state": [10, 99]}
+    )
+    L, R = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    for direction in ("backward", "forward"):
+        u = (
+            asof_join(L, R, on="k", ts_col="ts", direction=direction,
+                      tolerance_s=36_000.0)
+            .toPandas().sort_values("lv").reset_index(drop=True)
+        )
+        b = (
+            asof_join(L, R, on="k", ts_col="ts", direction=direction,
+                      tolerance_s=36_000.0, method="bucketed")
+            .toPandas().sort_values("lv").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(u, b, check_dtype=False)
+        assert pd.isna(u.loc[1, "state"]), "NULL-keyed left row must not match"
+        if direction == "backward":
+            assert u.loc[0, "state"] == 10
+
+
+def test_asof_bucketed_zero_width_raises(spark):
+    lp = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "lv": [0]})
+    rp = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "state": [1]})
+    L, R = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    with pytest.raises(ValueError, match="positive bucket width"):
+        asof_join(L, R, on="k", ts_col="ts", method="bucketed", tolerance_s=0.0)
+    with pytest.raises(ValueError, match="tolerance_s must be >= 0"):
+        asof_join(L, R, on="k", ts_col="ts", tolerance_s=-1.0)
+    # tolerance_s=0 on the union method IS valid: exact-ts matching
+    out = asof_join(L, R, on="k", ts_col="ts", tolerance_s=0.0)
+    assert out.collect()[0]["state"] == 1
+
+
 def test_asof_union_plan_has_no_join(spark):
     """The union method's selling point: ONE exchange on the key, zero join
     nodes — the fact side never builds or probes a hash table."""
@@ -187,6 +229,36 @@ def test_ip_range_enrich_is_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_ip_range_enrich_inverted_range_errors(spark):
+    """An inverted range must error loudly inside the job, not silently
+    mis-enrich via a descending prefix sequence (ADVICE r4)."""
+    from py4j.protocol import Py4JJavaError
+
+    rp = _mk_ranges(7)
+    rp.loc[2, "end_ip"] = rp.loc[2, "start_ip"] - 1
+    ips = pd.DataFrame({"id": [1], "ip": [int(rp.start_ip.iloc[0])]})
+    with pytest.raises(Exception, match="inverted range") as exc:
+        ip_range_enrich(
+            spark.createDataFrame(ips), spark.createDataFrame(rp), "ip"
+        ).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "inverted" in str(exc.value)
+
+
+def test_ip_range_enrich_suffixes_colliding_payload(spark):
+    """Range payload columns colliding with df column names get the _range
+    suffix instead of producing ambiguous duplicates (ADVICE r4)."""
+    rp = _mk_ranges(3).rename(columns={"label": "host"})
+    ips = pd.DataFrame(
+        {"id": [1, 2], "host": ["a", "b"],
+         "ip": [int(rp.start_ip.iloc[0]), 5]}
+    )
+    out = ip_range_enrich(spark.createDataFrame(ips), spark.createDataFrame(rp), "ip")
+    assert "host_range" in out.columns and out.columns.count("host") == 1
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["host"] == "a" and rows[1]["host_range"] == "r0"
+    assert rows[2]["host_range"] is None
 
 
 def test_validate_ip_ranges(spark):

@@ -84,3 +84,13 @@ def test_rollup_coarse_level_reuses_fine_level(ev):
     # a recompute-from-raw implementation would show a single Aggregate here
     assert plan.count("Aggregate [") == 3
     assert "Union" not in plan
+
+
+def test_rollup_refresh_pair_is_exported():
+    """ADVICE r4: the documented continuous-aggregate pairing must be
+    importable from the public surfaces the docstrings point at."""
+    import vector_spark.streaming as st
+    from vector_spark.operators import rollup_merge_aggs  # noqa: F401
+
+    assert "streaming_rollup_fine" in st.__all__
+    assert callable(st.streaming_rollup_fine)

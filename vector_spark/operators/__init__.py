@@ -31,7 +31,12 @@ from vector_spark.operators.sample import sample, sample_mod
 from vector_spark.operators.throttle import throttle
 from vector_spark.operators.dedupe import dedupe
 from vector_spark.operators.reduce import reduce_events
-from vector_spark.operators.aggregate import aggregate, rollup_hypertable, sink_aggregate
+from vector_spark.operators.aggregate import (
+    aggregate,
+    rollup_hypertable,
+    rollup_merge_aggs,
+    sink_aggregate,
+)
 from vector_spark.operators.metrics_conv import (
     log_to_metric,
     log_to_metric_distribution,
@@ -57,7 +62,8 @@ __all__ = [
     "filter_events", "filter_with_dropped",
     "tag_routes", "split", "route_all_matches", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
-    "aggregate", "rollup_hypertable", "sink_aggregate", "log_to_metric", "metric_to_log",
+    "aggregate", "rollup_hypertable", "rollup_merge_aggs", "sink_aggregate",
+    "log_to_metric", "metric_to_log",
     "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",
     "log_to_metric_distribution_sketch",
     "map_events", "register_map_hook",

@@ -67,6 +67,8 @@ def asof_join(
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}, got {direction!r}")
+    if tolerance_s is not None and float(tolerance_s) < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
     if method == "union":
         return _asof_union(
             left, right, on, ts_col, right_ts_col, direction,
@@ -123,7 +125,16 @@ def _asof_union(
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
         F.lit(None).cast(pay_type).alias("_pay"),
     )
-    rhs = right.select(
+    # NULL join keys: SQL equality is null-rejecting, so a NULL-keyed left
+    # row must match NOTHING (the bucketed method gets this for free from
+    # its equi-join).  The window partitionBy below would otherwise group
+    # all NULL-keyed rows together — drop NULL-keyed RIGHT rows up front, so
+    # the NULL-key window partition holds only left rows and last_value
+    # (ignorenulls) correctly yields a NULL payload for them.
+    rhs_src = right
+    for k in keys:
+        rhs_src = rhs_src.where(F.col(k).isNotNull())
+    rhs = rhs_src.select(
         *[F.col(c).alias(k) for c, k in zip(keys, kcols)],
         F.col(rts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_dim"),
@@ -170,6 +181,12 @@ def _asof_bucketed(
 ) -> DataFrame:
     keys, rts, payload, renames = _prep(left, right, on, ts_col, right_ts_col, suffix)
     width = float(bucket_s if bucket_s is not None else tolerance_s)
+    if width <= 0:
+        raise ValueError(
+            f"bucketed as-of needs a positive bucket width, got {width} "
+            "(tolerance_s=0 'exact-timestamp only' divides by zero here — "
+            "use method='union' with tolerance_s=0 for exact-ts matching)"
+        )
     if width < float(tolerance_s):
         raise ValueError("bucket_s must be >= tolerance_s (one-bucket replication bound)")
 

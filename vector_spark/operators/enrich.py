@@ -69,6 +69,7 @@ def ip_range_enrich(
     end_col: str = "end_ip",
     prefix_bits: int = 16,
     how: str = "left",
+    suffix: str = "_range",
 ) -> DataFrame:
     """GeoIP-style IP-RANGE lookup as a broadcast equi-join, not a theta join.
 
@@ -91,16 +92,41 @@ def ip_range_enrich(
     vrl.ip_to_long / ``ip_cidr_contains`` machinery to convert dotted quads).
     Ranges must be non-overlapping (validate_ip_ranges checks) — an overlap
     would duplicate event rows, which is a correctness error for a lookup.
+    An INVERTED range (start > end) errors loudly at explode time — a
+    ``raise_error`` branch inside the sequence bound, so the check rides the
+    existing scan of the (small) ranges side and costs no extra job; a
+    descending ``sequence`` would otherwise silently emit wrong prefixes.
+    Range payload columns that collide with ``df`` column names are renamed
+    with ``suffix`` (same contract as asof_join).
     """
     if not (0 <= prefix_bits <= 32):
         raise ValueError(f"prefix_bits must be in [0, 32], got {prefix_bits}")
     shift = 32 - prefix_bits
-    exploded = ranges.withColumn(
+    payload = [c for c in ranges.columns if c not in (start_col, end_col)]
+    renames = {c: (c + suffix if c in df.columns else c) for c in payload}
+    end_checked = F.when(
+        F.col(end_col).cast("long") >= F.col(start_col).cast("long"),
+        F.shiftright(F.col(end_col).cast("long"), shift),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ip_range_enrich: inverted range start=%s > end=%s — "
+                "run validate_ip_ranges on the table",
+                F.col(start_col).cast("string"),
+                F.col(end_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    exploded = ranges.select(
+        F.col(start_col),
+        F.col(end_col),
+        *[F.col(c).alias(renames[c]) for c in payload],
+    ).withColumn(
         "_pfx",
         F.explode(
             F.sequence(
                 F.shiftright(F.col(start_col).cast("long"), shift),
-                F.shiftright(F.col(end_col).cast("long"), shift),
+                end_checked,
             )
         ),
     )

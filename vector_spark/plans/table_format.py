@@ -37,6 +37,7 @@ import json
 import os
 import re
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -335,12 +336,22 @@ def compact_table(
     return stats
 
 
-def vacuum_table(base: str, sink: str, part_col: str = PART_COL) -> list[str]:
+def vacuum_table(
+    base: str, sink: str, part_col: str = PART_COL, staging_grace_s: float = 3600.0
+) -> list[str]:
     """Delete files invisible to the current snapshot: data files not in a
     FILE-mode partition's manifest (pre-crash staging or post-rewrite
     originals) and leftover compaction staging dirs.  Dir-mode partitions
     are untouched (every file there IS the table).  Returns deleted paths.
-    Run after compaction, or any time — it can never remove a live file."""
+
+    Concurrency contract: data files named in a committed manifest are never
+    touched, but ``_compact_{sink}_*`` staging dirs belong to an IN-FLIGHT
+    ``compact_table`` until it commits — so this assumes a SINGLE maintenance
+    writer per sink (Iceberg makes the same assumption for its
+    ``remove_orphan_files``).  As a belt-and-braces guard for an overlapping
+    compactor, staging dirs younger than ``staging_grace_s`` seconds (by
+    mtime; default 1 h, far beyond one compaction's stage→move window) are
+    skipped; pass ``0`` to force-clean after a known crash."""
     log = CommitLog(base)
     deleted = []
     for part, info in log.manifest().get(sink, {}).items():
@@ -352,10 +363,18 @@ def vacuum_table(base: str, sink: str, part_col: str = PART_COL) -> list[str]:
             if name not in live:
                 os.unlink(os.path.join(pdir, name))
                 deleted.append(os.path.join(pdir, name))
+    now = time.time()
     for name in os.listdir(base):
         if name.startswith(f"_compact_{sink}_"):
-            _rmtree(os.path.join(base, name))
-            deleted.append(os.path.join(base, name))
+            path = os.path.join(base, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # racing a concurrent cleanup — already gone
+            if age < staging_grace_s:
+                continue  # possibly an in-flight compact_table stage dir
+            _rmtree(path)
+            deleted.append(path)
     return deleted
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "streaming_reduce_sessions",
     "streaming_reduce_ends_when",
     "streaming_rate_spikes",
+    "streaming_rollup_fine",
     "run_available_now",
 ]
 
