@@ -348,6 +348,49 @@ def test_decode_images_end_to_end(spark):
     assert row.decode_error is not None and row.width is None
 
 
+def test_resize_image_exact_subset():
+    """Nearest-neighbor floor mapping: every output pixel is input pixel
+    [(r*h)//out_h, (c*w)//out_w] exactly — checked against direct indexing,
+    including upscale and 1x1 degenerate."""
+    arr = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    small = multimodal.resize_image(arr, 4, 3)
+    assert small.shape == (3, 4, 3)
+    for r in range(3):
+        for c in range(4):
+            assert np.array_equal(small[r, c], arr[(r * 6) // 3, (c * 8) // 4])
+    up = multimodal.resize_image(arr, 16, 12)
+    assert up.shape == (12, 16, 3)
+    assert np.array_equal(multimodal.resize_image(arr, 1, 1)[0, 0], arr[0, 0])
+    with pytest.raises(ValueError, match="1x1"):
+        multimodal.resize_image(arr, 0, 4)
+
+
+def test_resize_images_end_to_end(spark):
+    """Distributed resize: output payloads are REAL PNGs whose pixels equal
+    a driver-side decode→resize_image reference; corrupt payloads land in
+    decode_error (same contract as decode_images)."""
+    media = multimodal.synth_media(spark, 30)
+    got = {r.media_id: r for r in multimodal.resize_images(media, 8, 5).collect()}
+    image_ids = [i for i in range(30) if i % 3 == 0]
+    assert sorted(got) == image_ids
+    for i in image_ids:
+        png, _w, _h, ch = multimodal.synth_image(i)
+        ref = multimodal.resize_image(multimodal.decode_image(png), 8, 5)
+        r = got[i]
+        assert r.decode_error is None
+        assert (r.width, r.height, r.channels) == (8, 5, ch)
+        assert np.array_equal(multimodal.decode_image(bytes(r.payload)), ref)
+
+    corrupt = spark.createDataFrame(
+        [(999, "image", bytearray(b"\x89PNG\r\n\x1a\n nope"), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.resize_images(corrupt, 8, 5).collect()[0]
+    assert row.decode_error is not None and row.payload is None
+    with pytest.raises(ValueError, match="1x1"):
+        multimodal.resize_images(media, 0, 5)
+
+
 def test_repetition_features_hand_computed(spark):
     """Gopher-style signals against hand-computed values on a crafted doc."""
     text = "spam line\nreal text here\nspam line\n\nend ...\nspam line"

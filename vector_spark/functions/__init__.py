@@ -74,6 +74,8 @@ from vector_spark.functions.multimodal import (
     decode_frames,
     extract_features,
     frame_sample,
+    resize_image,
+    resize_images,
 )
 from vector_spark.functions.lm import (
     ngram_counts,
@@ -132,7 +134,7 @@ __all__ = [
     "dsir_logratio_micro", "dsir_score", "dsir_resample", "token_budget_select",
     "synth_media", "decode_image", "decode_wav", "decode_y4m",
     "decode_images", "decode_audio", "decode_frames", "extract_features",
-    "frame_sample",
+    "frame_sample", "resize_image", "resize_images",
     "cosine_expr", "brute_force_topk", "brute_force_topk_numpy",
     "ivf_topk", "train_centroids", "assign_cells",
     "build_ivf_index", "load_ivf_index", "ivf_search",
