@@ -102,7 +102,7 @@ def main() -> None:
     from vector_spark.functions import resize_images
     from vector_spark.functions.multimodal import synth_media
 
-    n_media = int(os.environ.get("VECTOR_SPARK_BENCH_MEDIA", max(int(300_000 * sf), 3_000)))
+    n_media = int(os.environ.get("VECTOR_SPARK_BENCH_MEDIA", max(int(100_000 * sf), 3_000)))
     media_dir = f"/tmp/vector_spark_bench_media_{n_media}"
     if not os.path.isdir(media_dir):
         synth_media(spark, n_media).write.parquet(media_dir)
