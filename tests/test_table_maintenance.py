@@ -142,3 +142,74 @@ def test_expire_snapshots_preserves_fold_and_resume(spark, table):
     docs = docs.drop("html").repartition(16)
     again = TF.write_multi_sink({"logs": docs}, table, run_id="r1-after-expire")
     assert all(not parts for parts in again.values())
+
+
+def test_file_stats_pruning_roundtrip(spark, table):
+    """Iceberg-style data skipping: cluster_by compaction → per-file min/max
+    stats → read_table(prune=...) scans strictly fewer files yet returns
+    exactly the rows a full scan + filter returns."""
+    TF.compact_table(spark, table, "logs", max_files=0, target_files=4,
+                     cluster_by="warc_ts")
+    stats = TF.collect_file_stats(spark, table, "logs", ["warc_ts", "url"])
+    assert stats and all(
+        set(fs) == {"warc_ts", "url"} for by_file in stats.values()
+        for fs in by_file.values()
+    )
+
+    full = TF.read_table(spark, table, "logs")
+    lo, hi = full.agg(
+        F.expr("percentile(cast(warc_ts as double), 0.4)"),
+        F.expr("percentile(cast(warc_ts as double), 0.6)"),
+    ).collect()[0]
+    import datetime as dt
+    lo = dt.datetime.utcfromtimestamp(lo)
+    hi = dt.datetime.utcfromtimestamp(hi)
+
+    pruned = TF.read_table(spark, table, "logs", prune=("warc_ts", lo, hi))
+    cond = (F.col("warc_ts") >= lo) & (F.col("warc_ts") <= hi)
+    expect = sorted(r.url for r in full.filter(cond).collect())
+    got = sorted(r.url for r in pruned.filter(cond).collect())
+    assert got == expect and len(got) > 0
+    # the point of the feature: the pruned plan scans fewer files
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    # one-sided + miss-everything ranges stay sound
+    left = TF.read_table(spark, table, "logs", prune=("warc_ts", None, lo))
+    assert left.filter(F.col("warc_ts") <= lo).count() == full.filter(
+        F.col("warc_ts") <= lo
+    ).count()
+    far = dt.datetime(2099, 1, 1)
+    nothing = TF.read_table(spark, table, "logs", prune=("warc_ts", far, None))
+    assert nothing.count() == 0
+
+
+def test_file_stats_unstatted_files_never_pruned(spark, table):
+    """Files written AFTER a stats collection lack stats and must always
+    survive pruning (superset guarantee), and dir-mode partitions are kept
+    whole."""
+    TF.compact_table(spark, table, "logs", max_files=0, target_files=2,
+                     cluster_by="warc_ts")
+    TF.collect_file_stats(spark, table, "logs", ["warc_ts"])
+    # append a NEW partition (dir-mode, no stats at all)
+    extra = CP.with_part_key(synth.documents(spark, 50), n_parts=1, key_cols=["url"])
+    extra = extra.drop("html").withColumn(
+        CP.PART_COL, F.lit("fresh").cast("string"))
+    TF.write_multi_sink({"logs": extra}, table, run_id="r2")
+    import datetime as dt
+    far = dt.datetime(2099, 1, 1)
+    out = TF.read_table(spark, table, "logs", prune=("warc_ts", far, None))
+    # every statted file is out of range and pruned; the fresh dir-mode
+    # partition has no stats so it must survive whole (superset guarantee)
+    survivors = set(out.inputFiles())
+    assert survivors and all("fresh" in f for f in survivors)
+    assert out.count() == 50
+
+
+def test_file_stats_survive_expiry(spark, table):
+    TF.compact_table(spark, table, "logs", max_files=0, target_files=3,
+                     cluster_by="warc_ts")
+    TF.collect_file_stats(spark, table, "logs", ["warc_ts"])
+    before = TF.CommitLog(table).manifest()["logs"]
+    TF.expire_snapshots(table)
+    after = TF.CommitLog(table).manifest()["logs"]
+    assert before == after and any("stats" in info for info in after.values())

@@ -130,11 +130,17 @@ class CommitLog:
                 tgt = state.setdefault(sink, {})
                 if op == "append":
                     for part, rows in (info.get("parts") or {}).items():
+                        # dynamic overwrite replaced the directory: any
+                        # previously collected file stats describe dead files
                         tgt[part] = {"rows": rows, "files": None}
                 elif op in ("pin", "rewrite"):
                     for part, files in (info.get("files") or {}).items():
                         cur = tgt.setdefault(part, {"rows": 0, "files": None})
                         cur["files"] = sorted(files)
+                elif op == "stats":
+                    for part, by_file in (info.get("stats") or {}).items():
+                        cur = tgt.setdefault(part, {"rows": 0, "files": None})
+                        cur.setdefault("stats", {}).update(by_file)
                 else:
                     raise ValueError(f"unknown snapshot operation {op!r}")
         return state
@@ -208,27 +214,127 @@ def write_multi_sink(
     return written
 
 
+def _stat_key(v):
+    """JSON-safe, order-preserving representation of a stats value.
+    Numbers pass through; datetimes/dates become ISO strings (fixed-width
+    UTC ISO compares lexicographically in time order); everything else is
+    stringified.  Both the collected min/max AND the prune bounds go
+    through this, so comparisons are always like-vs-like."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    return iso() if iso else str(v)
+
+
 def read_table(
-    spark: SparkSession, base: str, sink: str, part_col: str = PART_COL
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    part_col: str = PART_COL,
+    prune: tuple | None = None,
 ) -> DataFrame | None:
     """Snapshot-isolated read: only partitions recorded in committed
     snapshots are visible (None when nothing is committed).  Dir-mode
     partitions contribute their directory; file-mode partitions contribute
     EXACTLY their manifest files (staged/orphaned files are invisible).
-    The explicit path list doubles as partition pruning."""
+    The explicit path list doubles as partition pruning.
+
+    ``prune=(col, lo, hi)`` adds Iceberg-style FILE skipping: files whose
+    collected min/max statistics (:func:`collect_file_stats`) prove they
+    hold no row with ``lo <= col <= hi`` are dropped from the scan path
+    list (either bound may be None for a one-sided range).  This is a
+    SUPERSET guarantee, exactly like parquet PushedFilters: surviving files
+    may still contain non-matching rows, so the caller applies the real
+    ``.filter`` on top — pruning only bounds what is SCANNED.  Files or
+    partitions without stats are always kept (never unsound), so stats can
+    be collected lazily / per-partition.  At 100 TB this is the difference
+    between scanning a time-clustered table's whole history and scanning
+    the few files whose range overlaps the query window."""
     log = CommitLog(base)
     parts = log.manifest().get(sink, {})
     if not parts:
         return None
+    pruned: list[str] = []
+    if prune is not None:
+        pcol, lo, hi = prune
+        lo, hi = _stat_key(lo), _stat_key(hi)
     paths = []
     for k in sorted(parts):
         pdir = os.path.join(base, sink, f"{part_col}={k}")
         files = parts[k]["files"]
         if files is None:
             paths.append(pdir)
-        else:
-            paths.extend(os.path.join(pdir, f) for f in files)
-    return spark.read.option("basePath", os.path.join(base, sink)).parquet(*paths)
+            continue
+        stats = parts[k].get("stats", {}) if prune is not None else {}
+        for f in files:
+            rng = stats.get(f, {}).get(pcol) if prune is not None else None
+            if rng is not None:
+                mn, mx = rng
+                # NULL-only files record [None, None]: no value can match a
+                # range predicate (SQL comparisons with NULL are never true)
+                if mn is None or (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    pruned.append(os.path.join(pdir, f))
+                    continue
+            paths.append(os.path.join(pdir, f))
+    reader = spark.read.option("basePath", os.path.join(base, sink))
+    if not paths:
+        # everything pruned: preserve the schema, scan nothing at runtime
+        return reader.parquet(
+            *[p for p in pruned]
+        ).where(F.lit(False))
+    return reader.parquet(*paths)
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    columns: list[str],
+    part_col: str = PART_COL,
+) -> dict[str, dict[str, dict]]:
+    """Collect per-FILE min/max for ``columns`` into a metadata snapshot —
+    the Iceberg manifest-stats analog that powers :func:`read_table`'s
+    ``prune``.
+
+    Pins dir-mode partitions first (stats are only meaningful for a frozen
+    file list), then ONE distributed pass over the manifest files grouped
+    by ``input_file_name()`` — never a per-file loop of driver jobs.  Stats
+    are stored per (partition, file, column) as JSON-safe [min, max] (ISO
+    strings for timestamps — order-preserving).  Files written after the
+    collection simply lack stats until the next collection and are never
+    pruned.  Returns {part: {file: {col: [min, max]}}}."""
+    from urllib.parse import unquote
+
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    parts = log.manifest().get(sink, {})
+    paths = []
+    for k in sorted(parts):
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        for f in parts[k]["files"] or ():
+            paths.append(os.path.join(pdir, f))
+    if not paths:
+        return {}
+    df = spark.read.option("basePath", os.path.join(base, sink)).parquet(*paths)
+    aggs = []
+    for i, c in enumerate(columns):
+        aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
+    rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    marker = f"/{part_col}="
+    out: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        path = unquote(r["_f"])
+        tail = path[path.rindex(marker) + len(marker):]
+        part, fname = tail.split("/", 1)
+        out.setdefault(part, {})[fname] = {
+            c: [_stat_key(r[f"_mn{i}"]), _stat_key(r[f"_mx{i}"])]
+            for i, c in enumerate(columns)
+        }
+    if out:
+        log.commit({"operation": "stats", "sinks": {sink: {"stats": out}}})
+    return out
 
 
 def _data_files(pdir: str) -> list[str]:
@@ -272,8 +378,16 @@ def compact_table(
     part_col: str = PART_COL,
     max_files: int = 4,
     target_files: int = 1,
+    cluster_by: str | None = None,
 ) -> dict[str, dict]:
     """Iceberg ``rewrite_data_files`` analog: merge small files per partition.
+
+    ``cluster_by`` turns the rewrite into Iceberg's sort-order rewrite:
+    output files are range-partitioned and sorted on that column, so each
+    file covers a narrow value interval — which is what makes
+    :func:`collect_file_stats` + ``read_table(prune=...)`` file skipping
+    actually selective (stats on randomly-laid-out files span everything
+    and prune nothing).
 
     The small-files problem is the canonical 100 TB log-table failure mode —
     a streaming/multi-task writer leaves hundreds of KB-scale parquet files
@@ -312,7 +426,14 @@ def compact_table(
         n_before = df.count()
         stage = tempfile.mkdtemp(dir=base, prefix=f"_compact_{sink}_")
         out_dir = os.path.join(stage, "out")
-        df.drop(part_col).repartition(target_files).write.parquet(out_dir)
+        body = df.drop(part_col)
+        if cluster_by is None:
+            body = body.repartition(target_files)
+        else:
+            body = body.repartitionByRange(
+                target_files, F.col(cluster_by)
+            ).sortWithinPartitions(cluster_by)
+        body.write.parquet(out_dir)
         moved = []
         for i, name in enumerate(_data_files(out_dir)):
             dst = f"rw{version}-{i:05d}.parquet"
