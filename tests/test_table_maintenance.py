@@ -213,3 +213,33 @@ def test_file_stats_survive_expiry(spark, table):
     TF.expire_snapshots(table)
     after = TF.CommitLog(table).manifest()["logs"]
     assert before == after and any("stats" in info for info in after.values())
+
+
+def test_bloom_equality_skipping(spark, table):
+    """Point-lookup skipping: per-file Bloom filters prune files that
+    cannot hold the probed url, result stays identical to full scan +
+    filter, and min/max + bloom collections compose in the manifest."""
+    TF.compact_table(spark, table, "logs", max_files=0, target_files=4)
+    TF.collect_file_stats(spark, table, "logs", ["warc_ts"])
+    TF.collect_file_blooms(spark, table, "logs", "url", bits=1 << 14)
+
+    man = TF.CommitLog(table).manifest()["logs"]
+    some = next(iter(man.values()))["stats"]
+    fs = next(iter(some.values()))
+    assert "warc_ts" in fs and "_bloom:url" in fs  # merged, not clobbered
+
+    full = TF.read_table(spark, table, "logs")
+    target = full.select("url").limit(1).collect()[0]["url"]
+    pruned = TF.read_table(spark, table, "logs", prune_eq=("url", target))
+    exp = sorted(r.url for r in full.filter(F.col("url") == target).collect())
+    got = sorted(r.url for r in pruned.filter(F.col("url") == target).collect())
+    assert got == exp and len(got) >= 1
+    # a url lives in exactly one file (4 files/partition, 3 partitions):
+    # the bloom must prune most of the 12 — allow FP slack but require >half
+    assert len(pruned.inputFiles()) <= len(full.inputFiles()) // 2
+
+    # absent key: every statted file pruned, scan is empty but sound
+    ghost = TF.read_table(
+        spark, table, "logs", prune_eq=("url", "https://no.such.url/xyz")
+    )
+    assert ghost.filter(F.col("url") == "https://no.such.url/xyz").count() == 0

@@ -138,9 +138,13 @@ class CommitLog:
                         cur = tgt.setdefault(part, {"rows": 0, "files": None})
                         cur["files"] = sorted(files)
                 elif op == "stats":
+                    # merge per FILE per COLUMN-KEY, so min/max and bloom
+                    # collections taken at different times compose
                     for part, by_file in (info.get("stats") or {}).items():
                         cur = tgt.setdefault(part, {"rows": 0, "files": None})
-                        cur.setdefault("stats", {}).update(by_file)
+                        st = cur.setdefault("stats", {})
+                        for f, d in by_file.items():
+                            st.setdefault(f, {}).update(d)
                 else:
                     raise ValueError(f"unknown snapshot operation {op!r}")
         return state
@@ -232,6 +236,7 @@ def read_table(
     sink: str,
     part_col: str = PART_COL,
     prune: tuple | None = None,
+    prune_eq: tuple | None = None,
 ) -> DataFrame | None:
     """Snapshot-isolated read: only partitions recorded in committed
     snapshots are visible (None when nothing is committed).  Dir-mode
@@ -249,7 +254,13 @@ def read_table(
     partitions without stats are always kept (never unsound), so stats can
     be collected lazily / per-partition.  At 100 TB this is the difference
     between scanning a time-clustered table's whole history and scanning
-    the few files whose range overlaps the query window."""
+    the few files whose range overlaps the query window.
+
+    ``prune_eq=(col, value)`` is the EQUALITY twin backed by per-file Bloom
+    filters (:func:`collect_file_blooms`): files whose filter proves
+    ``col = value`` (string form) matches nothing are skipped — the point
+    lookup ("this url's rows") that min/max can't serve on an unclustered
+    column.  Same superset guarantee; both prunes may be combined."""
     log = CommitLog(base)
     parts = log.manifest().get(sink, {})
     if not parts:
@@ -258,16 +269,22 @@ def read_table(
     if prune is not None:
         pcol, lo, hi = prune
         lo, hi = _stat_key(lo), _stat_key(hi)
+    probes: dict[tuple[int, int], list[int]] = {}  # keyed (m, k): collections may differ
+    if prune_eq is not None:
+        ecol, evalue = prune_eq
+        bkey = f"_bloom:{ecol}"
     paths = []
+    use_stats = prune is not None or prune_eq is not None
     for k in sorted(parts):
         pdir = os.path.join(base, sink, f"{part_col}={k}")
         files = parts[k]["files"]
         if files is None:
             paths.append(pdir)
             continue
-        stats = parts[k].get("stats", {}) if prune is not None else {}
+        stats = parts[k].get("stats", {}) if use_stats else {}
         for f in files:
-            rng = stats.get(f, {}).get(pcol) if prune is not None else None
+            fstats = stats.get(f, {})
+            rng = fstats.get(pcol) if prune is not None else None
             if rng is not None:
                 mn, mx = rng
                 # NULL-only files record [None, None]: no value can match a
@@ -275,6 +292,14 @@ def read_table(
                 if mn is None or (hi is not None and mn > hi) or (
                     lo is not None and mx < lo
                 ):
+                    pruned.append(os.path.join(pdir, f))
+                    continue
+            bloom = fstats.get(bkey) if prune_eq is not None else None
+            if bloom is not None:
+                mk = (bloom["m"], bloom["k"])
+                if mk not in probes:
+                    probes[mk] = _bloom_probe_positions(spark, evalue, *mk)
+                if not _bloom_maybe_contains(bloom["b64"], probes[mk]):
                     pruned.append(os.path.join(pdir, f))
                     continue
             paths.append(os.path.join(pdir, f))
@@ -335,6 +360,124 @@ def collect_file_stats(
     if out:
         log.commit({"operation": "stats", "sinks": {sink: {"stats": out}}})
     return out
+
+
+def _manifest_paths(log: CommitLog, base: str, sink: str, part_col: str) -> list[str]:
+    parts = log.manifest().get(sink, {})
+    paths = []
+    for k in sorted(parts):
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        for f in parts[k]["files"] or ():
+            paths.append(os.path.join(pdir, f))
+    return paths
+
+
+def _split_file_path(path: str, part_col: str) -> tuple[str, str]:
+    from urllib.parse import unquote
+
+    marker = f"/{part_col}="
+    tail = unquote(path)[unquote(path).rindex(marker) + len(marker):]
+    part, fname = tail.split("/", 1)
+    return part, fname
+
+
+def _bloom_hash_cols(col: str, hashes: int, bits: int):
+    """The shared build/probe hash family: ``xxhash64(cast(col as string),
+    seed_i) mod bits``.  String cast makes the hash type-stable between the
+    build side (a column) and the probe side (a Python literal)."""
+    return [
+        F.pmod(F.xxhash64(F.col(col).cast("string"), F.lit(i)), F.lit(bits)).alias(f"_p{i}")
+        for i in range(hashes)
+    ]
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    column: str,
+    part_col: str = PART_COL,
+    bits: int = 1 << 17,
+    hashes: int = 2,
+) -> dict[str, dict[str, dict]]:
+    """Per-FILE Bloom filter over ``column`` — the Iceberg/parquet
+    bloom-filter analog for EQUALITY skipping, complementing
+    :func:`collect_file_stats`' min/max (which only prunes ranges and is
+    useless for point lookups on a column the files are not clustered by,
+    e.g. "fetch this url's rows").
+
+    Build: hash positions are computed JVM-side (:func:`_bloom_hash_cols` —
+    ``xxhash64`` is codegen), then ONE ``applyInPandas`` per file-group ORs
+    them into a numpy bitmap (vectorized, no per-row Python).  The bitmap
+    is stored zlib+base64 in the same ``stats`` snapshot as min/max (fold
+    merges per file, so both collections compose).  With the defaults
+    (m=131072 bits, k=2) a 16k-row file false-positives at ~2 %; the filter
+    is ~16 KB/file before zlib.  NULLs hash to a fixed position (equality
+    with NULL is never true, so this costs one spurious bit, not
+    soundness).
+
+    Probe side is :func:`read_table` ``prune_eq=(col, value)``; equality is
+    on the STRING form of the column (documented cast above)."""
+    import base64
+
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    paths = _manifest_paths(log, base, sink, part_col)
+    if not paths:
+        return {}
+    df = (
+        spark.read.option("basePath", os.path.join(base, sink))
+        .parquet(*paths)
+        .select(F.input_file_name().alias("_f"), *_bloom_hash_cols(column, hashes, bits))
+    )
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+        import zlib as _z
+
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
+        for i in range(hashes):
+            pos = pdf[f"_p{i}"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bitmap, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        b64 = base64.b64encode(_z.compress(bitmap.tobytes(), 6)).decode("ascii")
+        return pd.DataFrame({"_f": [pdf["_f"].iloc[0]], "bloom": [b64]})
+
+    rows = df.groupBy("_f").applyInPandas(build, "_f string, bloom string").collect()
+    out: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        part, fname = _split_file_path(r["_f"], part_col)
+        out.setdefault(part, {})[fname] = {
+            f"_bloom:{column}": {"b64": r["bloom"], "m": bits, "k": hashes}
+        }
+    if out:
+        log.commit({"operation": "stats", "sinks": {sink: {"stats": out}}})
+    return out
+
+
+def _bloom_probe_positions(spark: SparkSession, value, bits: int, hashes: int) -> list[int]:
+    """Hash the probe value with the SAME JVM expression family the build
+    used — one 1-row job, so build/probe can never drift (reimplementing
+    xxhash64 driver-side could)."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(str(value)), F.lit(i)), F.lit(bits)).alias(f"_p{i}")
+                for i in range(hashes)
+            ]
+        )
+        .collect()[0]
+    )
+    return [int(row[f"_p{i}"]) for i in range(hashes)]
+
+
+def _bloom_maybe_contains(b64: str, positions: list[int]) -> bool:
+    import base64
+    import zlib as _z
+
+    bitmap = _z.decompress(base64.b64decode(b64))
+    return all(bitmap[p // 8] & (1 << (p % 8)) for p in positions)
 
 
 def _data_files(pdir: str) -> list[str]:
