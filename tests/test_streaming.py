@@ -651,3 +651,53 @@ def test_streaming_rollup_fine_matches_batch(spark, tmp_path):
     s_rows = {tuple(r) for r in coarse_s.collect()}
     b_rows = {tuple(r) for r in coarse_b.collect()}
     assert s_rows == b_rows
+
+
+def test_streaming_to_table_snapshot_commits(spark, doc_chunks, tmp_path):
+    """Streaming ingest into the commit-log table: every micro-batch is one
+    atomic snapshot; a crash between the parquet write and the commit loses
+    nothing and duplicates nothing on restart; maintenance tools apply."""
+    from vector_spark.plans import table_format as TF
+
+    base = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    routed = st.streaming_parse_enrich_route(
+        spark, st.document_stream(spark, doc_chunks["dir"], max_files_per_trigger=1)
+    ).drop("html")
+
+    st.run_available_now(st.streaming_to_table(spark, routed, base, ckpt))
+    t = TF.read_table(spark, base, "routed")
+    assert t.count() == len(doc_chunks["a"])
+
+    # inject a crash AFTER the parquet write, BEFORE the snapshot commit
+    doc_chunks["b"].to_parquet(f"{doc_chunks['dir']}/chunk_b.parquet")
+    real_commit = TF.CommitLog.commit
+    state = {"boom": True}
+
+    def crashing_commit(self, meta):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected crash before snapshot commit")
+        return real_commit(self, meta)
+
+    TF.CommitLog.commit = crashing_commit
+    try:
+        with pytest.raises(Exception, match="injected"):
+            st.run_available_now(
+                st.streaming_to_table(spark, routed, base, ckpt)
+            )
+        # uncommitted batch data must be INVISIBLE to snapshot readers
+        assert TF.read_table(spark, base, "routed").count() == len(doc_chunks["a"])
+        # restart with the same checkpoint: the batch replays and commits
+        st.run_available_now(st.streaming_to_table(spark, routed, base, ckpt))
+    finally:
+        TF.CommitLog.commit = real_commit
+
+    t = TF.read_table(spark, base, "routed")
+    assert t.count() == 600
+    assert t.select("url").distinct().count() == 600  # exactly once
+
+    # the streaming sink is a first-class table: compact + stats just work
+    TF.compact_table(spark, base, "routed", max_files=0, target_files=1)
+    TF.collect_file_stats(spark, base, "routed", ["warc_ts"])
+    assert TF.read_table(spark, base, "routed").count() == 600

@@ -53,6 +53,7 @@ __all__ = [
     "streaming_reduce_ends_when",
     "streaming_rate_spikes",
     "streaming_rollup_fine",
+    "streaming_to_table",
     "run_available_now",
 ]
 
@@ -276,6 +277,51 @@ def streaming_flagship(
 
     return (
         routed.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def streaming_to_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    base: str,
+    checkpoint_dir: str,
+    sinks: tuple[str, ...] = ("routed",),
+    route_col: str = "route",
+):
+    """Streaming ingest into the COMMIT-LOG table (plans/table_format.py)
+    with snapshot isolation — the step past ``streaming_flagship``'s
+    dynamic-overwrite idempotence: each micro-batch lands as one atomic
+    snapshot commit, so a concurrent ``read_table`` sees whole batches or
+    nothing, never a half-written one, and every table-maintenance tool
+    (pin/compact/cluster/stats/bloom/vacuum/expire) applies to the
+    streaming sink unchanged.
+
+    Exactly-once mechanics: batches partition by ``batch_id``;
+    ``write_multi_sink``'s resume filter drops already-COMMITTED partitions
+    from a replayed batch, and a crash between the parquet write and the
+    snapshot commit leaves only invisible uncommitted files, which the
+    replay's dynamic partition overwrite replaces before committing — the
+    same two-phase protocol the batch pipeline is chaos-certified on, now
+    driven by foreachBatch (offsets advance only after the commit).
+
+    ``sinks`` > 1 fans the routed stream out by ``route_col`` value into
+    separate table sinks (the multi-sink topology) in ONE pass per sink of
+    the already-computed batch; all sinks commit in the SAME snapshot."""
+    from vector_spark.plans.checkpoint import PART_COL
+    from vector_spark.plans.table_format import write_multi_sink
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn(PART_COL, F.lit(str(batch_id)))
+        if len(sinks) == 1:
+            payload = {sinks[0]: b}
+        else:
+            payload = {s: b.where(F.col(route_col) == s) for s in sinks}
+        write_multi_sink(payload, base, run_id=f"stream-batch-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
