@@ -1,0 +1,248 @@
+"""Row-level copy-on-write ops on the table-format shim — DELETE, MERGE
+(upsert), and time travel — the Iceberg `DELETE FROM` / `MERGE INTO` /
+`VERSION AS OF` analogs.  Each op must touch only DIRTY files, keep the old
+bytes dark until one atomic snapshot, and leave readers consistent across
+every crash window (staged-but-uncommitted output is invisible; vacuum
+removes it)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark import synth
+from vector_spark.plans import checkpoint as CP
+from vector_spark.plans import table_format as TF
+
+
+def _rows(df, *cols):
+    cols = cols or ("url", "lang", "text")
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    docs = CP.with_part_key(synth.documents(spark, 600), n_parts=3, key_cols=["url"])
+    docs = docs.drop("html").repartition(8)
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"logs": docs}, base, run_id="r1")
+    return base
+
+
+def _live_files(base, sink="logs"):
+    return {
+        p: list(info["files"] or []) for p, info in TF.CommitLog(base).manifest()[sink].items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_removes_exactly_matching_rows(spark, table):
+    before = TF.read_table(spark, table, "logs")
+    pred = F.col("lang") == "de"
+    n_match = before.where(pred).count()
+    expect = _rows(before.where(~F.coalesce(pred, F.lit(False))))
+    assert n_match > 0
+
+    res = TF.delete_where(spark, table, "logs", F.col("lang") == "de")
+    assert res["deleted"] == n_match
+    after = TF.read_table(spark, table, "logs")
+    assert _rows(after) == expect
+    # manifest row accounting matches the physical table
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == after.count()
+
+
+def test_delete_where_sql_string_and_null_predicate_rows_survive(spark, table):
+    # rows where the predicate is NULL are NOT deleted (SQL DELETE semantics)
+    res = TF.delete_where(
+        spark, table, "logs", "CASE WHEN lang = 'fr' THEN true ELSE NULL END"
+    )
+    after = TF.read_table(spark, table, "logs")
+    assert res["deleted"] > 0
+    assert after.where(F.col("lang") == "fr").count() == 0
+    assert after.where(F.col("lang") != "fr").count() == after.count()
+
+
+def test_delete_where_rewrites_only_dirty_files(spark, table):
+    # delete one specific url: exactly the files containing it are rewritten
+    url = TF.read_table(spark, table, "logs").select("url").first()[0]
+    files_before = _live_files(table)
+    res = TF.delete_where(spark, table, "logs", F.col("url") == url)
+    assert res["deleted"] >= 1
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    files_after = _live_files(table)
+    # untouched partitions keep their exact file lists
+    changed = {p for p in files_before if files_before[p] != files_after[p]}
+    assert changed  # something was rewritten
+    for p in set(files_before) - changed:
+        assert files_before[p] == files_after[p]
+
+
+def test_delete_where_with_bloom_prune_scans_fewer_files(spark, table):
+    TF.collect_file_blooms(spark, table, "logs", "url")
+    url = TF.read_table(spark, table, "logs").select("url").first()[0]
+    n_before = TF.read_table(spark, table, "logs").count()
+    res = TF.delete_where(
+        spark, table, "logs", F.col("url") == url, prune_eq=("url", url)
+    )
+    assert res["files_scanned"] < res["files_total"]
+    assert res["deleted"] >= 1
+    after = TF.read_table(spark, table, "logs")
+    assert after.where(F.col("url") == url).count() == 0
+    assert after.count() == n_before - res["deleted"]
+
+
+def test_delete_crash_before_commit_leaves_readers_unchanged(spark, table, monkeypatch):
+    before = _rows(TF.read_table(spark, table, "logs"))
+    orig = TF.CommitLog.commit
+
+    def failing(self, meta):
+        if meta.get("operation") == "delete":
+            raise RuntimeError("injected crash before delete commit")
+        return orig(self, meta)
+
+    monkeypatch.setattr(TF.CommitLog, "commit", failing)
+    with pytest.raises(RuntimeError, match="injected"):
+        TF.delete_where(spark, table, "logs", F.col("lang") == "de")
+    monkeypatch.setattr(TF.CommitLog, "commit", orig)
+    # staged dl files are dark; readers see the original table
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    deleted = TF.vacuum_table(table, "logs", staging_grace_s=0)
+    assert any("dl" in os.path.basename(p) for p in deleted)
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+
+def _mk_updates(spark, tbl, n_update=5, n_insert=3):
+    upd = (
+        tbl.orderBy("url")
+        .limit(n_update)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [v2]")))
+    )
+    ins = (
+        synth.documents(spark, 4000)
+        .drop("html")
+        .withColumn("url", F.concat(F.lit("https://new.example/"), F.col("url")))
+        .orderBy("url")
+        .limit(n_insert)
+    )
+    ins = CP.with_part_key(ins, n_parts=3, key_cols=["url"]).select(*upd.columns)
+    return upd.unionByName(ins), n_update, n_insert
+
+
+def test_merge_upsert_replaces_matched_and_inserts_new(spark, table):
+    tbl = TF.read_table(spark, table, "logs")
+    n0 = tbl.count()
+    updates, n_upd, n_ins = _mk_updates(spark, tbl)
+    res = TF.merge_upsert(spark, table, "logs", updates, key_cols=["url"])
+    assert res["matched"] == n_upd
+    assert res["inserted"] == n_upd + n_ins
+
+    after = TF.read_table(spark, table, "logs")
+    assert after.count() == n0 + n_ins
+    assert after.where(F.col("text").endswith(" [v2]")).count() == n_upd
+    assert after.where(F.col("url").startswith("https://new.example/")).count() == n_ins
+    # upsert is key-unique: no duplicate urls introduced
+    assert after.select("url").distinct().count() == after.count()
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == after.count()
+
+
+def test_merge_upsert_bloom_narrowing_skips_clean_files(spark, table):
+    TF.collect_file_blooms(spark, table, "logs", "url")
+    tbl = TF.read_table(spark, table, "logs")
+    updates, n_upd, n_ins = _mk_updates(spark, tbl, n_update=2, n_insert=1)
+    res = TF.merge_upsert(spark, table, "logs", updates, key_cols=["url"])
+    assert res["bloom_skipped"] > 0
+    assert res["files_scanned"] < res["files_total"]
+    assert res["matched"] == n_upd
+    after = TF.read_table(spark, table, "logs")
+    assert after.where(F.col("text").endswith(" [v2]")).count() == n_upd
+    assert after.select("url").distinct().count() == after.count()
+
+
+def test_merge_upsert_schema_mismatch_rejected(spark, table):
+    bad = TF.read_table(spark, table, "logs").limit(1).drop("lang")
+    with pytest.raises(ValueError, match="schema"):
+        TF.merge_upsert(spark, table, "logs", bad, key_cols=["url"])
+
+
+def test_merge_upsert_into_new_partition(spark, table):
+    tbl = TF.read_table(spark, table, "logs")
+    row = tbl.limit(1)
+    novel = row.withColumn(CP.PART_COL, F.lit(99)).withColumn(
+        "url", F.lit("https://novel.example/only")
+    )
+    res = TF.merge_upsert(spark, table, "logs", novel, key_cols=["url"])
+    assert res["matched"] == 0 and res["inserted"] == 1
+    after = TF.read_table(spark, table, "logs")
+    assert after.where(F.col(CP.PART_COL) == 99).count() == 1
+    assert TF.CommitLog(table).committed()["logs"]["99"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Time travel
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_reads_pre_delete_snapshot(spark, table):
+    TF.pin_files(table, "logs")  # v2: file-mode → time-travelable
+    v_pinned = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+
+    TF.delete_where(spark, table, "logs", F.col("lang") == "de")
+    now = _rows(TF.read_table(spark, table, "logs"))
+    assert now != before
+
+    # as-of the pinned snapshot: the deleted rows are back (old files dark
+    # but on disk until vacuum)
+    assert _rows(TF.read_table(spark, table, "logs", version=v_pinned)) == before
+    # vacuum removes the pre-delete files → that version is gone
+    TF.vacuum_table(table, "logs", staging_grace_s=0)
+    with pytest.raises(TF.TimeTravelUnavailable, match="no longer on disk"):
+        TF.read_table(spark, table, "logs", version=v_pinned)
+    assert _rows(TF.read_table(spark, table, "logs")) == now
+
+
+def test_time_travel_dir_mode_changed_later_is_refused(spark, table):
+    v1 = TF.CommitLog(table).current_version()
+    TF.pin_files(table, "logs")  # later snapshot touches the dir-mode parts
+    with pytest.raises(TF.TimeTravelUnavailable, match="dir-mode"):
+        TF.read_table(spark, table, "logs", version=v1)
+
+
+def test_time_travel_dir_mode_untouched_is_fine(spark, table):
+    v1 = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+    # a later snapshot touching OTHER sinks doesn't block logs@v1
+    extra = CP.with_part_key(
+        synth.documents(spark, 50).drop("html"), n_parts=2, key_cols=["url"]
+    )
+    TF.write_multi_sink({"other": extra}, table, run_id="r2")
+    assert _rows(TF.read_table(spark, table, "logs", version=v1)) == before
+
+
+def test_time_travel_expired_version_raises(spark, table):
+    TF.pin_files(table, "logs")
+    TF.expire_snapshots(table)
+    with pytest.raises(ValueError, match="no snapshot metadata"):
+        TF.read_table(spark, table, "logs", version=1)
+
+
+def test_merge_then_time_travel_roundtrip(spark, table):
+    TF.pin_files(table, "logs")
+    v = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+    updates, _, _ = _mk_updates(spark, TF.read_table(spark, table, "logs"))
+    TF.merge_upsert(spark, table, "logs", updates, key_cols=["url"])
+    assert _rows(TF.read_table(spark, table, "logs", version=v)) == before

@@ -47,6 +47,17 @@ from vector_spark.plans.checkpoint import PART_COL
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
 
+class TimeTravelUnavailable(RuntimeError):
+    """A historical snapshot's data can no longer be reconstructed — the
+    partition was physically overwritten by a later append (dynamic
+    partition overwrite replaces the directory), its files were removed by
+    ``vacuum_table``, or it was dir-mode at that version and later writes
+    changed the directory's contents.  ``pin_files`` + retained (unvacuumed)
+    rewrites are what make a version re-readable — the same contract as
+    Iceberg, where time travel ends at ``expire_snapshots`` +
+    ``remove_orphan_files``."""
+
+
 class CommitConflict(RuntimeError):
     pass
 
@@ -99,8 +110,14 @@ class CommitLog:
                 os.unlink(tmp)
         return version
 
-    def manifest(self) -> dict[str, dict[str, dict]]:
+    def manifest(self, as_of: int | None = None) -> dict[str, dict[str, dict]]:
         """Fold all snapshots → {sink: {part_key: {"rows": n, "files": ...}}}.
+
+        ``as_of`` folds only snapshots with ``version <= as_of`` — the
+        time-travel manifest.  Raises ``ValueError`` when no metadata at or
+        below that version survives (``expire_snapshots`` collapses history
+        into a later checkpoint, after which older versions are gone — the
+        same horizon Iceberg's ``expire_snapshots`` imposes).
 
         ``files`` is ``None`` for DIR-mode partitions (readers scan the whole
         partition directory — the original shim behavior) or an explicit
@@ -114,11 +131,17 @@ class CommitLog:
           pin        — records the current file list (metadata-only, flips a
                        partition to file-mode; rows unchanged)
           rewrite    — replaces the file list (rows unchanged by definition)
+          delete /   — replaces the file list AND the row count (row-level
+          merge        copy-on-write ops change both)
           checkpoint — wholesale state replacement (written by
                        expire_snapshots before old metadata is dropped)
         """
         state: dict[str, dict[str, dict]] = {}
+        folded = 0
         for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            folded += 1
             op = snap.get("operation", "append")
             if op == "checkpoint":
                 state = {
@@ -133,10 +156,15 @@ class CommitLog:
                         # dynamic overwrite replaced the directory: any
                         # previously collected file stats describe dead files
                         tgt[part] = {"rows": rows, "files": None}
-                elif op in ("pin", "rewrite"):
+                elif op in ("pin", "rewrite", "delete", "merge"):
                     for part, files in (info.get("files") or {}).items():
                         cur = tgt.setdefault(part, {"rows": 0, "files": None})
                         cur["files"] = sorted(files)
+                    # delete/merge change row counts (stale stats entries for
+                    # rewritten-away files are harmless: pruning consults
+                    # stats only for file names in the live list)
+                    for part, rows in (info.get("rows") or {}).items():
+                        tgt.setdefault(part, {"rows": 0, "files": None})["rows"] = rows
                 elif op == "stats":
                     # merge per FILE per COLUMN-KEY, so min/max and bloom
                     # collections taken at different times compose
@@ -147,6 +175,11 @@ class CommitLog:
                             st.setdefault(f, {}).update(d)
                 else:
                     raise ValueError(f"unknown snapshot operation {op!r}")
+        if as_of is not None and folded == 0:
+            raise ValueError(
+                f"no snapshot metadata at or before v{as_of} "
+                "(expired by expire_snapshots, or the version never existed)"
+            )
         return state
 
     def committed(self) -> dict[str, dict[str, int]]:
@@ -230,6 +263,79 @@ def _stat_key(v):
     return iso() if iso else str(v)
 
 
+def _file_pruned(
+    spark: SparkSession,
+    fstats: dict,
+    prune: tuple | None,
+    prune_eq: tuple | None,
+    probes: dict[tuple[int, int], list[int]],
+) -> bool:
+    """True when this file's collected statistics PROVE it holds no matching
+    row — the single per-file skip decision shared by :func:`read_table` and
+    the copy-on-write row ops (:func:`delete_where`, :func:`merge_upsert`),
+    so scan pruning and rewrite pruning can never drift.  Files without
+    stats are never pruned (sound by default)."""
+    if prune is not None:
+        pcol, lo, hi = prune
+        lo, hi = _stat_key(lo), _stat_key(hi)
+        rng = fstats.get(pcol)
+        if rng is not None:
+            mn, mx = rng
+            # NULL-only files record [None, None]: no value can match a
+            # range predicate (SQL comparisons with NULL are never true)
+            if mn is None or (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+    if prune_eq is not None:
+        ecol, evalue = prune_eq
+        bloom = fstats.get(f"_bloom:{ecol}")
+        if bloom is not None:
+            mk = (bloom["m"], bloom["k"])
+            if mk not in probes:
+                probes[mk] = _bloom_probe_positions(spark, evalue, *mk)
+            if not _bloom_maybe_contains(bloom["b64"], probes[mk]):
+                return True
+    return False
+
+
+def _check_time_travelable(
+    log: CommitLog, base: str, sink: str, part_col: str, parts: dict, version: int
+) -> None:
+    """Raise :class:`TimeTravelUnavailable` unless every partition of the
+    as-of manifest can still be read byte-exactly.  File-mode partitions
+    need every manifest file still on disk (rewrite/delete/merge keep the
+    originals until vacuum); dir-mode partitions are reconstructable only
+    while NO later snapshot touched them (a later append physically
+    replaced the directory; a later pin means a compactor may have staged
+    files into it)."""
+    later_touched: set[str] = set()
+    for snap in log.snapshots():
+        if snap["version"] <= version:
+            continue
+        info = (snap.get("sinks") or {}).get(sink) or {}
+        for fld in ("parts", "files", "stats", "rows"):
+            later_touched |= set(info.get(fld) or {})
+    bad = []
+    for k, info in parts.items():
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        if info["files"] is None:
+            if k in later_touched:
+                bad.append(
+                    f"{part_col}={k}: dir-mode at v{version} and changed by a later "
+                    "snapshot (pin_files makes partitions time-travelable)"
+                )
+        else:
+            missing = [f for f in info["files"] if not os.path.exists(os.path.join(pdir, f))]
+            if missing:
+                bad.append(
+                    f"{part_col}={k}: {len(missing)} manifest file(s) no longer on "
+                    f"disk (vacuumed or overwritten), e.g. {missing[0]}"
+                )
+    if bad:
+        raise TimeTravelUnavailable(
+            f"cannot reconstruct {sink!r} at v{version}: " + "; ".join(bad)
+        )
+
+
 def read_table(
     spark: SparkSession,
     base: str,
@@ -237,6 +343,7 @@ def read_table(
     part_col: str = PART_COL,
     prune: tuple | None = None,
     prune_eq: tuple | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """Snapshot-isolated read: only partitions recorded in committed
     snapshots are visible (None when nothing is committed).  Dir-mode
@@ -260,19 +367,24 @@ def read_table(
     filters (:func:`collect_file_blooms`): files whose filter proves
     ``col = value`` (string form) matches nothing are skipped — the point
     lookup ("this url's rows") that min/max can't serve on an unclustered
-    column.  Same superset guarantee; both prunes may be combined."""
+    column.  Same superset guarantee; both prunes may be combined.
+
+    ``version=N`` is TIME TRAVEL: read the table as of snapshot ``N``
+    (Iceberg's ``VERSION AS OF``).  File-mode partitions re-read exactly
+    their v≤N manifest files (rewrite/delete/merge keep the old files on
+    disk until ``vacuum_table``, so recent history stays readable);
+    :class:`TimeTravelUnavailable` is raised when the bytes are gone — a
+    later append physically overwrote the partition, vacuum removed the old
+    files, or the partition was dir-mode at ``N`` and later writes changed
+    the directory."""
     log = CommitLog(base)
-    parts = log.manifest().get(sink, {})
+    parts = log.manifest(as_of=version).get(sink, {})
     if not parts:
         return None
+    if version is not None:
+        _check_time_travelable(log, base, sink, part_col, parts, version)
     pruned: list[str] = []
-    if prune is not None:
-        pcol, lo, hi = prune
-        lo, hi = _stat_key(lo), _stat_key(hi)
     probes: dict[tuple[int, int], list[int]] = {}  # keyed (m, k): collections may differ
-    if prune_eq is not None:
-        ecol, evalue = prune_eq
-        bkey = f"_bloom:{ecol}"
     paths = []
     use_stats = prune is not None or prune_eq is not None
     for k in sorted(parts):
@@ -283,26 +395,10 @@ def read_table(
             continue
         stats = parts[k].get("stats", {}) if use_stats else {}
         for f in files:
-            fstats = stats.get(f, {})
-            rng = fstats.get(pcol) if prune is not None else None
-            if rng is not None:
-                mn, mx = rng
-                # NULL-only files record [None, None]: no value can match a
-                # range predicate (SQL comparisons with NULL are never true)
-                if mn is None or (hi is not None and mn > hi) or (
-                    lo is not None and mx < lo
-                ):
-                    pruned.append(os.path.join(pdir, f))
-                    continue
-            bloom = fstats.get(bkey) if prune_eq is not None else None
-            if bloom is not None:
-                mk = (bloom["m"], bloom["k"])
-                if mk not in probes:
-                    probes[mk] = _bloom_probe_positions(spark, evalue, *mk)
-                if not _bloom_maybe_contains(bloom["b64"], probes[mk]):
-                    pruned.append(os.path.join(pdir, f))
-                    continue
-            paths.append(os.path.join(pdir, f))
+            if _file_pruned(spark, stats.get(f, {}), prune, prune_eq, probes):
+                pruned.append(os.path.join(pdir, f))
+            else:
+                paths.append(os.path.join(pdir, f))
     reader = spark.read.option("basePath", os.path.join(base, sink))
     if not paths:
         # everything pruned: preserve the schema, scan nothing at runtime
@@ -663,6 +759,368 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
                 os.unlink(os.path.join(log.dir, f"v{v}.json"))
                 removed += 1
     return removed
+
+
+NULL_PART_KEY = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _stage_and_move(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    sink: str,
+    part_col: str,
+    prefix: str,
+    version: int,
+) -> dict[str, list[str]]:
+    """ONE partitioned write of ``df`` into a staging dir, then move each
+    output file into its live partition dir under ``{prefix}{version}-``
+    names.  The moved files are DARK — every touched partition is file-mode,
+    so nothing is visible until a snapshot references them (crash ⇒ orphans,
+    ``vacuum_table`` removes them).  Returns {part_key: [file names]}."""
+    stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+    out = os.path.join(stage, "out")
+    moved: dict[str, list[str]] = {}
+    try:
+        df.write.partitionBy(part_col).parquet(out)
+        for entry in sorted(os.listdir(out)):
+            if not entry.startswith(f"{part_col}="):
+                continue
+            part = entry[len(part_col) + 1:]
+            odir = os.path.join(out, entry)
+            pdir = os.path.join(base, sink, entry)
+            os.makedirs(pdir, exist_ok=True)
+            names = []
+            for i, name in enumerate(_data_files(odir)):
+                dst = f"{prefix}{version}-{i:05d}.parquet"
+                os.rename(os.path.join(odir, name), os.path.join(pdir, dst))
+                names.append(dst)
+            if names:
+                moved[part] = names
+    finally:
+        _rmtree(stage)
+    return moved
+
+
+def _candidate_files(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    parts: dict,
+    part_col: str,
+    prune: tuple | None,
+    prune_eq: tuple | None,
+) -> tuple[list[str], int]:
+    """(kept candidate paths, total manifest files) under the SAME per-file
+    skip decision ``read_table`` uses (:func:`_file_pruned`)."""
+    probes: dict[tuple[int, int], list[int]] = {}
+    cand: list[str] = []
+    total = 0
+    for k in sorted(parts):
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        stats = parts[k].get("stats", {})
+        for f in parts[k]["files"] or ():
+            total += 1
+            if not _file_pruned(spark, stats.get(f, {}), prune, prune_eq, probes):
+                cand.append(os.path.join(pdir, f))
+    return cand, total
+
+
+def delete_where(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    predicate,
+    part_col: str = PART_COL,
+    prune: tuple | None = None,
+    prune_eq: tuple | None = None,
+) -> dict:
+    """Copy-on-write row-level DELETE — the Iceberg ``DELETE FROM`` analog.
+
+    Protocol (crash-safe at every step, same shape as :func:`compact_table`):
+
+      1. ``pin_files`` — all partitions file-mode, staged output invisible;
+      2. candidate selection: ``prune``/``prune_eq`` apply the SAME min/max +
+         Bloom file skipping as ``read_table`` (via :func:`_file_pruned`), so
+         a clustered table deletes a narrow window by rewriting only the few
+         files that can contain it — at 100 TB this is the whole point of
+         row-level ops on a table format: touch O(matching files), not O(table);
+      3. ONE distributed pass finds the DIRTY files (``input_file_name()``
+         grouped match counts) — files proven clean are never rewritten;
+      4. dirty files are re-read, surviving rows (``NOT predicate``, with
+         NULL-predicate rows surviving, per SQL DELETE semantics) are staged
+         in ONE partitioned write and moved dark under ``dl{v}-`` names;
+      5. row-count invariant asserted (kept == dirty − matched), then ONE
+         ``delete`` snapshot atomically swaps file lists + row counts.
+
+    ``predicate`` is a ``Column`` or SQL string.  Returns
+    ``{"deleted", "files_rewritten", "files_scanned", "files_total"}``.
+    Single-maintenance-writer assumption, as for ``compact_table``."""
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    parts = log.manifest().get(sink, {})
+    sdir = os.path.join(base, sink)
+    out = {"deleted": 0, "files_rewritten": 0, "files_scanned": 0, "files_total": 0}
+    if not parts:
+        return out
+    cand, out["files_total"] = _candidate_files(
+        spark, base, sink, parts, part_col, prune, prune_eq
+    )
+    out["files_scanned"] = len(cand)
+    if not cand:
+        return out
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    reader = spark.read.option("basePath", sdir)
+    matches = (
+        reader.parquet(*cand)
+        .where(hit)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dirty: dict[str, dict[str, int]] = {}
+    for r in matches:
+        p, fn = _split_file_path(r["_f"], part_col)
+        dirty.setdefault(p, {})[fn] = r["n"]
+    if not dirty:
+        return out
+    n_matched = sum(sum(d.values()) for d in dirty.values())
+    version = log.current_version() + 1
+    dirty_paths = [
+        os.path.join(sdir, f"{part_col}={p}", fn)
+        for p in sorted(dirty)
+        for fn in sorted(dirty[p])
+    ]
+    src = reader.parquet(*dirty_paths)
+    n_dirty = src.count()
+    moved = _stage_and_move(spark, src.where(~hit), base, sink, part_col, "dl", version)
+    moved_paths = [
+        os.path.join(sdir, f"{part_col}={p}", f) for p, fs in moved.items() for f in fs
+    ]
+    n_kept = reader.parquet(*moved_paths).count() if moved_paths else 0
+    if n_kept != n_dirty - n_matched:
+        raise RuntimeError(
+            f"delete_where on {sink!r} would be lossy: kept {n_kept} rows from "
+            f"{n_dirty} dirty-file rows with {n_matched} matches; aborting before commit"
+        )
+    new_files = {
+        p: sorted([f for f in parts[p]["files"] if f not in dirty[p]] + moved.get(p, []))
+        for p in dirty
+    }
+    new_rows = {p: parts[p]["rows"] - sum(dirty[p].values()) for p in dirty}
+    log.commit(
+        {"operation": "delete", "sinks": {sink: {"files": new_files, "rows": new_rows}}}
+    )
+    out["deleted"] = n_matched
+    out["files_rewritten"] = len(dirty_paths)
+    return out
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    part_col: str = PART_COL,
+    probe_bloom: bool = True,
+    max_probe_keys: int = 10_000,
+) -> dict:
+    """Copy-on-write MERGE/upsert — the Iceberg ``MERGE INTO … WHEN MATCHED
+    THEN UPDATE WHEN NOT MATCHED THEN INSERT`` analog, with delete-then-insert
+    semantics: every table row whose ``key_cols`` match an update row is
+    replaced, every update row is inserted.
+
+    Scale shape: dirty-file discovery is ONE distributed pass (scan ∘
+    equi-join on the distinct update keys, grouped by ``input_file_name()``),
+    and when per-file Bloom filters exist on a single key column
+    (:func:`collect_file_blooms`) and the update key set is small
+    (≤ ``max_probe_keys``), files whose filter rejects EVERY key are skipped
+    before that scan — a point-keyed trickle merge against a 100 TB table
+    reads only the files that can contain its keys.  Clean files are never
+    rewritten; kept rows + all update rows are staged in ONE partitioned
+    write, moved dark under ``mg{v}-`` names, and published by ONE ``merge``
+    snapshot after a row-count invariant check.
+
+    ``updates`` must carry exactly the table's columns (including
+    ``part_col``) and should be deterministic (it is evaluated more than
+    once; it is persisted here as a guard).  NULL keys never match (SQL
+    equality), so NULL-keyed update rows are pure inserts.  Returns
+    ``{"matched", "inserted", "files_rewritten", "files_scanned",
+    "files_total", "bloom_skipped"}``."""
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    parts = log.manifest().get(sink, {})
+    sdir = os.path.join(base, sink)
+    key_cols = list(key_cols)
+    all_paths = [
+        os.path.join(sdir, f"{part_col}={k}", f)
+        for k in sorted(parts)
+        for f in parts[k]["files"] or ()
+    ]
+    reader = spark.read.option("basePath", sdir)
+    if all_paths:
+        tbl_cols = set(reader.parquet(*all_paths).columns)
+        if set(updates.columns) != tbl_cols:
+            raise ValueError(
+                f"updates schema {sorted(updates.columns)} != table schema "
+                f"{sorted(tbl_cols)} for sink {sink!r}"
+            )
+    updates = updates.persist()
+    try:
+        n_updates = updates.count()
+        keys = updates.select(*key_cols).distinct()
+        cand, total = all_paths, len(all_paths)
+        bloom_skipped = 0
+        if probe_bloom and len(key_cols) == 1 and all_paths:
+            cand, bloom_skipped = _bloom_narrow_candidates(
+                spark, sdir, parts, part_col, key_cols[0], keys, max_probe_keys
+            )
+        matches = []
+        if cand:
+            matches = (
+                reader.parquet(*cand)
+                .withColumn("_f", F.input_file_name())
+                .join(keys, on=key_cols, how="inner")
+                .groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        dirty: dict[str, dict[str, int]] = {}
+        for r in matches:
+            p, fn = _split_file_path(r["_f"], part_col)
+            dirty.setdefault(p, {})[fn] = r["n"]
+        n_matched = sum(sum(d.values()) for d in dirty.values())
+        version = log.current_version() + 1
+        body = updates
+        n_dirty = 0
+        dirty_paths = [
+            os.path.join(sdir, f"{part_col}={p}", fn)
+            for p in sorted(dirty)
+            for fn in sorted(dirty[p])
+        ]
+        if dirty_paths:
+            src = reader.parquet(*dirty_paths)
+            n_dirty = src.count()
+            body = src.join(keys, on=key_cols, how="left_anti").unionByName(updates)
+        moved = _stage_and_move(spark, body, base, sink, part_col, "mg", version)
+        moved_paths = [
+            os.path.join(sdir, f"{part_col}={p}", f) for p, fs in moved.items() for f in fs
+        ]
+        n_written = reader.parquet(*moved_paths).count() if moved_paths else 0
+        if n_written != n_dirty - n_matched + n_updates:
+            raise RuntimeError(
+                f"merge_upsert on {sink!r} would be lossy: wrote {n_written} rows, "
+                f"expected {n_dirty} − {n_matched} + {n_updates}; aborting before commit"
+            )
+        inserted = {
+            (NULL_PART_KEY if r[part_col] is None else str(r[part_col])): r["n"]
+            for r in updates.groupBy(part_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        touched = set(dirty) | set(moved)
+        new_files = {}
+        new_rows = {}
+        for p in touched:
+            old = parts.get(p, {}).get("files") or []
+            drop = set(dirty.get(p, {}))
+            new_files[p] = sorted([f for f in old if f not in drop] + moved.get(p, []))
+            new_rows[p] = (
+                parts.get(p, {}).get("rows", 0)
+                - sum(dirty.get(p, {}).values())
+                + inserted.get(p, 0)
+            )
+        log.commit(
+            {"operation": "merge", "sinks": {sink: {"files": new_files, "rows": new_rows}}}
+        )
+        return {
+            "matched": n_matched,
+            "inserted": n_updates,
+            "files_rewritten": len(dirty_paths),
+            "files_scanned": len(cand),
+            "files_total": total,
+            "bloom_skipped": bloom_skipped,
+        }
+    finally:
+        updates.unpersist()
+
+
+def _bloom_narrow_candidates(
+    spark: SparkSession,
+    sdir: str,
+    parts: dict,
+    part_col: str,
+    key_col: str,
+    keys: DataFrame,
+    max_probe_keys: int,
+) -> tuple[list[str], int]:
+    """Drop files whose Bloom filter rejects EVERY update key.  Falls back to
+    all files when no filters exist or the key set exceeds ``max_probe_keys``
+    (driver-side probing is O(keys × files) bit tests — cheap for trickle
+    merges, wrong for giant ones).  Files without a filter are always kept."""
+    import base64
+    import zlib as _z
+
+    bkey = f"_bloom:{key_col}"
+    if not any(
+        bkey in (parts[k].get("stats", {}).get(f) or {})
+        for k in parts
+        for f in parts[k]["files"] or ()
+    ):
+        return (
+            [
+                os.path.join(sdir, f"{part_col}={k}", f)
+                for k in sorted(parts)
+                for f in parts[k]["files"] or ()
+            ],
+            0,
+        )
+    kv = [r[0] for r in keys.limit(max_probe_keys + 1).collect()]
+    all_files = [
+        (k, f) for k in sorted(parts) for f in parts[k]["files"] or ()
+    ]
+    if len(kv) > max_probe_keys:
+        return [os.path.join(sdir, f"{part_col}={k}", f) for k, f in all_files], 0
+    kv = [v for v in kv if v is not None]  # NULL keys never match (pure inserts)
+    pos_by_mk: dict[tuple[int, int], dict[str, list[int]]] = {}
+    cand: list[str] = []
+    skipped = 0
+    for k, f in all_files:
+        path = os.path.join(sdir, f"{part_col}={k}", f)
+        bloom = (parts[k].get("stats", {}).get(f) or {}).get(bkey)
+        if bloom is None or not kv:
+            cand.append(path)
+            continue
+        mk = (bloom["m"], bloom["k"])
+        if mk not in pos_by_mk:
+            pos_by_mk[mk] = _bloom_probe_positions_many(spark, kv, *mk)
+        bitmap = _z.decompress(base64.b64decode(bloom["b64"]))
+        if any(
+            all(bitmap[p // 8] & (1 << (p % 8)) for p in plist)
+            for plist in pos_by_mk[mk].values()
+        ):
+            cand.append(path)
+        else:
+            skipped += 1
+    return cand, skipped
+
+
+def _bloom_probe_positions_many(
+    spark: SparkSession, values: list, bits: int, hashes: int
+) -> dict[str, list[int]]:
+    """Batched :func:`_bloom_probe_positions`: hash ALL probe values in ONE
+    Spark job with the same JVM expression family the build side used
+    (per-value jobs would be O(keys) driver round-trips)."""
+    vals = [str(v) for v in values]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select(
+        "v",
+        *[
+            F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(bits)).alias(f"_p{i}")
+            for i in range(hashes)
+        ],
+    ).collect()
+    return {r["v"]: [int(r[f"_p{i}"]) for i in range(hashes)] for r in rows}
 
 
 def _rmtree(path: str) -> None:
