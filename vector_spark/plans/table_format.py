@@ -513,7 +513,14 @@ def collect_file_blooms(
     soundness).
 
     Probe side is :func:`read_table` ``prune_eq=(col, value)``; equality is
-    on the STRING form of the column (documented cast above)."""
+    on the STRING form of the column (documented cast above).
+
+    Sizing for MULTI-key probes (:func:`merge_upsert` candidate narrowing):
+    a file survives if ANY update key maybe-matches, so the per-key FP rate
+    must be ≪ 1/(n_keys × n_files) — the defaults (~2 %) keep every file
+    for a 1000-key merge.  Collect with e.g. ``bits=1<<20, hashes=4``
+    (~1e-5 per key at 16k rows → ~1 % false-keep per file for 1000 keys);
+    the bitmap zlib-compresses well below its 128 KB raw size."""
     import base64
 
     log = CommitLog(base)
@@ -1110,9 +1117,13 @@ def _bloom_probe_positions_many(
 ) -> dict[str, list[int]]:
     """Batched :func:`_bloom_probe_positions`: hash ALL probe values in ONE
     Spark job with the same JVM expression family the build side used
-    (per-value jobs would be O(keys) driver round-trips)."""
+    (per-value jobs would be O(keys) driver round-trips).  The values ship
+    via a pandas frame — the Arrow fast path; a list-of-tuples
+    ``createDataFrame`` pays ~2 s of row-by-row conversion at 1k values."""
+    import pandas as pd
+
     vals = [str(v) for v in values]
-    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
     rows = df.select(
         "v",
         *[
