@@ -223,3 +223,112 @@ def test_multi_sink_chaos_schedules(spark, tmp_path_factory, crash_points):
     now = committed_file_mtimes()
     for key, mt in mtimes.items():
         assert now.get(key) == mt
+
+
+# --------------------------------------------------------------------------
+# Schema evolution (Iceberg model: schema lives in snapshot metadata; readers
+# apply the METADATA schema, never merge data-file footers)
+# --------------------------------------------------------------------------
+
+def _part_df(spark, lo, hi, part, extra=None, drop=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2).alias("b"),
+        F.lit(str(part)).alias(CP.PART_COL),
+    )
+    if extra:
+        for name, col in extra.items():
+            df = df.withColumn(name, col)
+    if drop:
+        df = df.drop(drop)
+    return df
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    base = str(tmp_path / "out")
+    TF.write_multi_sink({"t": _part_df(spark, 0, 10, 0)}, base)
+    # v2 adds column c (new partition — appends never rewrite committed parts)
+    TF.write_multi_sink(
+        {"t": _part_df(spark, 10, 20, 1, extra={"c": F.lit("x")})}, base
+    )
+    got = TF.read_table(spark, base, "t")
+    assert set(got.columns) == {"a", "b", "c", CP.PART_COL}
+    rows = {r["a"]: r["c"] for r in got.collect()}
+    assert len(rows) == 20
+    assert all(rows[a] is None for a in range(10))      # pre-evolution files → NULL
+    assert all(rows[a] == "x" for a in range(10, 20))
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    base = str(tmp_path / "out")
+    TF.write_multi_sink({"t": _part_df(spark, 0, 10, 0)}, base)
+    TF.write_multi_sink({"t": _part_df(spark, 10, 20, 1, drop="b")}, base)
+    got = TF.read_table(spark, base, "t")
+    assert set(got.columns) == {"a", CP.PART_COL}       # b invisible everywhere
+    assert got.count() == 20
+
+
+def test_schema_evolution_type_change_refused(spark, tmp_path):
+    base = str(tmp_path / "out")
+    TF.write_multi_sink({"t": _part_df(spark, 0, 10, 0)}, base)
+    bad = _part_df(spark, 10, 20, 1).withColumn("b", F.col("b").cast("string"))
+    with pytest.raises(TF.SchemaEvolutionError, match="b: 'long' → 'string'"):
+        TF.write_multi_sink({"t": bad}, base)
+    assert TF.CommitLog(base).current_version() == 1    # refused before any commit
+
+
+def test_schema_evolution_time_travel_reads_old_schema(spark, tmp_path):
+    base = str(tmp_path / "out")
+    TF.write_multi_sink({"t": _part_df(spark, 0, 10, 0)}, base)
+    TF.write_multi_sink(
+        {"t": _part_df(spark, 10, 20, 1, extra={"c": F.lit("x")})}, base
+    )
+    v1 = TF.read_table(spark, base, "t", version=1)
+    assert set(v1.columns) == {"a", "b", CP.PART_COL}   # v1 schema, no c
+    assert v1.count() == 10
+
+
+def test_schema_evolution_survives_expire_snapshots(spark, tmp_path):
+    base = str(tmp_path / "out")
+    TF.write_multi_sink(
+        {"t": _part_df(spark, 0, 10, 0, extra={"c": F.lit("x")})}, base
+    )
+    TF.expire_snapshots(base)
+    got = TF.read_table(spark, base, "t")
+    assert set(got.columns) == {"a", "b", "c", CP.PART_COL}
+
+
+def test_schema_evolution_row_ops_see_evolved_view(spark, tmp_path):
+    """delete_where on a column ADDED after the first files were written:
+    pre-evolution rows read c as NULL (survive a c='x' delete, per SQL
+    NULL semantics), post-evolution matches are rewritten out."""
+    base = str(tmp_path / "out")
+    TF.write_multi_sink({"t": _part_df(spark, 0, 10, 0)}, base)
+    TF.write_multi_sink(
+        {"t": _part_df(spark, 10, 20, 1, extra={"c": F.lit("x")})}, base
+    )
+    res = TF.delete_where(spark, base, "t", "c = 'x'")
+    assert res["deleted"] == 10
+    got = TF.read_table(spark, base, "t")
+    assert got.count() == 10
+    assert {r["a"] for r in got.collect()} == set(range(10))
+
+
+def test_commit_conflict_is_atomic_no_clobber(tmp_path):
+    """Two committers racing to the same version: exactly one wins, the
+    loser raises CommitConflict, and the winner's bytes are NOT replaced
+    (os.rename would silently clobber; the os.link claim cannot)."""
+    a = TF.CommitLog(str(tmp_path))
+    b = TF.CommitLog(str(tmp_path))
+    # both observe version 0 → both will try to publish v1
+    assert a.current_version() == b.current_version() == 0
+    assert a.commit({"sinks": {"winner": {}}}) == 1
+
+    orig_cv = TF.CommitLog.current_version
+    TF.CommitLog.current_version = lambda self: 0  # b still believes v0
+    try:
+        with pytest.raises(TF.CommitConflict):
+            b.commit({"sinks": {"loser": {}}})
+    finally:
+        TF.CommitLog.current_version = orig_cv
+    assert "winner" in a.snapshots()[0]["sinks"]  # winner's bytes intact

@@ -26,6 +26,14 @@ Readers (`read_table`) enumerate the committed partition directories from
 the log and read only those paths — uncommitted/torn data files are
 invisible, and the path list gives partition pruning for free.
 
+SCHEMA EVOLUTION follows the same metadata-first model: each append snapshot
+records the writer's schema, readers apply the RECORDED schema (never
+``mergeSchema`` footer scans — at 100 TB that is a full-manifest footer read
+per query), so adding a column makes pre-evolution files read it as NULL,
+dropping one hides it everywhere, time travel sees each version under its
+own schema, and same-name type changes are refused at write time
+(:class:`SchemaEvolutionError`) before anything commits.
+
 At 100 TB the same structure holds: data files land on the object store
 (the expensive, restartable part), and the commit is one small atomic
 metadata operation — identical cost profile to Iceberg's commit.
@@ -62,6 +70,16 @@ class CommitConflict(RuntimeError):
     pass
 
 
+class SchemaEvolutionError(ValueError):
+    """A write's schema conflicts with the table's recorded schema in a way
+    schema evolution cannot express: a column kept the same name but changed
+    type.  Adding and dropping columns is allowed (Iceberg add/drop); type
+    changes are refused outright — Iceberg permits a few safe promotions
+    (int→long, float→double), but Spark's vectorized parquet reader cannot
+    re-read old INT32 pages under an explicit LongType schema, so the shim
+    refuses rather than committing metadata its own reader chokes on."""
+
+
 class CommitLog:
     """Numbered-snapshot commit log under ``<base>/_commits/``."""
 
@@ -90,21 +108,30 @@ class CommitLog:
         return out
 
     def commit(self, meta: dict) -> int:
-        """Publish a snapshot atomically (tmp + fsync + rename).  The rename
-        is the all-or-nothing point: before it, readers see the previous
-        snapshot; after it, the new one — never a partial state."""
+        """Publish a snapshot atomically (tmp + fsync + hard-link claim).
+        ``os.link`` fails with EEXIST when the target exists — unlike
+        ``os.rename``, which silently REPLACES it — so two committers racing
+        to the same next version cannot clobber each other: exactly one
+        claims ``v{N}.json``, the loser gets :class:`CommitConflict` (the
+        optimistic-concurrency signal Iceberg's catalog swap gives; the
+        caller re-reads the log and retries on fresher state).  Before the
+        link, readers see the previous snapshot; after it, the new one —
+        never a partial state."""
         version = self.current_version() + 1
         meta = {"version": version, **meta}
         final = os.path.join(self.dir, f"v{version}.json")
-        if os.path.exists(final):
-            raise CommitConflict(f"snapshot v{version} already exists")
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as fh:
                 json.dump(meta, fh, indent=1)
                 fh.flush()
                 os.fsync(fh.fileno())
-            os.rename(tmp, final)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"snapshot v{version} already exists (concurrent committer won)"
+                ) from None
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -189,6 +216,44 @@ class CommitLog:
             for sink, parts in self.manifest().items()
         }
 
+    def schemas(self, as_of: int | None = None) -> dict[str, str]:
+        """Fold snapshots → {sink: schema-json} — the table schema AS OF a
+        version (latest when ``as_of`` is None).  This is the Iceberg model:
+        the schema lives in table metadata, one per snapshot, and readers
+        apply the METADATA schema rather than merging data-file footers —
+        so old files are read under the current schema (missing columns →
+        NULL, dropped columns → invisible) and time travel reads each
+        version under the schema it was written with."""
+        out: dict[str, str] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            if snap.get("operation", "append") == "checkpoint":
+                out = dict(snap.get("schemas") or {})
+                continue
+            for sink, info in (snap.get("sinks") or {}).items():
+                s = info.get("schema")
+                if s:
+                    out[sink] = s
+        return out
+
+
+def _check_schema_compat(old_json: str, new_json: str, sink: str) -> None:
+    """Refuse type changes on same-named columns (add/drop are fine)."""
+    old_fields = {f["name"]: f["type"] for f in json.loads(old_json)["fields"]}
+    new_fields = {f["name"]: f["type"] for f in json.loads(new_json)["fields"]}
+    changed = [
+        (name, old_fields[name], new_fields[name])
+        for name in sorted(set(old_fields) & set(new_fields))
+        if old_fields[name] != new_fields[name]
+    ]
+    if changed:
+        detail = "; ".join(f"{n}: {o!r} → {w!r}" for n, o, w in changed)
+        raise SchemaEvolutionError(
+            f"sink {sink!r}: column type change(s) refused ({detail}); "
+            "add/drop columns instead, or write the new type under a new name"
+        )
+
 
 def write_multi_sink(
     sinks: dict[str, DataFrame],
@@ -216,6 +281,8 @@ def write_multi_sink(
     notify = on_event or (lambda _evt: None)
     log = CommitLog(base)
     done = log.committed()
+    recorded_schemas = log.schemas()
+    schema_by_sink: dict[str, str] = {}
     written: dict[str, dict[str, int]] = {}
     # NULL part keys: Spark writes them under this directory name; we commit
     # them under the same key so read_table finds the data, and the resume
@@ -223,6 +290,19 @@ def write_multi_sink(
     # would silently drop those rows from every rerun).
     null_key = "__HIVE_DEFAULT_PARTITION__"
     for name, df in sinks.items():
+        # Record the DATA schema only: the partition column lives in
+        # directory names whose type is re-inferred on read (Iceberg
+        # likewise keeps the partition spec outside the schema), so
+        # including it would flag spurious "type changes" between writers
+        # that key partitions as int vs string.
+        from pyspark.sql.types import StructType
+
+        schema_by_sink[name] = StructType(
+            [f for f in df.schema.fields if f.name != part_col]
+        ).json()
+        old = recorded_schemas.get(name)
+        if old is not None and old != schema_by_sink[name]:
+            _check_schema_compat(old, schema_by_sink[name], name)
         committed_keys = set(done.get(name, {}))
         todo = df
         if committed_keys:
@@ -245,7 +325,10 @@ def write_multi_sink(
             {
                 "operation": "append",
                 "run_id": run_id,
-                "sinks": {name: {"parts": parts} for name, parts in written.items()},
+                "sinks": {
+                    name: {"parts": parts, "schema": schema_by_sink[name]}
+                    for name, parts in written.items()
+                },
             }
         )
     return written
@@ -400,6 +483,16 @@ def read_table(
             else:
                 paths.append(os.path.join(pdir, f))
     reader = spark.read.option("basePath", os.path.join(base, sink))
+    schema_json = log.schemas(as_of=version).get(sink)
+    if schema_json is not None:
+        # SCHEMA EVOLUTION: apply the snapshot's recorded schema instead of
+        # merging data-file footers (the Iceberg model).  Files written
+        # before a column was added read it as NULL; columns dropped from
+        # the schema are invisible even though old files still carry them;
+        # time travel sees each version under its own schema.
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
     if not paths:
         # everything pruned: preserve the schema, scan nothing at runtime
         return reader.parquet(
@@ -438,7 +531,7 @@ def collect_file_stats(
             paths.append(os.path.join(pdir, f))
     if not paths:
         return {}
-    df = spark.read.option("basePath", os.path.join(base, sink)).parquet(*paths)
+    df = _sink_reader(spark, log, base, sink).parquet(*paths)
     aggs = []
     for i, c in enumerate(columns):
         aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
@@ -456,6 +549,21 @@ def collect_file_stats(
     if out:
         log.commit({"operation": "stats", "sinks": {sink: {"stats": out}}})
     return out
+
+
+def _sink_reader(spark: SparkSession, log: CommitLog, base: str, sink: str):
+    """Parquet reader for a sink's data files with the recorded table schema
+    applied (when one exists) — so maintenance/row ops see the SAME evolved
+    view as ``read_table``: files predating an added column yield NULLs,
+    dropped columns stay invisible, and rewrites re-materialize files under
+    the current schema."""
+    reader = spark.read.option("basePath", os.path.join(base, sink))
+    schema_json = log.schemas().get(sink)
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader
 
 
 def _manifest_paths(log: CommitLog, base: str, sink: str, part_col: str) -> list[str]:
@@ -529,7 +637,7 @@ def collect_file_blooms(
     if not paths:
         return {}
     df = (
-        spark.read.option("basePath", os.path.join(base, sink))
+        _sink_reader(spark, log, base, sink)
         .parquet(*paths)
         .select(F.input_file_name().alias("_f"), *_bloom_hash_cols(column, hashes, bits))
     )
@@ -668,7 +776,7 @@ def compact_table(
             continue
         pdir = os.path.join(base, sink, f"{part_col}={part}")
         src = [os.path.join(pdir, f) for f in files]
-        df = spark.read.option("basePath", os.path.join(base, sink)).parquet(*src)
+        df = _sink_reader(spark, log, base, sink).parquet(*src)
         n_before = df.count()
         stage = tempfile.mkdtemp(dir=base, prefix=f"_compact_{sink}_")
         out_dir = os.path.join(stage, "out")
@@ -687,7 +795,7 @@ def compact_table(
             moved.append(dst)
         _rmtree(stage)
         n_after = (
-            spark.read.option("basePath", os.path.join(base, sink))
+            _sink_reader(spark, log, base, sink)
             .parquet(*[os.path.join(pdir, f) for f in moved])
             .count()
         )
@@ -758,7 +866,9 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
     state = log.manifest()
     if not state:
         return 0
-    new_v = log.commit({"operation": "checkpoint", "state": state})
+    new_v = log.commit(
+        {"operation": "checkpoint", "state": state, "schemas": log.schemas()}
+    )
     removed = 0
     if not keep_history:
         for v in log.versions():
@@ -878,7 +988,7 @@ def delete_where(
         return out
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
-    reader = spark.read.option("basePath", sdir)
+    reader = _sink_reader(spark, log, base, sink)
     matches = (
         reader.parquet(*cand)
         .where(hit)
@@ -966,7 +1076,7 @@ def merge_upsert(
         for k in sorted(parts)
         for f in parts[k]["files"] or ()
     ]
-    reader = spark.read.option("basePath", sdir)
+    reader = _sink_reader(spark, log, base, sink)
     if all_paths:
         tbl_cols = set(reader.parquet(*all_paths).columns)
         if set(updates.columns) != tbl_cols:
