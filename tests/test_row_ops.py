@@ -246,3 +246,210 @@ def test_merge_then_time_travel_roundtrip(spark, table):
     updates, _, _ = _mk_updates(spark, TF.read_table(spark, table, "logs"))
     TF.merge_upsert(spark, table, "logs", updates, key_cols=["url"])
     assert _rows(TF.read_table(spark, table, "logs", version=v)) == before
+
+
+# ---------------------------------------------------------------------------
+# ROLLBACK (Iceberg rollback_to_snapshot analog: roll-forward checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def test_rollback_undoes_delete_and_preserves_history(spark, table):
+    TF.pin_files(table, "logs")  # v2: file-mode → rollback-able
+    v_pinned = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+
+    TF.delete_where(spark, table, "logs", F.col("lang") == "de")
+    v_deleted = TF.CommitLog(table).current_version()
+    deleted_state = _rows(TF.read_table(spark, table, "logs"))
+    assert deleted_state != before
+
+    new_v = TF.rollback_table(table, v_pinned)
+    assert new_v == v_deleted + 1  # roll-FORWARD: a new snapshot, not erasure
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    # committed() row accounting matches the restored physical table
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == len(before)
+    # history preserved: the rolled-back-away version still time-travels
+    assert _rows(TF.read_table(spark, table, "logs", version=v_deleted)) == deleted_state
+    # and vacuum (current-manifest rule, no rollback awareness) now reclaims
+    # the delete's rewrite output; the restored state is untouched
+    removed = TF.vacuum_table(table, "logs", staging_grace_s=0)
+    assert removed
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    with pytest.raises(TF.TimeTravelUnavailable, match="no longer on disk"):
+        TF.read_table(spark, table, "logs", version=v_deleted)
+
+
+def test_rollback_restores_pre_evolution_schema(spark, table):
+    TF.pin_files(table, "logs")
+    v = TF.CommitLog(table).current_version()
+    evolved = CP.with_part_key(
+        synth.documents(spark, 50).drop("html").withColumn("c", F.lit("x")),
+        n_parts=1,
+        key_cols=["url"],
+    ).withColumn(CP.PART_COL, F.lit("9"))  # fresh partition: appends never rewrite
+    TF.write_multi_sink({"logs": evolved}, table, run_id="r2")
+    assert "c" in TF.read_table(spark, table, "logs").columns
+
+    TF.rollback_table(table, v)
+    got = TF.read_table(spark, table, "logs")
+    assert "c" not in got.columns  # v's recorded schema, not the evolved one
+
+
+def test_rollback_out_of_range_and_noop(spark, table):
+    cur = TF.CommitLog(table).current_version()
+    with pytest.raises(ValueError, match="cannot roll back"):
+        TF.rollback_table(table, cur + 1)
+    with pytest.raises(ValueError, match="cannot roll back"):
+        TF.rollback_table(table, 0)
+    assert TF.rollback_table(table, cur) == cur  # no-op, no new snapshot
+    assert TF.CommitLog(table).current_version() == cur
+
+
+def test_rollback_refused_when_bytes_gone(spark, table):
+    TF.pin_files(table, "logs")
+    v_pinned = TF.CommitLog(table).current_version()
+    TF.delete_where(spark, table, "logs", F.col("lang") == "de")
+    TF.vacuum_table(table, "logs", staging_grace_s=0)  # pre-delete bytes gone
+    with pytest.raises(TF.TimeTravelUnavailable, match="no longer on disk"):
+        TF.rollback_table(table, v_pinned)
+    # refusal left no snapshot behind
+    assert TF.CommitLog(table).snapshots()[-1]["operation"] != "checkpoint"
+
+
+def test_rollback_refused_for_later_touched_dir_mode(spark, table):
+    v1 = TF.CommitLog(table).current_version()
+    TF.pin_files(table, "logs")  # later snapshot touches the dir-mode parts
+    with pytest.raises(TF.TimeTravelUnavailable, match="dir-mode"):
+        TF.rollback_table(table, v1)
+
+
+# ---------------------------------------------------------------------------
+# MERGE-ON-READ deletes (Iceberg v2 positional delete files)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_semantics_without_rewrites(spark, table):
+    before = TF.read_table(spark, table, "logs")
+    pred = F.col("lang") == "de"
+    n_match = before.where(pred).count()
+    expect = _rows(before.where(~F.coalesce(pred, F.lit(False))))
+    files_before = None
+
+    res = TF.delete_where(spark, table, "logs", pred, mode="merge-on-read")
+    files_before = _live_files(table)
+    assert res["deleted"] == n_match
+    assert res["files_rewritten"] == 0 and res["delete_files"] >= 1
+    after = TF.read_table(spark, table, "logs")
+    assert _rows(after) == expect
+    # no data file was touched: the manifest file lists are the pinned ones
+    # and every listed file still exists
+    for p, fs in files_before.items():
+        assert fs, "MOR delete pins partitions to file-mode"
+    # logical row accounting moved with the tombstones
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == len(expect)
+
+
+def test_mor_repeat_delete_never_double_counts(spark, table):
+    n_de = TF.read_table(spark, table, "logs").where("lang = 'de'").count()
+    n_fr = TF.read_table(spark, table, "logs").where("lang = 'fr'").count()
+    assert n_de and n_fr
+    r1 = TF.delete_where(spark, table, "logs", "lang = 'de'", mode="merge-on-read")
+    # overlapping predicate: the de rows are already tombstoned — only fr match
+    r2 = TF.delete_where(
+        spark, table, "logs", "lang IN ('de','fr')", mode="merge-on-read"
+    )
+    assert r1["deleted"] == n_de and r2["deleted"] == n_fr
+    got = TF.read_table(spark, table, "logs")
+    assert got.where("lang IN ('de','fr')").count() == 0
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == got.count()
+
+
+def test_mor_blocks_cow_ops_until_materialized(spark, table):
+    TF.delete_where(spark, table, "logs", "lang = 'de'", mode="merge-on-read")
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        TF.compact_table(spark, table, "logs", max_files=0)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        TF.delete_where(spark, table, "logs", "lang = 'fr'")
+    updates, _, _ = _mk_updates(spark, TF.read_table(spark, table, "logs"))
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        TF.merge_upsert(spark, table, "logs", updates, key_cols=["url"])
+
+
+def test_mor_materialize_rewrites_only_dirty_and_clears(spark, table):
+    pred = F.col("lang") == "de"
+    expect = _rows(TF.read_table(spark, table, "logs").where(~F.coalesce(pred, F.lit(False))))
+    TF.delete_where(spark, table, "logs", pred, mode="merge-on-read")
+    files_before = _live_files(table)
+    n_files_total = sum(len(v) for v in files_before.values())
+
+    res = TF.materialize_deletes(spark, table, "logs")
+    assert res["applied"] > 0 and res["delete_files_cleared"] >= 1
+    assert 0 < res["files_rewritten"] <= n_files_total
+    assert not TF.CommitLog(table).delete_files().get("logs")
+    assert _rows(TF.read_table(spark, table, "logs")) == expect
+    # second materialize is a no-op
+    assert TF.materialize_deletes(spark, table, "logs")["applied"] == 0
+    # COW ops are unblocked again
+    TF.delete_where(spark, table, "logs", "lang = 'fr'")
+    # vacuum reclaims the old data files AND the spent tombstones
+    removed = TF.vacuum_table(table, "logs", staging_grace_s=0)
+    assert any("_deletes" in p for p in removed)
+    assert _rows(TF.read_table(spark, table, "logs")) == _rows(
+        TF.read_table(spark, table, "logs")
+    )
+
+
+def test_mor_time_travel_and_rollback(spark, table):
+    TF.pin_files(table, "logs")
+    v_before = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+    TF.delete_where(spark, table, "logs", "lang = 'de'", mode="merge-on-read")
+    v_mor = TF.CommitLog(table).current_version()
+    after = _rows(TF.read_table(spark, table, "logs"))
+    assert after != before
+
+    # pre-delete version: data files untouched, tombstones excluded by fold
+    assert _rows(TF.read_table(spark, table, "logs", version=v_before)) == before
+    # rollback to pre-delete: tombstones dropped from the current fold too
+    TF.rollback_table(table, v_before)
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    assert not TF.CommitLog(table).delete_files().get("logs")
+    # the MOR version still reads correctly (roll-forward history)...
+    assert _rows(TF.read_table(spark, table, "logs", version=v_mor)) == after
+    # ...until vacuum removes the now-dead tombstones
+    TF.vacuum_table(table, "logs", staging_grace_s=0)
+    with pytest.raises(TF.TimeTravelUnavailable, match="tombstone"):
+        TF.read_table(spark, table, "logs", version=v_mor)
+
+
+def test_mor_state_survives_expire_snapshots(spark, table):
+    TF.delete_where(spark, table, "logs", "lang = 'de'", mode="merge-on-read")
+    expect = _rows(TF.read_table(spark, table, "logs"))
+    TF.expire_snapshots(table)
+    assert _rows(TF.read_table(spark, table, "logs")) == expect
+    assert TF.CommitLog(table).delete_files().get("logs")
+
+
+def test_mor_crash_before_commit_leaves_readers_unchanged(spark, table, monkeypatch):
+    before = _rows(TF.read_table(spark, table, "logs"))
+    orig = TF.CommitLog.commit
+
+    def failing(self, meta):
+        if meta.get("operation") == "delete_mor":
+            raise RuntimeError("injected crash before delete_mor commit")
+        return orig(self, meta)
+
+    monkeypatch.setattr(TF.CommitLog, "commit", failing)
+    with pytest.raises(RuntimeError, match="injected"):
+        TF.delete_where(spark, table, "logs", "lang = 'de'", mode="merge-on-read")
+    monkeypatch.setattr(TF.CommitLog, "commit", orig)
+    # moved-but-uncommitted tombstones are dark: the fold lists none, readers
+    # see the original table, vacuum reclaims the orphans
+    assert not TF.CommitLog(table).delete_files().get("logs")
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    removed = TF.vacuum_table(table, "logs", staging_grace_s=0)
+    assert any("_deletes" in p for p in removed)
+    assert _rows(TF.read_table(spark, table, "logs")) == before

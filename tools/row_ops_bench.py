@@ -7,7 +7,11 @@ partition clustered by warc_ts, collects min/max stats (warc_ts) + Bloom
 filters (url), then times:
 
   * delete of a ~5% warc_ts window WITH vs WITHOUT the min/max prune;
-  * a 1000-key url upsert WITH vs WITHOUT Bloom candidate narrowing.
+  * a 1000-key url upsert WITH vs WITHOUT Bloom candidate narrowing;
+  * a SCATTERED-predicate delete (~14% of rows, every file dirty — COW's
+    worst case) in copy-on-write vs merge-on-read mode, plus MOR's two
+    deferred costs: the per-read anti-join amplification and the one-off
+    materialize_deletes rewrite.
 
 Writes bench_results/row_ops.json and prints it.
 """
@@ -115,6 +119,30 @@ def main() -> None:
             first["sec"] = min(secs)
             first["update_rows"] = n_upd
             result[f"merge_{mode}"] = first
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    # COW vs MOR on a scattered predicate: lang is uniform across files, so
+    # deleting one lang dirties EVERY file — copy-on-write rewrites the whole
+    # table, merge-on-read writes only the matched positions.
+    for mode in ("copy-on-write", "merge-on-read"):
+        base = tempfile.mkdtemp(prefix="row_ops_mor_")
+        try:
+            build_table(spark, base)
+            t0 = time.perf_counter()
+            res = TF.delete_where(spark, base, "logs", "lang = 'de'", mode=mode)
+            res["sec"] = round(time.perf_counter() - t0, 3)
+            secs = []
+            for _ in range(2):  # read-side cost (best of 2: run 1 pays codegen)
+                t0 = time.perf_counter()
+                res["read_rows"] = TF.read_table(spark, base, "logs").count()
+                secs.append(round(time.perf_counter() - t0, 3))
+            res["read_sec"] = min(secs)
+            if mode == "merge-on-read":
+                t0 = time.perf_counter()
+                res["materialize"] = TF.materialize_deletes(spark, base, "logs")
+                res["materialize"]["sec"] = round(time.perf_counter() - t0, 3)
+            result[f"delete_scattered_{mode.replace('-', '_')}"] = res
         finally:
             shutil.rmtree(base, ignore_errors=True)
 

@@ -192,6 +192,12 @@ class CommitLog:
                     # stats only for file names in the live list)
                     for part, rows in (info.get("rows") or {}).items():
                         tgt.setdefault(part, {"rows": 0, "files": None})["rows"] = rows
+                elif op == "delete_mor":
+                    # merge-on-read delete: data files untouched, only the
+                    # logical row counts move (the tombstones themselves are
+                    # folded by delete_files())
+                    for part, rows in (info.get("rows") or {}).items():
+                        tgt.setdefault(part, {"rows": 0, "files": None})["rows"] = rows
                 elif op == "stats":
                     # merge per FILE per COLUMN-KEY, so min/max and bloom
                     # collections taken at different times compose
@@ -235,6 +241,28 @@ class CommitLog:
                 s = info.get("schema")
                 if s:
                     out[sink] = s
+        return out
+
+
+    def delete_files(self, as_of: int | None = None) -> dict[str, list[str]]:
+        """Fold snapshots → {sink: [tombstone file names]} — the PENDING
+        merge-on-read positional delete files (Iceberg v2 delete files) as of
+        a version.  ``delete_mor`` snapshots append their tombstones; a
+        rewrite snapshot carrying ``clear_deletes`` (written by
+        :func:`materialize_deletes`) resets the sink's list; checkpoints
+        replace the whole mapping wholesale."""
+        out: dict[str, list[str]] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            if snap.get("operation", "append") == "checkpoint":
+                out = {k: list(v) for k, v in (snap.get("delete_files") or {}).items()}
+                continue
+            for sink, info in (snap.get("sinks") or {}).items():
+                if info.get("clear_deletes"):
+                    out.pop(sink, None)
+                for n in info.get("delete_files") or ():
+                    out.setdefault(sink, []).append(n)
         return out
 
 
@@ -413,6 +441,13 @@ def _check_time_travelable(
                     f"{part_col}={k}: {len(missing)} manifest file(s) no longer on "
                     f"disk (vacuumed or overwritten), e.g. {missing[0]}"
                 )
+    ddir = os.path.join(base, sink, "_deletes")
+    for n in log.delete_files(as_of=version).get(sink) or ():
+        if not os.path.exists(os.path.join(ddir, n)):
+            bad.append(
+                f"tombstone {n} no longer on disk (vacuumed after its deletes "
+                "were materialized)"
+            )
     if bad:
         raise TimeTravelUnavailable(
             f"cannot reconstruct {sink!r} at v{version}: " + "; ".join(bad)
@@ -498,7 +533,13 @@ def read_table(
         return reader.parquet(
             *[p for p in pruned]
         ).where(F.lit(False))
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    tombs = log.delete_files(as_of=version).get(sink)
+    if tombs:
+        # MERGE-ON-READ: subtract pending positional deletes (Iceberg v2
+        # delete files) with one anti-join on (partition-dir/file, row_index)
+        df = _apply_delete_vectors(spark, df, base, sink, tombs)
+    return df
 
 
 def collect_file_stats(
@@ -564,6 +605,60 @@ def _sink_reader(spark: SparkSession, log: CommitLog, base: str, sink: str):
 
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
     return reader
+
+
+def _pos_key_cols():
+    """The positional-delete join key, computed JVM-side from the scan's
+    ``_metadata`` struct: ``__tf_file`` is the last TWO path elements
+    (``part=key/filename`` — file basenames alone are NOT unique across
+    partitions: ``_stage_and_move`` numbers outputs per partition dir), and
+    ``__tf_pos`` is the parquet row index.  Both sides of the anti-join
+    derive the key from ``_metadata.file_path`` the same way, so encoding
+    quirks cancel out."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return [
+        F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1)).alias(
+            "__tf_file"
+        ),
+        F.col("_metadata.row_index").alias("__tf_pos"),
+    ]
+
+
+def _apply_delete_vectors(
+    spark: SparkSession, df: DataFrame, base: str, sink: str, tombs: list[str]
+) -> DataFrame:
+    """Subtract pending positional deletes from a parquet scan: ONE left-anti
+    join on ``(partition-dir/file, row_index)``.  The join is NOT forced to
+    broadcast — tombstone volume is unbounded (a wide delete can tombstone
+    billions of rows), so AQE picks broadcast when the delete files are small
+    and falls back to a shuffle join when they are not; this read
+    amplification is exactly Iceberg v2's merge-on-read trade, paid until
+    :func:`materialize_deletes` folds the tombstones into a rewrite."""
+    ddir = os.path.join(base, sink, "_deletes")
+    tomb = spark.read.parquet(*[os.path.join(ddir, n) for n in tombs]).select(
+        "__tf_file", "__tf_pos"
+    )
+    cols = df.columns
+    return (
+        df.select("*", *_pos_key_cols())
+        .join(tomb, ["__tf_file", "__tf_pos"], "left_anti")
+        .select(*cols)
+    )
+
+
+def _require_no_pending_deletes(log: CommitLog, sink: str, op: str) -> None:
+    """COW rewrites (compact/delete/merge) re-materialize files under NEW
+    names, which would orphan the positional tombstones pointing at the old
+    (file, row_index) pairs — silently resurrecting deleted rows.  Refuse
+    instead: the caller runs :func:`materialize_deletes` first."""
+    pending = log.delete_files().get(sink)
+    if pending:
+        raise ValueError(
+            f"{op} on {sink!r} refused: {len(pending)} pending merge-on-read "
+            "delete file(s) reference current data files by position; run "
+            "materialize_deletes() first (rewrites would orphan the tombstones "
+            "and resurrect deleted rows)"
+        )
 
 
 def _manifest_paths(log: CommitLog, base: str, sink: str, part_col: str) -> list[str]:
@@ -765,6 +860,7 @@ def compact_table(
     partitions.
     """
     log = CommitLog(base)
+    _require_no_pending_deletes(log, sink, "compact_table")
     pin_files(base, sink, part_col)
     parts = log.manifest().get(sink, {})
     version = log.current_version() + 1
@@ -838,9 +934,20 @@ def vacuum_table(
             if name not in live:
                 os.unlink(os.path.join(pdir, name))
                 deleted.append(os.path.join(pdir, name))
+    # tombstones (merge-on-read delete files) not in the current fold:
+    # either orphans from a crashed delete (moved but never committed) or
+    # history left behind by materialize_deletes — removing them ends time
+    # travel to the MOR-era versions, same rule as for old data files
+    ddir = os.path.join(base, sink, "_deletes")
+    if os.path.isdir(ddir):
+        live_tombs = set(log.delete_files().get(sink) or ())
+        for name in sorted(os.listdir(ddir)):
+            if name not in live_tombs:
+                os.unlink(os.path.join(ddir, name))
+                deleted.append(os.path.join(ddir, name))
     now = time.time()
     for name in os.listdir(base):
-        if name.startswith(f"_compact_{sink}_"):
+        if name.startswith((f"_compact_{sink}_", f"_rowop_{sink}_")):
             path = os.path.join(base, name)
             try:
                 age = now - os.path.getmtime(path)
@@ -867,7 +974,12 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
     if not state:
         return 0
     new_v = log.commit(
-        {"operation": "checkpoint", "state": state, "schemas": log.schemas()}
+        {
+            "operation": "checkpoint",
+            "state": state,
+            "schemas": log.schemas(),
+            "delete_files": log.delete_files(),
+        }
     )
     removed = 0
     if not keep_history:
@@ -876,6 +988,48 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
                 os.unlink(os.path.join(log.dir, f"v{v}.json"))
                 removed += 1
     return removed
+
+
+def rollback_table(base: str, to_version: int, part_col: str = PART_COL) -> int:
+    """Iceberg ``rollback_to_snapshot`` analog: make the CURRENT table state
+    equal the state as of ``to_version`` by committing a NEW checkpoint
+    snapshot holding that version's manifest fold and schemas.  Roll-FORWARD
+    semantics, exactly like Iceberg: history is preserved, so time travel to
+    the rolled-back-away versions keeps working while their bytes survive,
+    and a bad rollback is itself rollback-able.  Returns the new version.
+
+    Purely a metadata operation — no data files move.  Files that only the
+    rolled-back-away snapshots reference become invisible immediately and
+    are physically reclaimed by the next :func:`vacuum_table` (whose "not in
+    the current manifest" rule needs no rollback awareness).
+
+    Raises ``ValueError`` when ``to_version`` is out of range or its
+    metadata was dropped by ``expire_snapshots``, and
+    :class:`TimeTravelUnavailable` when the state is no longer
+    byte-reconstructable (same rules as ``read_table(version=...)``:
+    a dir-mode partition touched by a later snapshot, or manifest files
+    already vacuumed) — never a silently-wrong rollback."""
+    log = CommitLog(base)
+    cur = log.current_version()
+    if not 1 <= to_version <= cur:
+        raise ValueError(
+            f"cannot roll back to v{to_version}: table is at v{cur}"
+        )
+    if to_version == cur:
+        return cur
+    state = log.manifest(as_of=to_version)
+    schemas = log.schemas(as_of=to_version)
+    for sink, parts in state.items():
+        _check_time_travelable(log, base, sink, part_col, parts, to_version)
+    return log.commit(
+        {
+            "operation": "checkpoint",
+            "state": state,
+            "schemas": schemas,
+            "delete_files": log.delete_files(as_of=to_version),
+            "rollback_of": to_version,
+        }
+    )
 
 
 NULL_PART_KEY = "__HIVE_DEFAULT_PARTITION__"
@@ -951,8 +1105,26 @@ def delete_where(
     part_col: str = PART_COL,
     prune: tuple | None = None,
     prune_eq: tuple | None = None,
+    mode: str = "copy-on-write",
 ) -> dict:
-    """Copy-on-write row-level DELETE — the Iceberg ``DELETE FROM`` analog.
+    """Row-level DELETE — the Iceberg ``DELETE FROM`` analog, in both of
+    Iceberg's ``write.delete.mode`` flavors:
+
+    ``mode="copy-on-write"`` (default) rewrites the dirty files minus the
+    matching rows — reads stay a pure scan, the delete pays the rewrite.
+
+    ``mode="merge-on-read"`` writes POSITIONAL TOMBSTONES (Iceberg v2 delete
+    files): one scan finds matching ``(partition-dir/file, row_index)`` pairs,
+    stages them as parquet under ``<sink>/_deletes/``, and ONE ``delete_mor``
+    snapshot publishes them — no data file is touched, so a wide delete on a
+    100 TB table costs O(matches written), not O(dirty files rewritten).
+    Readers pay one anti-join until :func:`materialize_deletes` folds the
+    tombstones into a real rewrite; COW rewrite ops (compact/delete/merge)
+    on a sink with pending tombstones are refused until then, because
+    rewritten files would orphan the positions and resurrect deleted rows.
+    Repeated MOR deletes compose: the match scan reads THROUGH existing
+    tombstones, so already-deleted rows are never matched (or double-counted)
+    again.
 
     Protocol (crash-safe at every step, same shape as :func:`compact_table`):
 
@@ -971,9 +1143,14 @@ def delete_where(
          ``delete`` snapshot atomically swaps file lists + row counts.
 
     ``predicate`` is a ``Column`` or SQL string.  Returns
-    ``{"deleted", "files_rewritten", "files_scanned", "files_total"}``.
+    ``{"deleted", "files_rewritten", "files_scanned", "files_total"}``
+    (merge-on-read adds ``"delete_files"``).
     Single-maintenance-writer assumption, as for ``compact_table``."""
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"mode must be copy-on-write | merge-on-read, got {mode!r}")
     log = CommitLog(base)
+    if mode == "copy-on-write":
+        _require_no_pending_deletes(log, sink, "copy-on-write delete_where")
     pin_files(base, sink, part_col)
     parts = log.manifest().get(sink, {})
     sdir = os.path.join(base, sink)
@@ -989,6 +1166,8 @@ def delete_where(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))
     reader = _sink_reader(spark, log, base, sink)
+    if mode == "merge-on-read":
+        return _delete_mor(spark, log, base, sink, reader, cand, hit, out, part_col)
     matches = (
         reader.parquet(*cand)
         .where(hit)
@@ -1034,6 +1213,141 @@ def delete_where(
     return out
 
 
+def _delete_mor(
+    spark: SparkSession,
+    log: CommitLog,
+    base: str,
+    sink: str,
+    reader,
+    cand: list[str],
+    hit,
+    out: dict,
+    part_col: str = PART_COL,
+) -> dict:
+    """merge-on-read branch of :func:`delete_where`: ONE scan of the
+    candidate files (through any existing tombstones, so repeat deletes
+    never re-match already-deleted rows) emits matching positions, staged
+    as parquet then moved DARK into ``<sink>/_deletes/`` — invisible until
+    the ``delete_mor`` snapshot publishes them (crash ⇒ orphan tombstones,
+    ``vacuum_table`` removes them).  The ``repartition(8)`` shuffles only
+    the matched KEYS (16-ish bytes each), keeping the scan fully parallel
+    while bounding tombstone file count."""
+    version = log.current_version() + 1
+    ddir = os.path.join(base, sink, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    keyed = reader.parquet(*cand).select("*", *_pos_key_cols())
+    existing = log.delete_files().get(sink)
+    if existing:
+        tomb = spark.read.parquet(
+            *[os.path.join(ddir, n) for n in existing]
+        ).select("__tf_file", "__tf_pos")
+        keyed = keyed.join(tomb, ["__tf_file", "__tf_pos"], "left_anti")
+    stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+    try:
+        stage_out = os.path.join(stage, "out")
+        keyed.where(hit).select("__tf_file", "__tf_pos").repartition(8).write.parquet(
+            stage_out
+        )
+        per_part = (
+            spark.read.parquet(stage_out)
+            .groupBy(F.split("__tf_file", "/")[0].alias("_pd"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n_matched = sum(r["n"] for r in per_part)
+        if n_matched == 0:
+            return out
+        names = []
+        for i, name in enumerate(_data_files(stage_out)):
+            dst = f"mor{version}-{i:05d}.parquet"
+            os.rename(os.path.join(stage_out, name), os.path.join(ddir, dst))
+            names.append(dst)
+    finally:
+        _rmtree(stage)
+    parts = log.manifest().get(sink, {})
+    new_rows = {}
+    for r in per_part:
+        key = r["_pd"][len(part_col) + 1:]
+        new_rows[key] = parts[key]["rows"] - r["n"]
+    log.commit(
+        {
+            "operation": "delete_mor",
+            "sinks": {sink: {"delete_files": names, "rows": new_rows}},
+        }
+    )
+    out["deleted"] = n_matched
+    out["delete_files"] = len(names)
+    return out
+
+
+def materialize_deletes(
+    spark: SparkSession, base: str, sink: str, part_col: str = PART_COL
+) -> dict:
+    """Fold a sink's pending merge-on-read tombstones into a real
+    copy-on-write rewrite — Iceberg's ``rewrite_position_delete_files`` +
+    data-file rewrite rolled into one.  Only files actually holding
+    tombstoned positions are rewritten (clean files untouched); ONE
+    ``delete`` snapshot swaps the file lists AND clears the tombstone list
+    (``clear_deletes``), so readers drop the anti-join atomically.  Logical
+    row counts don't move — the ``delete_mor`` snapshots already moved them.
+    The old data files and tombstones stay dark on disk for time travel
+    until ``vacuum_table``.  Returns {"applied", "files_rewritten",
+    "delete_files_cleared"}."""
+    log = CommitLog(base)
+    tombs = log.delete_files().get(sink) or []
+    out = {"applied": 0, "files_rewritten": 0, "delete_files_cleared": len(tombs)}
+    if not tombs:
+        return out
+    parts = log.manifest().get(sink, {})
+    sdir = os.path.join(base, sink)
+    ddir = os.path.join(sdir, "_deletes")
+    per_file = (
+        spark.read.parquet(*[os.path.join(ddir, n) for n in tombs])
+        .groupBy("__tf_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dirty: dict[str, dict[str, int]] = {}
+    for r in per_file:
+        pd, fn = r["__tf_file"].split("/", 1)
+        dirty.setdefault(pd[len(part_col) + 1:], {})[fn] = r["n"]
+    version = log.current_version() + 1
+    dirty_paths = [
+        os.path.join(sdir, f"{part_col}={p}", fn)
+        for p in sorted(dirty)
+        for fn in sorted(dirty[p])
+    ]
+    reader = _sink_reader(spark, log, base, sink)
+    src = reader.parquet(*dirty_paths)
+    n_dirty = src.count()
+    keep = _apply_delete_vectors(spark, src, base, sink, tombs)
+    moved = _stage_and_move(spark, keep, base, sink, part_col, "mz", version)
+    moved_paths = [
+        os.path.join(sdir, f"{part_col}={p}", f) for p, fs in moved.items() for f in fs
+    ]
+    n_kept = reader.parquet(*moved_paths).count() if moved_paths else 0
+    n_tomb = sum(sum(d.values()) for d in dirty.values())
+    if n_kept != n_dirty - n_tomb:
+        raise RuntimeError(
+            f"materialize_deletes on {sink!r} would be lossy: kept {n_kept} rows "
+            f"from {n_dirty} dirty-file rows with {n_tomb} tombstones; aborting "
+            "before commit"
+        )
+    new_files = {
+        p: sorted([f for f in parts[p]["files"] if f not in dirty[p]] + moved.get(p, []))
+        for p in dirty
+    }
+    log.commit(
+        {
+            "operation": "delete",
+            "sinks": {sink: {"files": new_files, "clear_deletes": True}},
+        }
+    )
+    out["applied"] = n_tomb
+    out["files_rewritten"] = len(dirty_paths)
+    return out
+
+
 def merge_upsert(
     spark: SparkSession,
     base: str,
@@ -1067,6 +1381,7 @@ def merge_upsert(
     ``{"matched", "inserted", "files_rewritten", "files_scanned",
     "files_total", "bloom_skipped"}``."""
     log = CommitLog(base)
+    _require_no_pending_deletes(log, sink, "merge_upsert")
     pin_files(base, sink, part_col)
     parts = log.manifest().get(sink, {})
     sdir = os.path.join(base, sink)
