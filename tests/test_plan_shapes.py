@@ -195,3 +195,29 @@ def test_lm_scoring_is_jvm_only(spark):
     p = _plan(out)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_read_table_clean_path_has_no_join(spark, tmp_path):
+    """The merge-on-read anti-join must never leak into the common path: a
+    sink with NO pending tombstones reads as a pure scan (no join operator,
+    no shuffle), and one WITH tombstones adds exactly the anti-join."""
+    from vector_spark import synth
+    from vector_spark.plans import checkpoint as CP
+    from vector_spark.plans import table_format as TF
+
+    base = str(tmp_path / "t")
+    docs = CP.with_part_key(synth.documents(spark, 400).drop("html"),
+                            n_parts=2, key_cols=["url"])
+    TF.write_multi_sink({"logs": docs}, base)
+    clean = TF.read_table(spark, base, "logs")
+    assert "Join" not in _plan(clean)
+    assert _exchanges(clean) == 0
+
+    TF.delete_where(spark, base, "logs", "lang = 'de'", mode="merge-on-read")
+    mor = TF.read_table(spark, base, "logs")
+    assert "LeftAnti" in _plan(mor)
+
+    TF.materialize_deletes(spark, base, "logs")
+    again = TF.read_table(spark, base, "logs")
+    assert "Join" not in _plan(again)
+    assert _exchanges(again) == 0

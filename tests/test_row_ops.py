@@ -453,3 +453,181 @@ def test_mor_crash_before_commit_leaves_readers_unchanged(spark, table, monkeypa
     removed = TF.vacuum_table(table, "logs", staging_grace_s=0)
     assert any("_deletes" in p for p in removed)
     assert _rows(TF.read_table(spark, table, "logs")) == before
+
+
+# ---------------------------------------------------------------------------
+# EQUALITY deletes + file-level appends (Iceberg v2 CDC shape)
+# ---------------------------------------------------------------------------
+
+
+def _victims(spark, table, n=5):
+    tbl = TF.read_table(spark, table, "logs")
+    v = tbl.orderBy("url").limit(n).select("url")
+    return v, [r["url"] for r in v.collect()]
+
+
+def test_eq_delete_is_blind_and_correct(spark, table):
+    before = TF.read_table(spark, table, "logs")
+    n0 = before.count()
+    keys, vlist = _victims(spark, table)
+    files_before = None
+
+    res = TF.delete_keys(spark, table, "logs", keys)
+    assert res == {"delete_files": 1, "key_cols": ["url"]}
+    files_before = _live_files(table)
+    after = TF.read_table(spark, table, "logs")
+    assert after.count() == n0 - len(vlist)
+    assert after.where(F.col("url").isin(vlist)).count() == 0
+    # blind: no data file rewritten (pinned lists intact on disk)
+    for p, fs in files_before.items():
+        for f in fs:
+            assert os.path.exists(os.path.join(table, "logs", f"{CP.PART_COL}={p}", f))
+
+
+def test_add_files_appends_into_committed_partitions(spark, table):
+    n0 = TF.read_table(spark, table, "logs").count()
+    extra = CP.with_part_key(
+        synth.documents(spark, 650).drop("html"), n_parts=3, key_cols=["url"]
+    ).where(~F.col("url").isin(
+        [r["url"] for r in TF.read_table(spark, table, "logs").select("url").collect()]
+    )).limit(40)
+    n_extra = extra.count()
+    assert n_extra > 0
+    rows = TF.add_files(spark, table, "logs", extra)
+    assert sum(rows.values()) == n_extra
+    got = TF.read_table(spark, table, "logs")
+    assert got.count() == n0 + n_extra
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == n0 + n_extra
+
+
+def test_eq_reinsert_survives_sequence_rule(spark, table):
+    keys, vlist = _victims(spark, table)
+    TF.delete_keys(spark, table, "logs", keys)
+    reborn = (
+        CP.with_part_key(
+            synth.documents(spark, 600).drop("html"), n_parts=3, key_cols=["url"]
+        )
+        .where(F.col("url").isin(vlist[:2]))
+        .withColumn("text", F.lit("REBORN"))
+    )
+    TF.add_files(spark, table, "logs", reborn)
+    got = TF.read_table(spark, table, "logs")
+    texts = [r["text"] for r in got.where(F.col("url").isin(vlist)).collect()]
+    assert texts == ["REBORN", "REBORN"]  # newer files dodge older tombstones
+
+    # materialize settles everything; the reborn rows persist
+    TF.materialize_deletes(spark, table, "logs")
+    final = TF.read_table(spark, table, "logs")
+    assert final.where("text = 'REBORN'").count() == 2
+    assert final.where(F.col("url").isin(vlist)).count() == 2
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == final.count()
+    assert not TF.CommitLog(table).eq_delete_files().get("logs")
+
+
+def test_eq_delete_blocks_cow_and_keycol_switch(spark, table):
+    keys, _ = _victims(spark, table)
+    TF.delete_keys(spark, table, "logs", keys)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        TF.compact_table(spark, table, "logs", max_files=0)
+    with pytest.raises(ValueError, match="key_cols"):
+        TF.delete_keys(
+            spark, table, "logs",
+            TF.read_table(spark, table, "logs").select("lang").limit(1),
+        )
+
+
+def test_eq_delete_unmatched_keys_clear_cleanly(spark, table):
+    n0 = TF.read_table(spark, table, "logs").count()
+    ghost = spark.createDataFrame([("https://nowhere.invalid/x",)], "url string")
+    TF.delete_keys(spark, table, "logs", ghost)
+    assert TF.read_table(spark, table, "logs").count() == n0
+    res = TF.materialize_deletes(spark, table, "logs")
+    assert res["applied"] == 0 and res["files_rewritten"] == 0
+    assert res["delete_files_cleared"] == 1
+    assert not TF.CommitLog(table).eq_delete_files().get("logs")
+    assert TF.read_table(spark, table, "logs").count() == n0
+
+
+def test_eq_time_travel_and_rollback(spark, table):
+    TF.pin_files(table, "logs")
+    v0 = TF.CommitLog(table).current_version()
+    before = _rows(TF.read_table(spark, table, "logs"))
+    keys, vlist = _victims(spark, table)
+    TF.delete_keys(spark, table, "logs", keys)
+    assert _rows(TF.read_table(spark, table, "logs", version=v0)) == before
+    TF.rollback_table(table, v0)
+    assert _rows(TF.read_table(spark, table, "logs")) == before
+    assert not TF.CommitLog(table).eq_delete_files().get("logs")
+
+
+def test_eq_state_survives_expire_snapshots(spark, table):
+    keys, vlist = _victims(spark, table)
+    TF.delete_keys(spark, table, "logs", keys)
+    reborn = (
+        CP.with_part_key(
+            synth.documents(spark, 600).drop("html"), n_parts=3, key_cols=["url"]
+        )
+        .where(F.col("url").isin(vlist[:1]))
+        .withColumn("text", F.lit("REBORN"))
+    )
+    TF.add_files(spark, table, "logs", reborn)
+    expect = _rows(TF.read_table(spark, table, "logs"))
+    TF.expire_snapshots(table)
+    # eq tombstones, key_cols, AND the file add-versions all survive the
+    # metadata consolidation — the reborn row still dodges the tombstone
+    got = TF.read_table(spark, table, "logs")
+    assert _rows(got) == expect
+    assert got.where("text = 'REBORN'").count() == 1
+
+
+def test_cdc_upsert_one_snapshot_and_idempotent_retry(spark, table):
+    tbl = TF.read_table(spark, table, "logs")
+    n0 = tbl.count()
+    batch = (
+        tbl.orderBy("url").limit(4)
+        .withColumn("text", F.lit("CDC-V2"))
+        .localCheckpoint()
+    )
+    v_before = TF.CommitLog(table).current_version()
+    res = TF.upsert_keys(spark, table, "logs", batch, ["url"], run_id="b-1")
+    assert res["deleted_keys"] == 1 and sum(res["rows"].values()) == 4
+    # ONE snapshot carries tombstones + data files (plus the pin before it)
+    snaps = [s for s in TF.CommitLog(table).snapshots() if s["version"] > v_before]
+    assert [s["operation"] for s in snaps if s["operation"] == "cdc_upsert"] == ["cdc_upsert"]
+
+    got = TF.read_table(spark, table, "logs")
+    assert got.count() == n0  # 4 replaced, none added
+    assert got.where("text = 'CDC-V2'").count() == 4
+
+    # retry of the same batch is a no-op (exactly-once foreachBatch contract)
+    v = TF.CommitLog(table).current_version()
+    assert TF.upsert_keys(spark, table, "logs", batch, ["url"], run_id="b-1") == {
+        "skipped": True
+    }
+    assert TF.CommitLog(table).current_version() == v
+    assert TF.read_table(spark, table, "logs").where("text = 'CDC-V2'").count() == 4
+
+
+def test_cdc_upsert_chain_then_materialize(spark, table):
+    tbl = TF.read_table(spark, table, "logs")
+    n0 = tbl.count()
+    keys = tbl.orderBy("url").limit(3).select("url").localCheckpoint()
+    base_batch = tbl.orderBy("url").limit(3).localCheckpoint()
+    for i in range(3):  # three generations of the same 3 keys
+        batch = base_batch.withColumn("text", F.lit(f"GEN-{i}"))
+        TF.upsert_keys(spark, table, "logs", batch, ["url"], run_id=f"g-{i}")
+    got = TF.read_table(spark, table, "logs")
+    assert got.count() == n0
+    joined = got.join(keys, "url", "left_semi")
+    assert sorted(r["text"] for r in joined.collect()) == ["GEN-2"] * 3
+
+    TF.materialize_deletes(spark, table, "logs")
+    final = TF.read_table(spark, table, "logs")
+    assert final.count() == n0
+    assert sorted(
+        r["text"] for r in final.join(keys, "url", "left_semi").collect()
+    ) == ["GEN-2"] * 3
+    committed = TF.CommitLog(table).committed()["logs"]
+    assert sum(committed.values()) == n0

@@ -701,3 +701,75 @@ def test_streaming_to_table_snapshot_commits(spark, doc_chunks, tmp_path):
     TF.compact_table(spark, base, "routed", max_files=0, target_files=1)
     TF.collect_file_stats(spark, base, "routed", ["warc_ts"])
     assert TF.read_table(spark, base, "routed").count() == 600
+
+
+def test_streaming_cdc_upsert_row_level_exactly_once(spark, doc_chunks, tmp_path):
+    """Streaming CDC upserts: each micro-batch is ONE atomic cdc_upsert
+    snapshot (equality tombstones + data files, no table scan); updates to
+    keys written by EARLIER batches apply at row granularity; a crash before
+    the snapshot commit replays without duplicating anything; multi-version
+    keys within a batch collapse last-writer-wins via dedupe_by."""
+    from vector_spark.plans import table_format as TF
+
+    base = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+
+    def writer():
+        stream = st.document_stream(spark, doc_chunks["dir"]).drop("html")
+        return st.streaming_cdc_upsert(
+            spark, stream, base, ckpt, "docs", ["url"], dedupe_by="warc_ts"
+        )
+
+    st.run_available_now(writer())
+    assert TF.read_table(spark, base, "docs").count() == 400
+
+    # chunk_c: 50 urls from chunk_a re-emitted TWICE (stale + fresh version)
+    # plus chunk_b's 200 brand-new urls, all in one arrival file
+    a = doc_chunks["a"]
+    stale = a.iloc[:50].drop(columns=["html"]).copy()
+    stale["text"] = "UPD-STALE"
+    fresh = stale.copy()
+    fresh["text"] = "UPD-FRESH"
+    fresh["warc_ts"] = fresh["warc_ts"] + pd.Timedelta(hours=1)
+    chunk_c = pd.concat(
+        [stale, fresh, doc_chunks["b"].drop(columns=["html"])], ignore_index=True
+    )
+    # the file stream reads with the documents schema (html included) — write
+    # chunk_c with an html column to keep arrival schemas uniform, and pin
+    # warc_ts to microseconds (the Timedelta add upcast it to ns, which
+    # Spark's timestamp reader refuses under an explicit schema)
+    chunk_c["html"] = b""
+    chunk_c["warc_ts"] = chunk_c["warc_ts"].astype("datetime64[us, UTC]")
+    chunk_c = chunk_c[["url", "warc_ts", "html", "text", "lang"]]
+
+    # crash INSIDE the cdc batch, before its snapshot commit
+    real_commit = TF.CommitLog.commit
+    state = {"boom": True}
+
+    def crashing(self, meta):
+        if meta.get("operation") == "cdc_upsert" and state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected crash before cdc commit")
+        return real_commit(self, meta)
+
+    chunk_c.to_parquet(f"{doc_chunks['dir']}/chunk_c.parquet")
+    TF.CommitLog.commit = crashing
+    try:
+        with pytest.raises(Exception, match="injected"):
+            st.run_available_now(writer())
+        # uncommitted tombstones + staged files are invisible
+        assert TF.read_table(spark, base, "docs").count() == 400
+        st.run_available_now(writer())  # replay from the same checkpoint
+    finally:
+        TF.CommitLog.commit = real_commit
+
+    t = TF.read_table(spark, base, "docs")
+    assert t.count() == 600
+    assert t.select("url").distinct().count() == 600  # row-level exactly-once
+    assert t.where("text = 'UPD-FRESH'").count() == 50  # last writer won
+    assert t.where("text = 'UPD-STALE'").count() == 0
+
+    # settle the tombstones; nothing changes logically
+    TF.materialize_deletes(spark, base, "docs")
+    t = TF.read_table(spark, base, "docs")
+    assert t.count() == 600 and t.where("text = 'UPD-FRESH'").count() == 50

@@ -146,6 +146,39 @@ def main() -> None:
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
+    # CDC upsert: 20 micro-batches of 1000 keys each via upsert_keys (ONE
+    # atomic snapshot per batch, NO table scan) — the per-batch latency is
+    # the number that must stay O(batch) for streaming upserts into a
+    # 100 TB table.  Compare merge_upsert's per-batch cost above (which
+    # scans candidate files every call).
+    base = tempfile.mkdtemp(prefix="row_ops_cdc_")
+    try:
+        build_table(spark, base)
+        tbl = TF.read_table(spark, base, "logs")
+        batch = tbl.limit(1000).localCheckpoint()
+        secs = []
+        for i in range(20):
+            b = batch.withColumn("text", F.concat(F.col("text"), F.lit(f" [g{i}]")))
+            t0 = time.perf_counter()
+            TF.upsert_keys(spark, base, "logs", b, ["url"], run_id=f"bench-{i}")
+            secs.append(round(time.perf_counter() - t0, 3))
+        res = {
+            "batches": 20,
+            "batch_rows": 1000,
+            "sec_first": secs[0],
+            "sec_median": sorted(secs)[len(secs) // 2],
+            "sec_total": round(sum(secs), 3),
+        }
+        t0 = time.perf_counter()
+        res["read_rows_20_pending"] = TF.read_table(spark, base, "logs").count()
+        res["read_sec_20_pending"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        res["materialize"] = TF.materialize_deletes(spark, base, "logs")
+        res["materialize"]["sec"] = round(time.perf_counter() - t0, 3)
+        result["cdc_upsert_stream"] = res
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)

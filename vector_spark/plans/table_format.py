@@ -198,6 +198,26 @@ class CommitLog:
                     # folded by delete_files())
                     for part, rows in (info.get("rows") or {}).items():
                         tgt.setdefault(part, {"rows": 0, "files": None})["rows"] = rows
+                elif op == "delete_eq":
+                    # equality delete: NO scan happened, so row counts cannot
+                    # move (they become upper bounds until materialize) and
+                    # no file list changes — the fold is metadata-only here
+                    pass
+                elif op in ("add_files", "cdc_upsert"):
+                    # file-level append into existing (file-mode) partitions
+                    # (cdc_upsert also carries eq_delete_files, folded by
+                    # eq_delete_files(); its tombstone version == its files'
+                    # add version, so the new rows dodge their own delete)
+                    for part, files in (info.get("files") or {}).items():
+                        cur = tgt.setdefault(part, {"rows": 0, "files": []})
+                        if cur["files"] is None:
+                            raise ValueError(
+                                f"add_files into dir-mode partition {part!r} "
+                                "(pin_files must precede add_files)"
+                            )
+                        cur["files"] = sorted(set(cur["files"]) | set(files))
+                    for part, delta in (info.get("rows") or {}).items():
+                        tgt.setdefault(part, {"rows": 0, "files": []})["rows"] += delta
                 elif op == "stats":
                     # merge per FILE per COLUMN-KEY, so min/max and bloom
                     # collections taken at different times compose
@@ -263,6 +283,64 @@ class CommitLog:
                     out.pop(sink, None)
                 for n in info.get("delete_files") or ():
                     out.setdefault(sink, []).append(n)
+        return out
+
+    def eq_delete_files(self, as_of: int | None = None) -> dict[str, list[dict]]:
+        """Fold snapshots → {sink: [{"name", "version", "key_cols"}]} — the
+        PENDING equality delete files (Iceberg v2's second delete-file kind:
+        tombstones by KEY VALUE, written blind with no table scan — the
+        streaming-CDC shape).  The recorded commit version is the sequence
+        number: a tombstone only deletes rows from files ADDED BEFORE it
+        (:meth:`file_versions`), so a later re-insert of the same key
+        survives."""
+        out: dict[str, list[dict]] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            if snap.get("operation", "append") == "checkpoint":
+                out = {
+                    k: [dict(e) for e in v]
+                    for k, v in (snap.get("eq_delete_files") or {}).items()
+                }
+                continue
+            for sink, info in (snap.get("sinks") or {}).items():
+                if info.get("clear_deletes"):
+                    out.pop(sink, None)
+                for n in info.get("eq_delete_files") or ():
+                    out.setdefault(sink, []).append(
+                        {
+                            "name": n,
+                            "version": snap["version"],
+                            "key_cols": list(info["key_cols"]),
+                        }
+                    )
+        return out
+
+    def file_versions(self, as_of: int | None = None) -> dict[str, dict[str, int]]:
+        """Fold snapshots → {sink: {"part/file": first-seen version}} —
+        each data file's ADD VERSION (Iceberg's data sequence number), the
+        ordering equality deletes are judged against (keys are bare
+        ``part/file``; callers prepend their ``part_col=``).  Files in
+        dir-mode partitions have no entry; they are only ever NEWER than any
+        pending equality tombstone (every MOR op pins all partitions
+        file-mode before committing, and appends never touch committed
+        partitions), so readers treat missing entries as +infinity."""
+        out: dict[str, dict[str, int]] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            op = snap.get("operation", "append")
+            if op == "checkpoint":
+                out = {
+                    k: dict(v) for k, v in (snap.get("file_versions") or {}).items()
+                }
+                continue
+            v = snap["version"]
+            for sink, info in (snap.get("sinks") or {}).items():
+                tgt = out.setdefault(sink, {})
+                for part, files in (info.get("files") or {}).items():
+                    for f in files:
+                        tgt.setdefault(f"{part}/{f}", v)
         return out
 
 
@@ -442,7 +520,10 @@ def _check_time_travelable(
                     f"disk (vacuumed or overwritten), e.g. {missing[0]}"
                 )
     ddir = os.path.join(base, sink, "_deletes")
-    for n in log.delete_files(as_of=version).get(sink) or ():
+    tomb_names = list(log.delete_files(as_of=version).get(sink) or ()) + [
+        e["name"] for e in log.eq_delete_files(as_of=version).get(sink) or ()
+    ]
+    for n in tomb_names:
         if not os.path.exists(os.path.join(ddir, n)):
             bad.append(
                 f"tombstone {n} no longer on disk (vacuumed after its deletes "
@@ -535,10 +616,26 @@ def read_table(
         ).where(F.lit(False))
     df = reader.parquet(*paths)
     tombs = log.delete_files(as_of=version).get(sink)
-    if tombs:
-        # MERGE-ON-READ: subtract pending positional deletes (Iceberg v2
-        # delete files) with one anti-join on (partition-dir/file, row_index)
-        df = _apply_delete_vectors(spark, df, base, sink, tombs)
+    eq = log.eq_delete_files(as_of=version).get(sink)
+    if tombs or eq:
+        # MERGE-ON-READ: subtract pending positional deletes (anti-join on
+        # (partition-dir/file, row_index)) and equality deletes (anti-join
+        # on key values with the add-version residual, so re-inserted keys
+        # survive).  The position key is computed ONCE from _metadata, on
+        # the raw scan — metadata columns don't survive joins.
+        cols = df.columns
+        keyed = df.select("*", *_pos_key_cols())
+        if tombs:
+            ddir = os.path.join(base, sink, "_deletes")
+            tomb = spark.read.parquet(
+                *[os.path.join(ddir, n) for n in tombs]
+            ).select("__tf_file", "__tf_pos")
+            keyed = keyed.join(tomb, ["__tf_file", "__tf_pos"], "left_anti")
+        if eq:
+            keyed = _eq_join(
+                spark, keyed, base, sink, eq, log, part_col, version, "left_anti"
+            )
+        df = keyed.select(*cols)
     return df
 
 
@@ -646,18 +743,68 @@ def _apply_delete_vectors(
     )
 
 
+def _eq_join(
+    spark: SparkSession,
+    keyed: DataFrame,
+    base: str,
+    sink: str,
+    eq: list[dict],
+    log: CommitLog,
+    part_col: str,
+    version: int | None,
+    how: str,
+) -> DataFrame:
+    """The equality-tombstone join against a scan that already carries
+    ``__tf_file``: anti (read path — keep survivors) or semi (materialize —
+    count matches).  Implements Iceberg's sequence-number rule: a tombstone
+    committed at version v only deletes rows from files ADDED before v
+    (row add-versions come from a broadcast join against the
+    manifest-derived file→version map — the manifest is driver-resident in
+    this shim by design, same as Iceberg's planning metadata; files without
+    an entry, i.e. dir-mode ⇒ newer than every pending tombstone, get
+    +infinity), so re-inserted keys survive.  The tombstone side is NOT
+    force-broadcast — key volume is unbounded, AQE sizes it.  NULL key
+    values never match (SQL equality), mirroring the NULL-predicate rule of
+    ``delete_where``."""
+    key_cols = eq[0]["key_cols"]
+    ddir = os.path.join(base, sink, "_deletes")
+    tomb = None
+    for e in eq:
+        t = (
+            spark.read.parquet(os.path.join(ddir, e["name"]))
+            .select(
+                *[F.col(k).alias(f"__tf_k{i}") for i, k in enumerate(key_cols)]
+            )
+            .withColumn("__tf_v", F.lit(int(e["version"])))
+        )
+        tomb = t if tomb is None else tomb.unionByName(t)
+    fv = log.file_versions(as_of=version).get(sink, {})
+    fv_rows = [(f"{part_col}={k}", int(v)) for k, v in fv.items()]
+    fv_df = spark.createDataFrame(fv_rows, "__tf_file string, __tf_addv long")
+    keyed = keyed.join(F.broadcast(fv_df), "__tf_file", "left").withColumn(
+        "__tf_addv", F.coalesce("__tf_addv", F.lit(1 << 62))
+    )
+    cond = F.col("__tf_v") > F.col("__tf_addv")
+    for i, k in enumerate(key_cols):
+        cond = cond & (F.col(k) == F.col(f"__tf_k{i}"))
+    return keyed.join(tomb, on=cond, how=how)
+
+
 def _require_no_pending_deletes(log: CommitLog, sink: str, op: str) -> None:
     """COW rewrites (compact/delete/merge) re-materialize files under NEW
     names, which would orphan the positional tombstones pointing at the old
-    (file, row_index) pairs — silently resurrecting deleted rows.  Refuse
-    instead: the caller runs :func:`materialize_deletes` first."""
-    pending = log.delete_files().get(sink)
-    if pending:
+    (file, row_index) pairs and re-stamp surviving rows' files with a NEW
+    add-version (letting them dodge pending equality tombstones) —
+    silently resurrecting deleted rows either way.  Refuse instead: the
+    caller runs :func:`materialize_deletes` first."""
+    pending = log.delete_files().get(sink) or []
+    pending_eq = log.eq_delete_files().get(sink) or []
+    if pending or pending_eq:
         raise ValueError(
-            f"{op} on {sink!r} refused: {len(pending)} pending merge-on-read "
-            "delete file(s) reference current data files by position; run "
-            "materialize_deletes() first (rewrites would orphan the tombstones "
-            "and resurrect deleted rows)"
+            f"{op} on {sink!r} refused: {len(pending)} positional + "
+            f"{len(pending_eq)} equality pending merge-on-read delete file(s) "
+            "reference current data files; run materialize_deletes() first "
+            "(rewrites would orphan the tombstones and resurrect deleted rows)"
         )
 
 
@@ -940,7 +1087,9 @@ def vacuum_table(
     # travel to the MOR-era versions, same rule as for old data files
     ddir = os.path.join(base, sink, "_deletes")
     if os.path.isdir(ddir):
-        live_tombs = set(log.delete_files().get(sink) or ())
+        live_tombs = set(log.delete_files().get(sink) or ()) | {
+            e["name"] for e in log.eq_delete_files().get(sink) or ()
+        }
         for name in sorted(os.listdir(ddir)):
             if name not in live_tombs:
                 os.unlink(os.path.join(ddir, name))
@@ -979,6 +1128,8 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
             "state": state,
             "schemas": log.schemas(),
             "delete_files": log.delete_files(),
+            "eq_delete_files": log.eq_delete_files(),
+            "file_versions": log.file_versions(),
         }
     )
     removed = 0
@@ -1027,6 +1178,8 @@ def rollback_table(base: str, to_version: int, part_col: str = PART_COL) -> int:
             "state": state,
             "schemas": schemas,
             "delete_files": log.delete_files(as_of=to_version),
+            "eq_delete_files": log.eq_delete_files(as_of=to_version),
+            "file_versions": log.file_versions(as_of=to_version),
             "rollback_of": to_version,
         }
     )
@@ -1242,6 +1395,13 @@ def _delete_mor(
             *[os.path.join(ddir, n) for n in existing]
         ).select("__tf_file", "__tf_pos")
         keyed = keyed.join(tomb, ["__tf_file", "__tf_pos"], "left_anti")
+    eq = log.eq_delete_files().get(sink)
+    if eq:
+        # rows already equality-deleted must not be re-tombstoned (their
+        # row-count delta was, or will be, settled by those tombstones)
+        keyed = _eq_join(
+            spark, keyed, base, sink, eq, log, part_col, None, "left_anti"
+        )
     stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
     try:
         stage_out = os.path.join(stage, "out")
@@ -1280,70 +1440,354 @@ def _delete_mor(
     return out
 
 
+def add_files(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    df: DataFrame,
+    part_col: str = PART_COL,
+) -> dict[str, int]:
+    """FILE-level append — Iceberg's normal ``append``: add data files to
+    existing partitions without rewriting anything, the primitive
+    ``write_multi_sink``'s partition-level exactly-once model deliberately
+    lacks (there, a committed partition is immutable and reruns skip it).
+    Together with :func:`delete_keys` this is the streaming-CDC upsert:
+    delete the changed keys blind, append their new rows — zero table scans
+    per batch.
+
+    Protocol: ``pin_files`` first (all partitions file-mode, so staged files
+    are invisible), ONE partitioned write staged dark under ``ad{v}-``
+    names, then one ``add_files`` snapshot publishes them; its version is
+    the files' ADD VERSION (:meth:`CommitLog.file_versions`), which is what
+    lets these rows survive earlier equality tombstones.  Schema evolution
+    rules apply as for ``write_multi_sink``.  Returns {part: rows added}."""
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType(
+        [f for f in df.schema.fields if f.name != part_col]
+    ).json()
+    old = log.schemas().get(sink)
+    if old is not None and old != new_schema:
+        _check_schema_compat(old, new_schema, sink)
+    version = log.current_version() + 1
+    moved = _stage_and_move(spark, df, base, sink, part_col, "ad", version)
+    if not moved:
+        return {}
+    sdir = os.path.join(base, sink)
+    rows = {
+        p: (
+            spark.read.option("basePath", sdir)
+            .parquet(*[os.path.join(sdir, f"{part_col}={p}", f) for f in fs])
+            .count()
+        )
+        for p, fs in moved.items()
+    }
+    log.commit(
+        {
+            "operation": "add_files",
+            "sinks": {
+                sink: {"files": moved, "rows": rows, "schema": new_schema}
+            },
+        }
+    )
+    return rows
+
+
+def delete_keys(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    keys: DataFrame,
+    key_cols: list[str] | None = None,
+    part_col: str = PART_COL,
+) -> dict:
+    """EQUALITY delete — Iceberg v2's second delete-file kind: tombstone by
+    key VALUE, written completely blind — NO scan of the table, which is the
+    property streaming CDC needs (a per-batch scan of a 100 TB table is not
+    a thing).  The tombstones apply only to files whose ADD VERSION predates
+    this commit, so a subsequent :func:`add_files` re-insert of the same key
+    is NOT deleted — Iceberg's sequence-number rule.
+
+    Costs deferred to reads (one anti-join with a version residual) and to
+    :func:`materialize_deletes` (which turns the tombstones into a real
+    rewrite and settles the row counts — until then ``committed()`` row
+    counts are UPPER bounds for this sink, since counting matches would
+    require the scan this op exists to avoid).  All pending equality
+    tombstones of a sink must share ``key_cols``.  Returns
+    {"delete_files": n, "key_cols": [...]}."""
+    key_cols = list(key_cols or keys.columns)
+    missing = [k for k in key_cols if k not in keys.columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in keys DataFrame")
+    for e in CommitLog(base).eq_delete_files().get(sink) or ():
+        if e["key_cols"] != key_cols:
+            raise ValueError(
+                f"pending equality deletes on {sink!r} use key_cols "
+                f"{e['key_cols']}; run materialize_deletes() before switching "
+                f"to {key_cols}"
+            )
+    log = CommitLog(base)
+    pin_files(base, sink, part_col)
+    version = log.current_version() + 1
+    ddir = os.path.join(base, sink, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+    try:
+        stage_out = os.path.join(stage, "out")
+        keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage_out)
+        names = []
+        for i, name in enumerate(_data_files(stage_out)):
+            dst = f"eq{version}-{i:05d}.parquet"
+            os.rename(os.path.join(stage_out, name), os.path.join(ddir, dst))
+            names.append(dst)
+    finally:
+        _rmtree(stage)
+    log.commit(
+        {
+            "operation": "delete_eq",
+            "sinks": {sink: {"eq_delete_files": names, "key_cols": key_cols}},
+        }
+    )
+    return {"delete_files": len(names), "key_cols": key_cols}
+
+
+def upsert_keys(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    part_col: str = PART_COL,
+    run_id: str | None = None,
+) -> dict:
+    """Scan-free CDC UPSERT in ONE atomic snapshot — the Iceberg v2
+    streaming-writer shape: equality tombstones for the batch's keys plus
+    the batch's data files, committed together (op ``cdc_upsert``), so
+    readers can never observe the delete without the insert or vice versa.
+    The tombstone's version equals the new files' add version and the
+    sequence rule is STRICTLY-older (``tomb.v > addv``), so the batch's own
+    rows survive their own tombstones while every older version of the keys
+    dies.  Nothing reads the table: per-batch cost is O(batch), the property
+    that makes per-second micro-batch upserts into a 100 TB table viable
+    (contrast ``merge_upsert``, which scans candidate files per call).
+
+    ``run_id`` makes retries idempotent for exactly-once foreachBatch
+    delivery: if a ``cdc_upsert`` snapshot with this run_id is already
+    committed, the call is a no-op (the crashed attempt's staged files are
+    orphans for ``vacuum_table``).  Returns {"skipped": True} in that case,
+    else {"deleted_keys": n, "rows": {part: added}}."""
+    if run_id is not None:
+        for snap in CommitLog(base).snapshots():
+            if (
+                snap.get("operation") == "cdc_upsert"
+                and snap.get("run_id") == run_id
+                and sink in (snap.get("sinks") or {})
+            ):
+                return {"skipped": True}
+    missing = [k for k in key_cols if k not in updates.columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in updates DataFrame")
+    log = CommitLog(base)
+    for e in log.eq_delete_files().get(sink) or ():
+        if e["key_cols"] != list(key_cols):
+            raise ValueError(
+                f"pending equality deletes on {sink!r} use key_cols "
+                f"{e['key_cols']}; run materialize_deletes() before switching "
+                f"to {list(key_cols)}"
+            )
+    pin_files(base, sink, part_col)
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType(
+        [f for f in updates.schema.fields if f.name != part_col]
+    ).json()
+    old = log.schemas().get(sink)
+    if old is not None and old != new_schema:
+        _check_schema_compat(old, new_schema, sink)
+    version = log.current_version() + 1
+    sdir = os.path.join(base, sink)
+    ddir = os.path.join(sdir, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    # keys staged first (updates may be lazily computed; both writes must
+    # land dark before the single commit)
+    stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+    try:
+        stage_out = os.path.join(stage, "out")
+        keys = updates.select(*key_cols).distinct()
+        keys.coalesce(1).write.parquet(stage_out)
+        names = []
+        for i, name in enumerate(_data_files(stage_out)):
+            dst = f"eq{version}-{i:05d}.parquet"
+            os.rename(os.path.join(stage_out, name), os.path.join(ddir, dst))
+            names.append(dst)
+    finally:
+        _rmtree(stage)
+    moved = _stage_and_move(spark, updates, base, sink, part_col, "cd", version)
+    rows = {
+        p: (
+            spark.read.option("basePath", sdir)
+            .parquet(*[os.path.join(sdir, f"{part_col}={p}", f) for f in fs])
+            .count()
+        )
+        for p, fs in moved.items()
+    }
+    meta = {
+        "operation": "cdc_upsert",
+        "sinks": {
+            sink: {
+                "eq_delete_files": names,
+                "key_cols": list(key_cols),
+                "files": moved,
+                "rows": rows,
+                "schema": new_schema,
+            }
+        },
+    }
+    if run_id is not None:
+        meta["run_id"] = run_id
+    log.commit(meta)
+    return {"deleted_keys": len(names), "rows": rows}
+
+
 def materialize_deletes(
     spark: SparkSession, base: str, sink: str, part_col: str = PART_COL
 ) -> dict:
-    """Fold a sink's pending merge-on-read tombstones into a real
-    copy-on-write rewrite — Iceberg's ``rewrite_position_delete_files`` +
-    data-file rewrite rolled into one.  Only files actually holding
-    tombstoned positions are rewritten (clean files untouched); ONE
-    ``delete`` snapshot swaps the file lists AND clears the tombstone list
-    (``clear_deletes``), so readers drop the anti-join atomically.  Logical
-    row counts don't move — the ``delete_mor`` snapshots already moved them.
-    The old data files and tombstones stay dark on disk for time travel
-    until ``vacuum_table``.  Returns {"applied", "files_rewritten",
-    "delete_files_cleared"}."""
+    """Fold a sink's pending merge-on-read tombstones — positional AND
+    equality — into a real copy-on-write rewrite: Iceberg's
+    ``rewrite_position_delete_files`` + data-file rewrite rolled into one.
+    Only files actually holding tombstoned rows are rewritten (equality
+    matches are located with ONE scan of the add-version-applicable files,
+    read through the positional tombstones so nothing counts twice; clean
+    files untouched).  ONE ``delete`` snapshot swaps the file lists, settles
+    the row counts equality deletes deferred (positional ones moved theirs
+    at delete time), AND clears both tombstone lists (``clear_deletes``), so
+    readers drop the anti-joins atomically.  The old data files and
+    tombstones stay dark on disk for time travel until ``vacuum_table``.
+    Returns {"applied", "files_rewritten", "delete_files_cleared"}."""
     log = CommitLog(base)
     tombs = log.delete_files().get(sink) or []
-    out = {"applied": 0, "files_rewritten": 0, "delete_files_cleared": len(tombs)}
-    if not tombs:
+    eq = log.eq_delete_files().get(sink) or []
+    out = {
+        "applied": 0,
+        "files_rewritten": 0,
+        "delete_files_cleared": len(tombs) + len(eq),
+    }
+    if not tombs and not eq:
         return out
     parts = log.manifest().get(sink, {})
     sdir = os.path.join(base, sink)
     ddir = os.path.join(sdir, "_deletes")
-    per_file = (
-        spark.read.parquet(*[os.path.join(ddir, n) for n in tombs])
-        .groupBy("__tf_file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    reader = _sink_reader(spark, log, base, sink)
+    tomb_df = (
+        spark.read.parquet(*[os.path.join(ddir, n) for n in tombs]).select(
+            "__tf_file", "__tf_pos"
+        )
+        if tombs
+        else None
     )
-    dirty: dict[str, dict[str, int]] = {}
-    for r in per_file:
-        pd, fn = r["__tf_file"].split("/", 1)
-        dirty.setdefault(pd[len(part_col) + 1:], {})[fn] = r["n"]
+
+    # dirty set: files holding positional tombstones ...
+    dirty: dict[str, set[str]] = {}
+    n_pos = 0
+    if tombs:
+        for r in (
+            tomb_df.groupBy("__tf_file").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            pd, fn = r["__tf_file"].split("/", 1)
+            dirty.setdefault(pd[len(part_col) + 1:], set()).add(fn)
+            n_pos += r["n"]
+
+    # ... plus files holding equality matches: ONE scan of the files old
+    # enough to be applicable (add-version < newest tombstone), read through
+    # the positional tombstones so already-deleted rows don't count twice
+    eq_part_counts: dict[str, int] = {}
+    n_eq = 0
+    if eq:
+        fvmap = log.file_versions().get(sink, {})
+        max_v = max(e["version"] for e in eq)
+        applicable = [
+            os.path.join(sdir, f"{part_col}={p}", f)
+            for p in sorted(parts)
+            for f in parts[p]["files"] or ()
+            if fvmap.get(f"{p}/{f}") is not None and fvmap[f"{p}/{f}"] < max_v
+        ]
+        if applicable:
+            keyed = reader.parquet(*applicable).select("*", *_pos_key_cols())
+            if tomb_df is not None:
+                keyed = keyed.join(
+                    tomb_df, ["__tf_file", "__tf_pos"], "left_anti"
+                )
+            sem = _eq_join(
+                spark, keyed, base, sink, eq, log, part_col, None, "left_semi"
+            )
+            for r in (
+                sem.groupBy("__tf_file").agg(F.count(F.lit(1)).alias("n")).collect()
+            ):
+                pd, fn = r["__tf_file"].split("/", 1)
+                key = pd[len(part_col) + 1:]
+                dirty.setdefault(key, set()).add(fn)
+                eq_part_counts[key] = eq_part_counts.get(key, 0) + r["n"]
+                n_eq += r["n"]
+
+    if not dirty:
+        # tombstones match nothing (e.g. equality keys never present):
+        # clearing them is metadata-only
+        log.commit(
+            {"operation": "delete", "sinks": {sink: {"clear_deletes": True}}}
+        )
+        return out
+
     version = log.current_version() + 1
     dirty_paths = [
         os.path.join(sdir, f"{part_col}={p}", fn)
         for p in sorted(dirty)
         for fn in sorted(dirty[p])
     ]
-    reader = _sink_reader(spark, log, base, sink)
-    src = reader.parquet(*dirty_paths)
-    n_dirty = src.count()
-    keep = _apply_delete_vectors(spark, src, base, sink, tombs)
-    moved = _stage_and_move(spark, keep, base, sink, part_col, "mz", version)
+    src_keyed = reader.parquet(*dirty_paths).select("*", *_pos_key_cols())
+    data_cols = [c for c in src_keyed.columns if not c.startswith("__tf_")]
+    n_dirty = src_keyed.count()
+    keep = src_keyed
+    if tomb_df is not None:
+        keep = keep.join(tomb_df, ["__tf_file", "__tf_pos"], "left_anti")
+    if eq:
+        keep = _eq_join(spark, keep, base, sink, eq, log, part_col, None, "left_anti")
+    moved = _stage_and_move(
+        spark, keep.select(*data_cols), base, sink, part_col, "mz", version
+    )
     moved_paths = [
         os.path.join(sdir, f"{part_col}={p}", f) for p, fs in moved.items() for f in fs
     ]
     n_kept = reader.parquet(*moved_paths).count() if moved_paths else 0
-    n_tomb = sum(sum(d.values()) for d in dirty.values())
-    if n_kept != n_dirty - n_tomb:
+    if n_kept != n_dirty - n_pos - n_eq:
         raise RuntimeError(
             f"materialize_deletes on {sink!r} would be lossy: kept {n_kept} rows "
-            f"from {n_dirty} dirty-file rows with {n_tomb} tombstones; aborting "
-            "before commit"
+            f"from {n_dirty} dirty-file rows with {n_pos} positional + {n_eq} "
+            "equality tombstoned; aborting before commit"
         )
     new_files = {
         p: sorted([f for f in parts[p]["files"] if f not in dirty[p]] + moved.get(p, []))
         for p in dirty
     }
+    # positional deletes moved the logical row counts at delete time;
+    # equality deletes (written blind) settle theirs HERE
+    new_rows = {
+        p: parts[p]["rows"] - n for p, n in eq_part_counts.items()
+    }
     log.commit(
         {
             "operation": "delete",
-            "sinks": {sink: {"files": new_files, "clear_deletes": True}},
+            "sinks": {
+                sink: {
+                    "files": new_files,
+                    "rows": new_rows,
+                    "clear_deletes": True,
+                }
+            },
         }
     )
-    out["applied"] = n_tomb
+    out["applied"] = n_pos + n_eq
     out["files_rewritten"] = len(dirty_paths)
     return out
 

@@ -54,6 +54,7 @@ __all__ = [
     "streaming_rate_spikes",
     "streaming_rollup_fine",
     "streaming_to_table",
+    "streaming_cdc_upsert",
     "run_available_now",
 ]
 
@@ -324,6 +325,72 @@ def streaming_to_table(
         stream.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+
+
+def streaming_cdc_upsert(
+    spark: SparkSession,
+    stream: DataFrame,
+    base: str,
+    checkpoint_dir: str,
+    sink: str,
+    key_cols: list[str],
+    part_col: str | None = None,
+    n_parts: int = 8,
+    dedupe_by: str | None = None,
+):
+    """Streaming CDC UPSERT into the commit-log table: each micro-batch
+    becomes ONE atomic ``cdc_upsert`` snapshot (equality tombstones for the
+    batch's keys + the batch's data files, committed together via
+    ``upsert_keys``) — NO table scan per batch, so per-batch cost is
+    O(batch) no matter how large the table has grown; readers absorb the
+    changes through the merge-on-read anti-join until a scheduled
+    ``materialize_deletes``/``compact_table`` pass.
+
+    Exactly-once: ``run_id=f"cdc-{batch_id}"`` — a replayed batch (crash
+    between commit and offset advance) is recognized as already committed
+    and skipped whole, the same contract as ``streaming_to_table`` but at
+    ROW granularity (a batch may freely update keys earlier batches wrote,
+    which partition-level resume cannot express).
+
+    Rows are spread across ``n_parts`` hash partitions of the key (NOT by
+    batch_id): CDC partitions must be stable across batches so that every
+    generation of a key lands in the same partition.
+
+    ``dedupe_by`` handles batches carrying SEVERAL updates to one key:
+    last-writer-wins per key by that column (``max_by`` — deterministic,
+    partition-layout-independent, the same discipline as the reduce/gauge
+    operators).  Without it, a multi-row key would insert every version
+    (the tombstone only kills OLDER files, per the sequence rule)."""
+    from vector_spark.plans.checkpoint import PART_COL, with_part_key
+    from vector_spark.plans.table_format import upsert_keys
+
+    pcol = part_col or PART_COL
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        b = batch_df
+        if dedupe_by is not None:
+            others = [c for c in b.columns if c not in key_cols]
+            b = b.groupBy(*key_cols).agg(
+                *[
+                    F.max_by(F.col(c), F.col(dedupe_by)).alias(c)
+                    for c in others
+                ]
+            ).select(*batch_df.columns)
+        b = with_part_key(b, n_parts=n_parts, key_cols=key_cols)
+        if pcol != PART_COL:
+            b = b.withColumnRenamed(PART_COL, pcol)
+        upsert_keys(
+            spark, base, sink, b, key_cols, part_col=pcol,
+            run_id=f"cdc-{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )
 
 
