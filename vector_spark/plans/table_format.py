@@ -1440,6 +1440,32 @@ def _delete_mor(
     return out
 
 
+def _count_rows_per_part(
+    spark: SparkSession, sdir: str, part_col: str, moved: dict[str, list[str]]
+) -> dict[str, int]:
+    """Row counts of freshly staged files, per partition, in ONE Spark job
+    (grouping on the partition column the basePath reader derives) — never
+    a job-per-partition driver loop, which turns a 10k-partition append
+    into 10k scheduler round-trips."""
+    paths = [
+        os.path.join(sdir, f"{part_col}={p}", f)
+        for p, fs in moved.items()
+        for f in fs
+    ]
+    counts = (
+        spark.read.option("basePath", sdir)
+        .parquet(*paths)
+        .groupBy(F.col(part_col).cast("string").alias("_p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = {(r["_p"] if r["_p"] is not None else NULL_PART_KEY): r["n"] for r in counts}
+    # partitions whose staged files are all empty still need a zero entry
+    for p in moved:
+        out.setdefault(p, 0)
+    return out
+
+
 def add_files(
     spark: SparkSession,
     base: str,
@@ -1476,14 +1502,7 @@ def add_files(
     if not moved:
         return {}
     sdir = os.path.join(base, sink)
-    rows = {
-        p: (
-            spark.read.option("basePath", sdir)
-            .parquet(*[os.path.join(sdir, f"{part_col}={p}", f) for f in fs])
-            .count()
-        )
-        for p, fs in moved.items()
-    }
+    rows = _count_rows_per_part(spark, sdir, part_col, moved)
     log.commit(
         {
             "operation": "add_files",
@@ -1502,6 +1521,7 @@ def delete_keys(
     keys: DataFrame,
     key_cols: list[str] | None = None,
     part_col: str = PART_COL,
+    n_files: int = 1,
 ) -> dict:
     """EQUALITY delete — Iceberg v2's second delete-file kind: tombstone by
     key VALUE, written completely blind — NO scan of the table, which is the
@@ -1515,8 +1535,11 @@ def delete_keys(
     rewrite and settles the row counts — until then ``committed()`` row
     counts are UPPER bounds for this sink, since counting matches would
     require the scan this op exists to avoid).  All pending equality
-    tombstones of a sink must share ``key_cols``.  Returns
-    {"delete_files": n, "key_cols": [...]}."""
+    tombstones of a sink must share ``key_cols``.  ``n_files`` sizes the
+    tombstone write: 1 (default) is right for CDC batches — one file per
+    batch keeps the readers' union small; raise it for a BULK key delete
+    (millions of keys) so the post-distinct write isn't single-task.
+    Returns {"delete_files": n, "key_cols": [...]}."""
     key_cols = list(key_cols or keys.columns)
     missing = [k for k in key_cols if k not in keys.columns]
     if missing:
@@ -1536,7 +1559,7 @@ def delete_keys(
     stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
     try:
         stage_out = os.path.join(stage, "out")
-        keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage_out)
+        keys.select(*key_cols).distinct().coalesce(n_files).write.parquet(stage_out)
         names = []
         for i, name in enumerate(_data_files(stage_out)):
             dst = f"eq{version}-{i:05d}.parquet"
@@ -1625,14 +1648,7 @@ def upsert_keys(
     finally:
         _rmtree(stage)
     moved = _stage_and_move(spark, updates, base, sink, part_col, "cd", version)
-    rows = {
-        p: (
-            spark.read.option("basePath", sdir)
-            .parquet(*[os.path.join(sdir, f"{part_col}={p}", f) for f in fs])
-            .count()
-        )
-        for p, fs in moved.items()
-    }
+    rows = _count_rows_per_part(spark, sdir, part_col, moved)
     meta = {
         "operation": "cdc_upsert",
         "sinks": {
