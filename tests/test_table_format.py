@@ -332,3 +332,103 @@ def test_commit_conflict_is_atomic_no_clobber(tmp_path):
     finally:
         TF.CommitLog.current_version = orig_cv
     assert "winner" in a.snapshots()[0]["sinks"]  # winner's bytes intact
+
+
+# --------------------------------------------------------------------------
+# CDC upsert chaos schedules (crash windows inside upsert_keys)
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.sampled_from(["pre", "mid", "post", "none"]), min_size=1, max_size=4
+    )
+)
+@settings(
+    max_examples=int(os.environ.get("CHAOS_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_cdc_upsert_chaos_schedules(spark, tmp_path_factory, schedule):
+    """Crash schedules against upsert_keys' three protocol windows —
+    'pre' (before the tombstones are even staged), 'mid' (tombstones moved
+    dark into _deletes, data not yet staged), 'post' (tombstones + data all
+    staged dark, snapshot commit not reached) — each followed by a same-
+    run_id replay.  Invariants: a crashed attempt is INVISIBLE (readers see
+    the last committed generation, no partial delete-without-insert state);
+    the replay applies the batch exactly once; the final table holds
+    exactly the last generation per key with zero duplicates, before and
+    after vacuum."""
+    base = str(tmp_path_factory.mktemp("cdc_chaos"))
+    docs = CP.with_part_key(
+        synth.documents(spark, 40), n_parts=2, key_cols=["url"]
+    ).drop("html")
+    TF.write_multi_sink({"t": docs}, base)
+    keys = [r["url"] for r in docs.orderBy("url").limit(10).select("url").collect()]
+    batch0 = (
+        TF.read_table(spark, base, "t")
+        .where(F.col("url").isin(keys))
+        .localCheckpoint()
+    )
+    n_total = 40
+
+    def snapshot_state():
+        t = TF.read_table(spark, base, "t")
+        return (t.count(), t.select("url").distinct().count())
+
+    real_stage = TF._stage_and_move
+    real_commit = TF.CommitLog.commit
+    gen = 0
+    for window in schedule:
+        gen += 1
+        batch = batch0.withColumn("text", F.lit(f"GEN-{gen}"))
+        run_id = f"chaos-{gen}"
+        before = snapshot_state()
+        if window != "none":
+            if window == "pre":
+                def boom_pin(*a, **k):
+                    raise _InjectedCrash("pre")
+                TF_pin, TF.pin_files = TF.pin_files, boom_pin
+            elif window == "mid":
+                def boom_stage(*a, **k):
+                    raise _InjectedCrash("mid")
+                TF._stage_and_move = boom_stage
+            else:  # post: data + tombstones staged, commit dies
+                def boom_commit(self, meta):
+                    if meta.get("operation") == "cdc_upsert":
+                        raise _InjectedCrash("post")
+                    return real_commit(self, meta)
+                TF.CommitLog.commit = boom_commit
+            try:
+                with pytest.raises(_InjectedCrash):
+                    TF.upsert_keys(spark, base, "t", batch, ["url"], run_id=run_id)
+            finally:
+                if window == "pre":
+                    TF.pin_files = TF_pin
+                TF._stage_and_move = real_stage
+                TF.CommitLog.commit = real_commit
+            # crashed attempt is invisible: counts AND key-uniqueness hold,
+            # and no key shows this generation yet
+            assert snapshot_state() == before
+            t = TF.read_table(spark, base, "t")
+            assert t.where(F.col("text") == f"GEN-{gen}").count() == 0
+        # replay (same run_id) must converge to exactly-once
+        TF.upsert_keys(spark, base, "t", batch, ["url"], run_id=run_id)
+        t = TF.read_table(spark, base, "t")
+        assert t.count() == n_total
+        assert t.select("url").distinct().count() == n_total
+        assert t.where(F.col("text") == f"GEN-{gen}").count() == len(keys)
+
+    # a duplicate replay of the last batch is a recognized no-op
+    if gen:
+        assert TF.upsert_keys(
+            spark, base, "t",
+            batch0.withColumn("text", F.lit(f"GEN-{gen}")),
+            ["url"], run_id=f"chaos-{gen}",
+        ) == {"skipped": True}
+    TF.vacuum_table(base, "t", staging_grace_s=0)
+    t = TF.read_table(spark, base, "t")
+    assert t.count() == n_total
+    if gen:
+        assert t.where(F.col("text") == f"GEN-{gen}").count() == len(keys)
