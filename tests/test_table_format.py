@@ -432,3 +432,112 @@ def test_cdc_upsert_chaos_schedules(spark, tmp_path_factory, schedule):
     assert t.count() == n_total
     if gen:
         assert t.where(F.col("text") == f"GEN-{gen}").count() == len(keys)
+
+
+# --------------------------------------------------------------------------
+# Z-order rewrite (multi-column cluster_by) + multi-range prune
+# --------------------------------------------------------------------------
+
+
+def _dims_table(spark, n=8_000):
+    """Two independent uniform dims + a string dim (hash-derived: no
+    accidental correlation with row order, so unclustered files span
+    everything)."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id"), F.lit("x")) % 1000).alias("x"),
+        (F.xxhash64(F.col("id"), F.lit("y")) % 1000).alias("y"),
+        F.concat(
+            F.lit("u"),
+            (F.xxhash64(F.col("id"), F.lit("s")) % 100_000).cast("string"),
+        ).alias("s"),
+    )
+
+
+def _n_files(spark, base, **kw):
+    return len(TF.read_table(spark, base, "t", **kw).inputFiles())
+
+
+def test_zorder_rewrite_prunes_every_clustered_dimension(spark, tmp_path):
+    """compact_table(cluster_by=[x, y]) vs cluster_by='x': the Z layout
+    skips files on BOTH dimensions and compounds on the 2-D window; the
+    linear sort serves only its own column.  Rows are preserved exactly and
+    pruned reads stay a superset (pruning never changes query results)."""
+    dims = _dims_table(spark)
+    keyed = CP.with_part_key(dims, n_parts=1, key_cols=["id"]).repartition(32)
+    win = [("x", 0, 100), ("y", 0, 100)]  # 10% x 10% window
+
+    zbase = str(tmp_path / "z")
+    TF.write_multi_sink({"t": keyed}, zbase)
+    TF.collect_file_stats(spark, zbase, "t", ["x", "y"])
+    assert _n_files(spark, zbase, prune=win) == 32  # random layout: no skip
+    TF.compact_table(spark, zbase, "t", max_files=2, target_files=32,
+                     cluster_by=["x", "y"])
+    TF.collect_file_stats(spark, zbase, "t", ["x", "y"])
+    z_x = _n_files(spark, zbase, prune=("x", 0, 100))
+    z_y = _n_files(spark, zbase, prune=("y", 0, 100))
+    z_xy = _n_files(spark, zbase, prune=win)
+    assert z_x <= 16 and z_y <= 16       # both dims skip
+    assert z_xy <= min(z_x, z_y)         # the window compounds
+    # rows byte-identical through the rewrite
+    got = TF.read_table(spark, zbase, "t").orderBy("id")
+    assert [r["id"] for r in got.select("id").collect()] == list(range(8_000))
+    # superset guarantee: pruned + filter == full + filter
+    f = (F.col("x").between(0, 100)) & (F.col("y").between(0, 100))
+    full = TF.read_table(spark, zbase, "t").filter(f).count()
+    pruned = TF.read_table(spark, zbase, "t", prune=win).filter(f).count()
+    assert pruned == full
+
+    lbase = str(tmp_path / "lin")
+    TF.write_multi_sink({"t": keyed}, lbase)
+    TF.compact_table(spark, lbase, "t", max_files=2, target_files=32,
+                     cluster_by="x")
+    TF.collect_file_stats(spark, lbase, "t", ["x", "y"])
+    lin_x = _n_files(spark, lbase, prune=("x", 0, 100))
+    lin_y = _n_files(spark, lbase, prune=("y", 0, 100))
+    assert lin_x <= 8          # its own column: tightly clustered
+    assert lin_y >= 28         # the other column: almost nothing skips
+    assert z_y < lin_y         # what Z-order buys over the linear sort
+
+
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """The string order proxy (7-byte prefix integer) clusters and skips on
+    a string column; mixed string+numeric interleave works."""
+    dims = _dims_table(spark, 4_000)
+    keyed = CP.with_part_key(dims, n_parts=1, key_cols=["id"]).repartition(16)
+    base = str(tmp_path / "zs")
+    TF.write_multi_sink({"t": keyed}, base)
+    TF.compact_table(spark, base, "t", max_files=2, target_files=16,
+                     cluster_by=["s", "x"])
+    TF.collect_file_stats(spark, base, "t", ["s", "x"])
+    n_s = _n_files(spark, base, prune=("s", "u1", "u2"))
+    n_x = _n_files(spark, base, prune=("x", 0, 100))
+    assert n_s <= 8 and n_x <= 8
+    # superset guarantee on the string window
+    f = F.col("s").between("u1", "u2")
+    assert (
+        TF.read_table(spark, base, "t", prune=("s", "u1", "u2")).filter(f).count()
+        == TF.read_table(spark, base, "t").filter(f).count()
+    )
+
+
+def test_order_proxy_is_monotone_on_strings(spark):
+    """proxy(a) <= proxy(b) whenever a <= b — the property that makes
+    string min/max pruning against the Z layout sound (non-strict: distinct
+    strings sharing a 7-byte prefix may collapse, which only weakens
+    clustering, never correctness)."""
+    vals = ["", "a", "A", "u1", "u10", "u2", "u99999", "zz", "~", "éclair",
+            "abcdefg", "abcdefgh", "abcdefh"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select(
+        "v", TF._order_proxy(df, "v").alias("p")
+    ).collect()
+    by_str = sorted(rows, key=lambda r: r["v"].encode("utf-8"))
+    proxies = [r["p"] for r in by_str]
+    assert proxies == sorted(proxies)
+
+
+def test_zorder_bits_budget_refused(spark):
+    df = spark.range(10).select(*[F.col("id").alias(f"c{i}") for i in range(9)])
+    with pytest.raises(ValueError, match="63 bits"):
+        TF.zorder_column(df, [f"c{i}" for i in range(9)], bits=8)

@@ -452,20 +452,32 @@ def _stat_key(v):
     return iso() if iso else str(v)
 
 
+def _as_predicate_list(p) -> list[tuple]:
+    """Normalize ``prune``/``prune_eq`` arguments: ``None`` → [], one tuple
+    → [tuple], list of tuples → itself.  A multi-predicate prune is the
+    conjunction (a file survives only if NO predicate disproves it) — the
+    shape a 2-D query window needs against a Z-ordered layout."""
+    if p is None:
+        return []
+    if isinstance(p, tuple):
+        return [p]
+    return list(p)
+
+
 def _file_pruned(
     spark: SparkSession,
     fstats: dict,
-    prune: tuple | None,
-    prune_eq: tuple | None,
+    prune,
+    prune_eq,
     probes: dict[tuple[int, int], list[int]],
 ) -> bool:
     """True when this file's collected statistics PROVE it holds no matching
     row — the single per-file skip decision shared by :func:`read_table` and
     the copy-on-write row ops (:func:`delete_where`, :func:`merge_upsert`),
     so scan pruning and rewrite pruning can never drift.  Files without
-    stats are never pruned (sound by default)."""
-    if prune is not None:
-        pcol, lo, hi = prune
+    stats are never pruned (sound by default).  ``prune``/``prune_eq``
+    accept one tuple or a list of tuples (ANDed)."""
+    for pcol, lo, hi in _as_predicate_list(prune):
         lo, hi = _stat_key(lo), _stat_key(hi)
         rng = fstats.get(pcol)
         if rng is not None:
@@ -474,8 +486,7 @@ def _file_pruned(
             # range predicate (SQL comparisons with NULL are never true)
             if mn is None or (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 return True
-    if prune_eq is not None:
-        ecol, evalue = prune_eq
+    for ecol, evalue in _as_predicate_list(prune_eq):
         bloom = fstats.get(f"_bloom:{ecol}")
         if bloom is not None:
             mk = (bloom["m"], bloom["k"])
@@ -561,6 +572,10 @@ def read_table(
     be collected lazily / per-partition.  At 100 TB this is the difference
     between scanning a time-clustered table's whole history and scanning
     the few files whose range overlaps the query window.
+
+    Both ``prune`` and ``prune_eq`` also accept a LIST of tuples — the
+    conjunction, which is how a 2-D query window prunes against a
+    Z-ordered layout (``compact_table(cluster_by=["a", "b"])``).
 
     ``prune_eq=(col, value)`` is the EQUALITY twin backed by per-file Bloom
     filters (:func:`collect_file_blooms`): files whose filter proves
@@ -967,6 +982,90 @@ def pin_files(base: str, sink: str, part_col: str = PART_COL) -> dict[str, list[
     return pinned
 
 
+def _order_proxy(df: DataFrame, col: str):
+    """Order-preserving numeric proxy for any stats-capable column type —
+    the per-column input to the Z-value.  Monotone non-strict (``a <= b``
+    implies ``proxy(a) <= proxy(b)``), entirely JVM-side:
+
+      * numerics/booleans cast to double;
+      * timestamps/dates via ``unix_micros``/``unix_date``;
+      * strings via their first-7-UTF-8-bytes as an integer (``hex`` →
+        14 hex digits right-padded with '0' → ``conv`` base 16→10) —
+        byte-prefix order is string order, and 2^56 < 2^63 so the value
+        is exact in a long (double rounding on top stays monotone).
+    """
+    from pyspark.sql import types as T
+
+    c = F.col(col)
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(c).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.unix_date(c).cast("double")
+    if isinstance(dt, T.StringType):
+        return F.conv(F.rpad(F.substring(F.hex(c), 1, 14), 14, "0"), 16, 10).cast(
+            "double"
+        )
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int").cast("double")
+    return c.cast("double")
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over ``cols`` — the Iceberg/Delta Z-ORDER
+    rewrite primitive.  Returns ``df`` with an appended ``__tf_zv`` long.
+
+    Each column is quantile-coded into ``2**bits`` buckets (one
+    ``percentile_approx`` aggregate over the order proxies — no sampling
+    collect loops, no global window), then the per-column codes are
+    bit-interleaved so that sorting by the single Z value co-locates rows
+    that are close in EVERY dimension.  Files cut from that order carry
+    narrow min/max on EACH clustered column, so
+    ``collect_file_stats`` + ``read_table(prune=[...])`` skip on any of
+    them — the multi-dimension layout a linear sort cannot give (sorting
+    by ``a`` randomizes ``b`` within every file).
+
+    Quantile coding (not min/max scaling) makes the interleave skew-proof:
+    a hot key range still spreads over its code range.  NULLs code to 0
+    (they sort first, same as Spark's default NULLS FIRST).
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder bits*cols = {bits * len(cols)} exceeds a long (63 bits)"
+        )
+    proxies = [_order_proxy(df, c) for c in cols]
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    row = df.agg(
+        *[
+            F.percentile_approx(p, F.array(*[F.lit(q) for q in probs]), F.lit(10_000)).alias(f"_c{i}")
+            for i, p in enumerate(proxies)
+        ]
+    ).first()
+    codes = []
+    for i, p in enumerate(proxies):
+        cuts = sorted({float(x) for x in (row[f"_c{i}"] or ()) if x is not None})
+        if not cuts:
+            codes.append(F.lit(0))
+            continue
+        arr = F.array(*[F.lit(c) for c in cuts])
+        codes.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, cut: acc + F.when(p >= cut, 1).otherwise(0),
+            )
+        )
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code.cast("long"), j).bitwiseAND(F.lit(1)), j * k + i
+            )
+    return df.withColumn("__tf_zv", z)
+
+
 def compact_table(
     spark: SparkSession,
     base: str,
@@ -974,7 +1073,7 @@ def compact_table(
     part_col: str = PART_COL,
     max_files: int = 4,
     target_files: int = 1,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
 ) -> dict[str, dict]:
     """Iceberg ``rewrite_data_files`` analog: merge small files per partition.
 
@@ -983,7 +1082,11 @@ def compact_table(
     file covers a narrow value interval — which is what makes
     :func:`collect_file_stats` + ``read_table(prune=...)`` file skipping
     actually selective (stats on randomly-laid-out files span everything
-    and prune nothing).
+    and prune nothing).  A LIST of columns is Iceberg/Delta's Z-ORDER
+    rewrite (:func:`zorder_column`): files are cut from the interleaved
+    Morton order, so min/max stay narrow on EVERY listed column and a
+    range predicate on ANY of them skips files — a linear sort serves
+    only its own column.
 
     The small-files problem is the canonical 100 TB log-table failure mode —
     a streaming/multi-task writer leaves hundreds of KB-scale parquet files
@@ -1024,12 +1127,20 @@ def compact_table(
         stage = tempfile.mkdtemp(dir=base, prefix=f"_compact_{sink}_")
         out_dir = os.path.join(stage, "out")
         body = df.drop(part_col)
-        if cluster_by is None:
+        cluster = [cluster_by] if isinstance(cluster_by, str) else cluster_by
+        if not cluster:
             body = body.repartition(target_files)
-        else:
+        elif len(cluster) == 1:
             body = body.repartitionByRange(
-                target_files, F.col(cluster_by)
-            ).sortWithinPartitions(cluster_by)
+                target_files, F.col(cluster[0])
+            ).sortWithinPartitions(cluster[0])
+        else:
+            body = (
+                zorder_column(body, cluster)
+                .repartitionByRange(target_files, F.col("__tf_zv"))
+                .sortWithinPartitions("__tf_zv")
+                .drop("__tf_zv")
+            )
         body.write.parquet(out_dir)
         moved = []
         for i, name in enumerate(_data_files(out_dir)):
