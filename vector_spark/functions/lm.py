@@ -79,7 +79,13 @@ def ngram_counts(
         raise ValueError(f"order must be >= 1, got {order}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    tk = word_tokens(text_col)
+    # materialize the token array ONCE per row before any higher-order
+    # function touches it: HOF lambdas run interpreted and re-evaluate
+    # closed-over expression trees per ELEMENT, so an inline tokenizer
+    # (regexp + split) here is O(tokens × text_length) per row — measured
+    # ~20× slower.  An attribute reference inside the lambda is O(1).
+    df = df.select(word_tokens(text_col).alias("_tk"))
+    tk = F.col("_tk")
 
     # NOTE: the inner lambda must take exactly ONE parameter — F.transform
     # treats a second parameter as the element INDEX, so binding n via a
@@ -179,7 +185,11 @@ def stupid_backoff_score(
     if n_total == 0:
         raise ValueError("counts has no unigrams — train ngram_counts first")
 
-    tk = word_tokens(text_col)
+    # the ngram_counts materialization rule: tokens become a real column
+    # BEFORE the position transform, so the lambda's element_at reads an
+    # attribute (O(1) per element) instead of re-running the tokenizer
+    df = df.select(F.col(key_col), word_tokens(text_col).alias("_tk"))
+    tk = F.col("_tk")
     fields = [
         lambda i: i.alias("pos"),
         lambda i: F.element_at(tk, i + 1).alias("w"),

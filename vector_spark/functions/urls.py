@@ -122,11 +122,23 @@ def domain_suffixes(host: Column | str) -> Column:
     JVM, no Python); '' hosts give []."""
     h = F.col(host) if isinstance(host, str) else host
     parts = F.split(h, r"\.")
+    # right-fold building each suffix from the previous one: the lambda
+    # references only its own accumulator/element variables, so ``parts``
+    # (often a regex-derived expression like url_host) is evaluated ONCE per
+    # row as the HOF input — a lambda that closed over it (the old
+    # transform-over-sequence form) re-ran the regex+split per ELEMENT
+    folded = F.aggregate(
+        F.reverse(parts),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.array_append(
+            acc,
+            F.when(
+                F.size(acc) > 0, F.concat(x, F.lit("."), F.element_at(acc, -1))
+            ).otherwise(x),
+        ),
+    )
     return F.when(h == "", F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 1),
-            lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
-        )
+        F.reverse(folded)
     )
 
 

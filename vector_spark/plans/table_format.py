@@ -1042,8 +1042,16 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
             for i, p in enumerate(proxies)
         ]
     ).first()
+    # materialize each proxy as a real column BEFORE the per-cut fold: a
+    # HOF lambda re-evaluates closed-over expression trees once per
+    # ELEMENT (2^bits - 1 cuts), so an inline proxy (hex/conv for strings)
+    # would run 255× per row; an attribute reference is O(1)
+    staged = df.select(
+        "*", *[p.alias(f"__tf_zp{i}") for i, p in enumerate(proxies)]
+    )
     codes = []
-    for i, p in enumerate(proxies):
+    for i in range(len(cols)):
+        p = F.col(f"__tf_zp{i}")
         cuts = sorted({float(x) for x in (row[f"_c{i}"] or ()) if x is not None})
         if not cuts:
             codes.append(F.lit(0))
@@ -1056,14 +1064,22 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
                 lambda acc, cut: acc + F.when(p >= cut, 1).otherwise(0),
             )
         )
+    # same rule for the codes: the interleave reads each one `bits` times,
+    # so keep them as columns rather than repeating the fold tree per bit
+    staged = staged.select(
+        "*", *[code.cast("long").alias(f"__tf_zc{i}") for i, code in enumerate(codes)]
+    )
     k = len(cols)
     z = F.lit(0).cast("long")
     for j in range(bits):
-        for i, code in enumerate(codes):
+        for i in range(len(cols)):
             z = z + F.shiftleft(
-                F.shiftright(code.cast("long"), j).bitwiseAND(F.lit(1)), j * k + i
+                F.shiftright(F.col(f"__tf_zc{i}"), j).bitwiseAND(F.lit(1)), j * k + i
             )
-    return df.withColumn("__tf_zv", z)
+    return staged.withColumn("__tf_zv", z).drop(
+        *[f"__tf_zp{i}" for i in range(len(cols))],
+        *[f"__tf_zc{i}" for i in range(len(cols))],
+    )
 
 
 def compact_table(

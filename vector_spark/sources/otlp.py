@@ -54,20 +54,30 @@ def _any_to_string(v) -> F.Column:
     )
 
 
-def _attrs_to_map(attrs) -> F.Column:
-    # OTLP allows a repeated attribute key on the wire (buggy exporters do
-    # emit them); map_from_entries under the default
-    # spark.sql.mapKeyDedupPolicy=EXCEPTION would fail the whole task on
-    # one such record.  Keep the LAST occurrence (proto3 merge semantics)
-    # with an in-row filter — attribute lists are tiny, the O(n²) exists
-    # is per-row and allocation-free.
-    ents = F.transform(
+def _attr_entries(attrs) -> F.Column:
+    """KeyValue list → (key, stringified value) struct array.  Kept
+    separate from :func:`_entries_to_map_last` so callers can materialize
+    the entries as a REAL column between the two: the dedup filter's
+    lambda closes over the entries expression, and a HOF lambda re-runs a
+    closed-over tree once per ELEMENT — fine for an attribute reference,
+    O(n²) stringify work for this transform."""
+    return F.transform(
         attrs,
         lambda kv: F.struct(
             kv.getField("key").alias("key"),
             _any_to_string(kv.getField("value")).alias("value"),
         ),
     )
+
+
+def _entries_to_map_last(ents) -> F.Column:
+    # OTLP allows a repeated attribute key on the wire (buggy exporters do
+    # emit them); map_from_entries under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION would fail the whole task on
+    # one such record.  Keep the LAST occurrence (proto3 merge semantics)
+    # with an in-row filter — attribute lists are tiny, the O(n²) exists
+    # is per-row and allocation-free.  ``ents`` should be a materialized
+    # column (see _attr_entries).
     deduped = F.filter(
         ents,
         lambda e, i: ~F.exists(
@@ -101,15 +111,21 @@ def otlp_logs_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
     rl = parsed.select(*keep, F.explode("_ld.resourceLogs").alias("_rl"))
     sl = rl.select(
         *keep,
-        _attrs_to_map(F.col("_rl.resource.attributes")).alias("resource"),
+        # materialize the entries, THEN dedup: the dedup lambda closes over
+        # its input and a lambda re-runs closed-over trees per element
+        _attr_entries(F.col("_rl.resource.attributes")).alias("_res_ents"),
         F.explode("_rl.scopeLogs").alias("_sl"),
+    ).select(
+        *keep,
+        _entries_to_map_last(F.col("_res_ents")).alias("resource"),
+        "_sl",
     )
     rec = sl.select(
         *keep,
         "resource",
         F.col("_sl.scope.name").alias("scope_name"),
         F.explode("_sl.logRecords").alias("_r"),
-    )
+    ).withColumn("_rec_ents", _attr_entries(F.col("_r.attributes")))
     return rec.select(
         *keep,
         _nanos_to_ts(F.col("_r.timeUnixNano")).alias("timestamp"),
@@ -117,7 +133,7 @@ def otlp_logs_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
         F.col("_r.severityNumber").alias("severity_number"),
         F.col("_r.severityText").alias("severity_text"),
         _any_to_string(F.col("_r.body")).alias("body"),
-        _attrs_to_map(F.col("_r.attributes")).alias("attributes"),
+        _entries_to_map_last(F.col("_rec_ents")).alias("attributes"),
         "resource",
         "scope_name",
         F.col("_r.traceId").alias("trace_id"),
