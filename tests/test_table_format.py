@@ -541,3 +541,198 @@ def test_zorder_bits_budget_refused(spark):
     df = spark.range(10).select(*[F.col("id").alias(f"c{i}") for i in range(9)])
     with pytest.raises(ValueError, match="63 bits"):
         TF.zorder_column(df, [f"c{i}" for i in range(9)], bits=8)
+
+
+# --------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition-spec transforms)
+# --------------------------------------------------------------------------
+
+
+def _part_dirs(df):
+    """Distinct partition directories behind a DataFrame's scan."""
+    return {os.path.dirname(p) for p in df.inputFiles()}
+
+
+def _spread_days(docs, n=4):
+    """synth timestamps span <1 day; spread them over n days so day()
+    partitioning has something to partition."""
+    return docs.withColumn(
+        "warc_ts",
+        F.expr(f"timestampadd(DAY, pmod(xxhash64(url), {n}), warc_ts)"),
+    )
+
+
+def test_hidden_partitioning_roundtrip_and_time_prune(spark, tmp_path):
+    """day(warc_ts) x truncate(lang,1): rows come back exactly, a one-day
+    time window scans only that day's partitions, and the superset guarantee
+    holds (pruned + filter == full + filter).  The caller never names the
+    partition key — predicates are on the DATA columns."""
+    import datetime as dt
+
+    docs = _spread_days(synth.documents(spark, 600).drop("html"))
+    base = str(tmp_path / "t")
+    TF.write_multi_sink(
+        {"pages": docs}, base, spec=[("day", "warc_ts"), ("truncate", "lang", 1)]
+    )
+
+    full = TF.read_table(spark, base, "pages")
+    assert full.count() == 600
+    assert sorted(r["url"] for r in full.select("url").collect()) == sorted(
+        r["url"] for r in docs.select("url").collect()
+    )
+
+    day = full.select(F.date_trunc("day", "warc_ts").alias("d")).orderBy("d").first()["d"]
+    lo, hi = day, day + dt.timedelta(hours=23, minutes=59, seconds=59)
+    pruned = TF.read_table(spark, base, "pages", prune=("warc_ts", lo, hi))
+    all_dirs, hit_dirs = _part_dirs(full), _part_dirs(pruned)
+    assert hit_dirs < all_dirs  # strictly fewer partitions scanned
+    for d in hit_dirs:  # every surviving dir is that day's
+        assert os.path.basename(d).split("~")[0] == f"{TF.PART_COL}={day:%Y-%m-%d}"
+    flt = F.col("warc_ts").between(lo, hi)
+    assert pruned.filter(flt).count() == full.filter(flt).count() > 0
+
+
+def test_hidden_partition_bucket_eq_prune(spark, tmp_path):
+    """bucket(url, 8): a point lookup scans ONE bucket's partitions and
+    still returns every row for that url."""
+    docs = synth.documents(spark, 400).drop("html")
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("bucket", "url", 8)])
+    url = docs.select("url").first()["url"]
+
+    full = TF.read_table(spark, base, "pages")
+    hit = TF.read_table(spark, base, "pages", prune_eq=("url", url))
+    assert len(_part_dirs(hit)) == 1
+    assert len(_part_dirs(full)) > 1
+    assert (
+        hit.filter(F.col("url") == url).count()
+        == full.filter(F.col("url") == url).count()
+        > 0
+    )
+
+
+def test_hidden_partition_null_keys_prune_but_survive(spark, tmp_path):
+    """NULL transform inputs land in a 'null' token partition: any predicate
+    on that column prunes it (SQL NULL never matches), while a full read
+    still returns the rows."""
+    docs = synth.documents(spark, 300).drop("html")
+    docs = docs.withColumn(
+        "lang", F.when(F.xxhash64("url") % 5 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    n_null = docs.filter(F.col("lang").isNull()).count()
+    assert n_null > 0
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("truncate", "lang", 1)])
+
+    full = TF.read_table(spark, base, "pages")
+    assert full.filter(F.col("lang").isNull()).count() == n_null
+    hit = TF.read_table(spark, base, "pages", prune=("lang", "a", "zz"))
+    null_dirs = {d for d in _part_dirs(full) if d.endswith("=null")}
+    assert null_dirs and not (null_dirs & _part_dirs(hit))
+
+
+def test_hidden_partition_spec_is_immutable(spark, tmp_path):
+    docs = synth.documents(spark, 50).drop("html")
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("day", "warc_ts")])
+    with pytest.raises(ValueError, match="spec change refused"):
+        TF.write_multi_sink({"pages": docs}, base, spec=[("bucket", "url", 4)])
+    # an unkeyed sink cannot be silently switched to hidden partitioning
+    lineage = CP.with_part_key(docs, n_parts=2, key_cols=["url"])
+    base2 = str(tmp_path / "t2")
+    TF.write_multi_sink({"pages": lineage}, base2)
+    with pytest.raises(ValueError, match="committed partitions without a spec"):
+        TF.write_multi_sink({"pages": docs}, base2, spec=[("day", "warc_ts")])
+
+
+def test_hidden_partition_resume_skips_committed(spark, tmp_path):
+    """The derived key is deterministic from data, so the resume filter
+    (committed partitions skipped on rerun) works unchanged."""
+    docs = _spread_days(synth.documents(spark, 200).drop("html"))
+    base = str(tmp_path / "t")
+    spec = [("day", "warc_ts")]
+    w1 = TF.write_multi_sink({"pages": docs}, base, spec=spec)
+    assert sum(w1["pages"].values()) == 200
+    w2 = TF.write_multi_sink({"pages": docs}, base, spec=spec)
+    assert w2["pages"] == {}  # nothing re-written
+    assert TF.read_table(spark, base, "pages").count() == 200
+
+
+def test_hidden_partition_spec_survives_expire(spark, tmp_path):
+    """expire_snapshots folds specs into the checkpoint snapshot — pruning
+    still works after history is dropped."""
+    docs = synth.documents(spark, 300).drop("html")
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("bucket", "url", 8)])
+    TF.expire_snapshots(base)
+    url = docs.select("url").first()["url"]
+    hit = TF.read_table(spark, base, "pages", prune_eq=("url", url))
+    assert len(_part_dirs(hit)) == 1
+    assert hit.filter(F.col("url") == url).count() > 0
+
+
+def test_hidden_partition_composes_with_file_stats(spark, tmp_path):
+    """Iceberg's two-level skip: the spec prunes PARTITIONS from the time
+    predicate, per-file min/max stats then prune FILES within survivors."""
+    import datetime as dt
+
+    docs = _spread_days(synth.documents(spark, 800).drop("html")).withColumn(
+        "size", F.length("text")
+    )
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("day", "warc_ts")])
+    TF.pin_files(base, "pages")
+    # max_files=0: force the sort-order rewrite even though the distributed
+    # spec write already leaves one file per partition — the POINT here is
+    # the size clustering, not the small-file merge.
+    TF.compact_table(spark, base, "pages", max_files=0, target_files=4,
+                     cluster_by="size")
+    TF.collect_file_stats(spark, base, "pages", ["size"])
+
+    full = TF.read_table(spark, base, "pages")
+    day = full.select(F.date_trunc("day", "warc_ts").alias("d")).orderBy("d").first()["d"]
+    q25 = docs.approxQuantile("size", [0.25], 0.01)[0]
+    win = [("warc_ts", day, day + dt.timedelta(hours=23)), ("size", 0, q25)]
+    both = TF.read_table(spark, base, "pages", prune=win)
+    assert len(_part_dirs(both)) < len(_part_dirs(full))       # partition level
+    time_only = TF.read_table(
+        spark, base, "pages", prune=("warc_ts", day, day + dt.timedelta(hours=23))
+    )
+    assert len(both.inputFiles()) < len(time_only.inputFiles())  # file level
+    flt = F.col("warc_ts").between(win[0][1], win[0][2]) & F.col("size").between(0, q25)
+    assert both.filter(flt).count() == full.filter(flt).count()
+
+
+def test_hidden_partition_delete_where_prunes(spark, tmp_path):
+    """Row-level DELETE on a spec-partitioned table rewrites only the
+    partitions the predicate can touch."""
+    import datetime as dt
+
+    docs = _spread_days(synth.documents(spark, 400).drop("html"))
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"pages": docs}, base, spec=[("day", "warc_ts")])
+    full = TF.read_table(spark, base, "pages")
+    day = full.select(F.date_trunc("day", "warc_ts").alias("d")).orderBy("d").first()["d"]
+    n_day = full.filter(F.date_trunc("day", "warc_ts") == day).count()
+    out = TF.delete_where(
+        spark, base, "pages",
+        F.col("warc_ts").between(day, day + dt.timedelta(hours=23, minutes=59, seconds=59)),
+        prune=("warc_ts", day, day + dt.timedelta(hours=23, minutes=59, seconds=59)),
+    )
+    assert out["deleted"] == n_day > 0
+    assert out["files_scanned"] < out["files_total"]
+    assert TF.read_table(spark, base, "pages").count() == 400 - n_day
+
+
+def test_hidden_partition_unicode_identity_roundtrip(spark, tmp_path):
+    """identity(string) hex-encodes arbitrary UTF-8 (including characters
+    Spark's path escaping would mangle) and equality-prunes exactly."""
+    rows = [("café/№1=?", 1), ("plain", 2), ("", 3), ("café/№1=?", 4)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": df}, base, spec=[("identity", "k")])
+    full = TF.read_table(spark, base, "t")
+    assert sorted((r["k"], r["v"]) for r in full.collect()) == sorted(rows)
+    hit = TF.read_table(spark, base, "t", prune_eq=("k", "café/№1=?"))
+    assert len(_part_dirs(hit)) == 1
+    assert hit.filter(F.col("k") == "café/№1=?").count() == 2

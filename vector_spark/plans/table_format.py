@@ -264,6 +264,26 @@ class CommitLog:
         return out
 
 
+    def specs(self, as_of: int | None = None) -> dict[str, list[dict]]:
+        """Fold snapshots → {sink: partition-spec} — the HIDDEN-PARTITIONING
+        spec each sink was written under (Iceberg's partition spec: a list of
+        transforms over DATA columns whose outputs form the partition key).
+        Like :meth:`schemas`, the spec lives in table metadata, so readers
+        can derive partition pruning from data-column predicates without the
+        caller knowing the layout.  Sinks written without a spec (lineage
+        part keys) have no entry."""
+        out: dict[str, list[dict]] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            if snap.get("operation", "append") == "checkpoint":
+                out = {k: list(v) for k, v in (snap.get("specs") or {}).items()}
+                continue
+            for sink, info in (snap.get("sinks") or {}).items():
+                if info.get("spec"):
+                    out[sink] = list(info["spec"])
+        return out
+
     def delete_files(self, as_of: int | None = None) -> dict[str, list[str]]:
         """Fold snapshots → {sink: [tombstone file names]} — the PENDING
         merge-on-read positional delete files (Iceberg v2 delete files) as of
@@ -361,12 +381,267 @@ def _check_schema_compat(old_json: str, new_json: str, sink: str) -> None:
         )
 
 
+# --------------------------------------------------------------------------
+# Hidden partitioning — Iceberg partition-spec transforms
+# --------------------------------------------------------------------------
+
+_TIME_FMT = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd-HH",
+}
+_SPEC_TRANSFORMS = {"identity", "bucket", "truncate", *_TIME_FMT}
+
+
+def norm_spec(spec) -> list[dict]:
+    """Canonicalize a partition spec.  Accepts tuples —
+    ``("day", "warc_ts")``, ``("bucket", "url", 16)``,
+    ``("truncate", "lang", 2)``, ``("identity", "source")`` — or equivalent
+    dicts; returns a list of ``{"transform", "col"[, "n"|"w"]}`` dicts
+    (JSON-stable, so recorded and requested specs compare with ``==``)."""
+    out = []
+    for e in spec:
+        if isinstance(e, dict):
+            t, col, arg = e["transform"], e["col"], e.get("n", e.get("w"))
+        else:
+            t, col, arg = e[0], e[1], (e[2] if len(e) > 2 else None)
+        if t not in _SPEC_TRANSFORMS:
+            raise ValueError(
+                f"unknown partition transform {t!r} (have {sorted(_SPEC_TRANSFORMS)})"
+            )
+        d = {"transform": t, "col": col}
+        if t == "bucket":
+            if not arg or int(arg) < 1:
+                raise ValueError(f"bucket({col}) needs n >= 1, got {arg!r}")
+            d["n"] = int(arg)
+        elif t == "truncate":
+            if not arg or int(arg) < 1:
+                raise ValueError(f"truncate({col}) needs width >= 1, got {arg!r}")
+            d["w"] = int(arg)
+        out.append(d)
+    if not out:
+        raise ValueError("empty partition spec")
+    return out
+
+
+def partition_key_expr(df: DataFrame, spec: list[dict]):
+    """The WRITER half of hidden partitioning: one string Column encoding
+    every transform's output, ``~``-joined in spec order — entirely JVM-side
+    expressions, evaluated per row during the partitioned write.
+
+    Token encodings (each chosen so the key never contains characters
+    Spark's partition-path escaping would rewrite, keeping directory names
+    equal to the committed key strings):
+
+      * year/month/day/hour → ``date_format`` (``yyyy[-MM[-dd[-HH]]]``, UTC);
+      * bucket(n)           → ``pmod(xxhash64(col), n)`` as decimal digits;
+      * truncate(w) string  → ``x`` + hex of the first-w-chars' UTF-8 bytes
+                              (hex is path-safe; the ``x`` prefix keeps the
+                              empty string distinguishable — Spark's writer
+                              treats an empty partition VALUE as null);
+      * truncate(w) numeric → ``floor(col / w) * w`` as decimal digits;
+      * identity            → hex for strings, ``unix_micros`` for
+                              timestamps, plain cast-to-string otherwise;
+      * NULL                → the literal token ``null`` for every transform
+                              (readers prune null-token partitions for ANY
+                              predicate on that column: SQL comparisons with
+                              NULL are never true).
+    """
+    from pyspark.sql import types as T
+
+    toks = []
+    for e in spec:
+        col, t = e["col"], e["transform"]
+        c = F.col(col)
+        dtype = df.schema[col].dataType
+        if t in _TIME_FMT:
+            if not isinstance(dtype, (T.TimestampType, T.DateType)):
+                raise ValueError(
+                    f"{t}({col}) needs a timestamp/date column, got {dtype.simpleString()}"
+                )
+            v = F.date_format(c, _TIME_FMT[t])
+        elif t == "bucket":
+            v = F.pmod(F.xxhash64(c), F.lit(e["n"])).cast("string")
+        elif t == "truncate":
+            if isinstance(dtype, T.StringType):
+                v = F.concat(F.lit("x"), F.hex(F.substring(c, 1, e["w"])))
+            else:
+                v = (F.floor(c / F.lit(e["w"])) * e["w"]).cast("long").cast("string")
+        else:  # identity
+            if isinstance(dtype, T.StringType):
+                v = F.concat(F.lit("x"), F.hex(c))
+            elif isinstance(dtype, T.TimestampType):
+                v = F.unix_micros(c).cast("string")
+            else:
+                v = c.cast("string")
+        toks.append(F.when(c.isNull(), F.lit("null")).otherwise(v))
+    return F.concat_ws("~", *toks)
+
+
+def _parse_dt_bound(v):
+    """Predicate bound → naive datetime, or None when unparseable (callers
+    then skip pruning on it — sound by default)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        try:
+            return _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _time_window(tok: str, gran: str):
+    """Partition token → the half-open [start, end) window it covers."""
+    import datetime as _dt
+
+    p = [int(x) for x in tok.split("-")]
+    y, m, d, h = p[0], p[1] if len(p) > 1 else 1, p[2] if len(p) > 2 else 1, \
+        p[3] if len(p) > 3 else 0
+    start = _dt.datetime(y, m, d, h)
+    if gran == "hour":
+        end = start + _dt.timedelta(hours=1)
+    elif gran == "day":
+        end = start + _dt.timedelta(days=1)
+    elif gran == "month":
+        end = _dt.datetime(y + m // 12, m % 12 + 1, 1)
+    else:
+        end = _dt.datetime(y + 1, 1, 1)
+    return start, end
+
+
+def _tok_disproves_range(tok: str, e: dict, schema, lo, hi) -> bool:
+    """True when partition token ``tok`` PROVES no row in the partition can
+    satisfy ``lo <= col <= hi`` (either bound may be None).  Every branch is
+    conservative: a decode surprise or type mismatch returns False (scan the
+    partition) — pruning is an optimization, never a correctness decision."""
+    t = e["transform"]
+    try:
+        if t in _TIME_FMT:
+            start, end = _time_window(tok, t)
+            lo_dt, hi_dt = _parse_dt_bound(lo), _parse_dt_bound(hi)
+            return (hi is not None and hi_dt is not None and start > hi_dt) or (
+                lo is not None and lo_dt is not None and end <= lo_dt
+            )
+        if t == "bucket":
+            return False  # hash buckets carry no order: ranges never prune
+        styp = None
+        if schema is not None and e["col"] in schema.fieldNames():
+            styp = schema[e["col"]].dataType.simpleString()
+        if t == "truncate":
+            if tok.startswith("x"):  # string prefix, hex-encoded
+                p = bytes.fromhex(tok[1:]).decode("utf-8")
+                # rows start with prefix p, so row >= p (binary order) and
+                # row[:w] == p; compare hi against p, lo against lo's prefix
+                return (hi is not None and isinstance(hi, str) and p > hi) or (
+                    lo is not None and isinstance(lo, str) and p < lo[: e["w"]]
+                )
+            v, w = float(tok), e["w"]  # numeric: partition covers [v, v+w)
+            return (hi is not None and v > float(hi)) or (
+                lo is not None and v + w <= float(lo)
+            )
+        # identity
+        if tok.startswith("x") or styp == "string":
+            v = bytes.fromhex(tok[1:]).decode("utf-8")
+            return (hi is not None and isinstance(hi, str) and v > hi) or (
+                lo is not None and isinstance(lo, str) and v < lo
+            )
+        if styp == "timestamp":
+            import datetime as _dt
+
+            epoch = _dt.datetime(1970, 1, 1)
+            v = epoch + _dt.timedelta(microseconds=int(tok))
+            lo_dt, hi_dt = _parse_dt_bound(lo), _parse_dt_bound(hi)
+            return (hi is not None and hi_dt is not None and v > hi_dt) or (
+                lo is not None and lo_dt is not None and v < lo_dt
+            )
+        if styp in ("date", "boolean"):
+            s = _stat_key(lo), _stat_key(hi)  # ISO date strings compare in order
+            return (hi is not None and isinstance(s[1], str) and tok > s[1]) or (
+                lo is not None and isinstance(s[0], str) and tok < s[0]
+            )
+        v = float(tok)
+        return (hi is not None and v > float(hi)) or (
+            lo is not None and v < float(lo)
+        )
+    except (ValueError, TypeError, OverflowError):
+        return False
+
+
+def _bucket_of(spark: SparkSession, schema, col: str, value, n: int):
+    """The reader half of the bucket transform: hash a probe literal the
+    exact way the writer hashed the column (xxhash64 after casting to the
+    RECORDED column type — hashing "42" as a string and 42 as a long give
+    different buckets).  One tiny 1-row job, cached per (col, n, value)."""
+    if schema is None or col not in schema.fieldNames():
+        return None
+    dt = schema[col].dataType
+    row = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(value).cast(dt)), F.lit(n)).alias("b"))
+        .first()
+    )
+    return None if row is None else row["b"]
+
+
+def _part_pruned(
+    spark: SparkSession,
+    spec: list[dict],
+    schema,
+    key: str,
+    prune,
+    prune_eq,
+    bcache: dict,
+) -> bool:
+    """True when the PARTITION KEY proves the whole partition holds no
+    matching row — Iceberg's manifest-level partition pruning, derived from
+    predicates on DATA columns via the recorded spec (the caller never names
+    the partition layout).  Runs before, and composes with, per-file stats
+    skipping (:func:`_file_pruned`).  Keys whose token count does not match
+    the spec (foreign layouts) are never pruned."""
+    toks = key.split("~")
+    if len(toks) != len(spec):
+        return False
+    rng = _as_predicate_list(prune)
+    eqs = _as_predicate_list(prune_eq)
+    for tok, e in zip(toks, spec):
+        col = e["col"]
+        for pcol, lo, hi in rng:
+            if pcol != col:
+                continue
+            if tok == "null":  # all-NULL partition: no range can match
+                return True
+            if _tok_disproves_range(tok, e, schema, lo, hi):
+                return True
+        for ecol, val in eqs:
+            if ecol != col:
+                continue
+            if tok == "null":
+                return True
+            if e["transform"] == "bucket":
+                ck = (col, e["n"], str(val))
+                if ck not in bcache:
+                    bcache[ck] = _bucket_of(spark, schema, col, val, e["n"])
+                if bcache[ck] is not None and tok != str(bcache[ck]):
+                    return True
+            elif _tok_disproves_range(tok, e, schema, val, val):
+                return True
+    return False
+
+
 def write_multi_sink(
     sinks: dict[str, DataFrame],
     base: str,
     part_col: str = PART_COL,
     run_id: str | None = None,
     on_event=None,
+    spec=None,
+    spec_distribute: bool = True,
 ) -> dict[str, dict[str, int]]:
     """Resumable, atomically-committed multi-sink write.
 
@@ -383,12 +658,35 @@ def write_multi_sink(
     the corresponding points; a hook that raises simulates a crash there.
     Production callers leave it None — the protocol's correctness must not
     depend on anything the hook does.
+
+    ``spec`` turns on HIDDEN PARTITIONING (Iceberg partition-spec
+    transforms): a list of transform tuples (see :func:`norm_spec`) applied
+    to every sink, or a ``{sink: spec}`` dict for per-sink layouts.  The
+    partition key column is DERIVED from data columns
+    (:func:`partition_key_expr`) — callers never materialize it — and the
+    spec is recorded in the snapshot, so :func:`read_table` prunes whole
+    partitions from ordinary ``prune``/``prune_eq`` predicates on the
+    SOURCE columns.  The spec is immutable per sink: a write under a
+    different spec (or none) than the recorded one is refused — Iceberg
+    supports spec evolution, this shim documents it as out of scope.
+
+    ``spec_distribute`` (default True) hash-repartitions each spec sink by
+    the derived key before writing — Iceberg's default
+    ``write.distribution-mode=hash`` for partitioned tables.  Without it,
+    EVERY write task opens a file in EVERY partition it sees rows for:
+    N tasks x P partitions files per append, the canonical small-files
+    explosion (measured 16x file count and 3x write time at 1M rows,
+    bench_results/hidden_part.json).  The one shuffle buys one file per
+    partition per append.  Set False only when the input is already
+    clustered by the spec columns.
     """
     notify = on_event or (lambda _evt: None)
     log = CommitLog(base)
     done = log.committed()
     recorded_schemas = log.schemas()
+    recorded_specs = log.specs()
     schema_by_sink: dict[str, str] = {}
+    spec_by_sink: dict[str, list[dict]] = {}
     written: dict[str, dict[str, int]] = {}
     # NULL part keys: Spark writes them under this directory name; we commit
     # them under the same key so read_table finds the data, and the resume
@@ -396,6 +694,27 @@ def write_multi_sink(
     # would silently drop those rows from every rerun).
     null_key = "__HIVE_DEFAULT_PARTITION__"
     for name, df in sinks.items():
+        sp = norm_spec(spec[name]) if isinstance(spec, dict) and name in spec \
+            else (norm_spec(spec) if spec is not None and not isinstance(spec, dict) else None)
+        rec = recorded_specs.get(name)
+        if rec is not None and sp != rec:
+            raise ValueError(
+                f"sink {name!r}: partition spec change refused "
+                f"(recorded {rec}, got {sp}); spec evolution is unsupported — "
+                "write under the recorded spec or to a new sink"
+            )
+        if sp is not None:
+            if rec is None and done.get(name):
+                raise ValueError(
+                    f"sink {name!r} already has committed partitions without a "
+                    "spec; cannot switch an existing sink to hidden partitioning"
+                )
+            if part_col in df.columns:
+                df = df.drop(part_col)
+            df = df.withColumn(part_col, partition_key_expr(df, sp))
+            if spec_distribute:
+                df = df.repartition(F.col(part_col))
+            spec_by_sink[name] = sp
         # Record the DATA schema only: the partition column lives in
         # directory names whose type is re-inferred on read (Iceberg
         # likewise keeps the partition spec outside the schema), so
@@ -432,7 +751,15 @@ def write_multi_sink(
                 "operation": "append",
                 "run_id": run_id,
                 "sinks": {
-                    name: {"parts": parts, "schema": schema_by_sink[name]}
+                    name: {
+                        "parts": parts,
+                        "schema": schema_by_sink[name],
+                        **(
+                            {"spec": spec_by_sink[name]}
+                            if name in spec_by_sink
+                            else {}
+                        ),
+                    }
                     for name, parts in written.items()
                 },
             }
@@ -597,13 +924,29 @@ def read_table(
         return None
     if version is not None:
         _check_time_travelable(log, base, sink, part_col, parts, version)
+    schema_json = log.schemas(as_of=version).get(sink)
+    schema_struct = None
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        schema_struct = StructType.fromJson(json.loads(schema_json))
     pruned: list[str] = []
     probes: dict[tuple[int, int], list[int]] = {}  # keyed (m, k): collections may differ
+    bcache: dict = {}  # bucket-transform probe results, per (col, n, value)
     paths = []
     use_stats = prune is not None or prune_eq is not None
+    sink_spec = log.specs(as_of=version).get(sink) if use_stats else None
     for k in sorted(parts):
         pdir = os.path.join(base, sink, f"{part_col}={k}")
         files = parts[k]["files"]
+        if sink_spec is not None and _part_pruned(
+            spark, sink_spec, schema_struct, k, prune, prune_eq, bcache
+        ):
+            # HIDDEN-PARTITION pruning: the key alone disproves the predicate
+            # for the whole partition — works even dir-mode, where file stats
+            # cannot (the manifest-level half of Iceberg's two-level skip)
+            pruned.append(pdir)
+            continue
         if files is None:
             paths.append(pdir)
             continue
@@ -614,16 +957,13 @@ def read_table(
             else:
                 paths.append(os.path.join(pdir, f))
     reader = spark.read.option("basePath", os.path.join(base, sink))
-    schema_json = log.schemas(as_of=version).get(sink)
-    if schema_json is not None:
+    if schema_struct is not None:
         # SCHEMA EVOLUTION: apply the snapshot's recorded schema instead of
         # merging data-file footers (the Iceberg model).  Files written
         # before a column was added read it as NULL; columns dropped from
         # the schema are invisible even though old files still carry them;
         # time travel sees each version under its own schema.
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        reader = reader.schema(schema_struct)
     if not paths:
         # everything pruned: preserve the schema, scan nothing at runtime
         return reader.parquet(
@@ -1254,6 +1594,7 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
             "operation": "checkpoint",
             "state": state,
             "schemas": log.schemas(),
+            "specs": log.specs(),
             "delete_files": log.delete_files(),
             "eq_delete_files": log.eq_delete_files(),
             "file_versions": log.file_versions(),
@@ -1304,6 +1645,7 @@ def rollback_table(base: str, to_version: int, part_col: str = PART_COL) -> int:
             "operation": "checkpoint",
             "state": state,
             "schemas": schemas,
+            "specs": log.specs(as_of=to_version),
             "delete_files": log.delete_files(as_of=to_version),
             "eq_delete_files": log.eq_delete_files(as_of=to_version),
             "file_versions": log.file_versions(as_of=to_version),
@@ -1361,17 +1703,34 @@ def _candidate_files(
     part_col: str,
     prune: tuple | None,
     prune_eq: tuple | None,
+    log: CommitLog | None = None,
 ) -> tuple[list[str], int]:
-    """(kept candidate paths, total manifest files) under the SAME per-file
-    skip decision ``read_table`` uses (:func:`_file_pruned`)."""
+    """(kept candidate paths, total manifest files) under the SAME skip
+    decisions ``read_table`` uses: hidden-partition pruning from the
+    recorded spec (:func:`_part_pruned`, when ``log`` is given), then
+    per-file stats (:func:`_file_pruned`)."""
     probes: dict[tuple[int, int], list[int]] = {}
+    bcache: dict = {}
+    spec = schema = None
+    if log is not None and (prune is not None or prune_eq is not None):
+        spec = log.specs().get(sink)
+        schema_json = log.schemas().get(sink)
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
     cand: list[str] = []
     total = 0
     for k in sorted(parts):
         pdir = os.path.join(base, sink, f"{part_col}={k}")
         stats = parts[k].get("stats", {})
-        for f in parts[k]["files"] or ():
-            total += 1
+        files = parts[k]["files"] or ()
+        total += len(files)
+        if spec is not None and _part_pruned(
+            spark, spec, schema, k, prune, prune_eq, bcache
+        ):
+            continue
+        for f in files:
             if not _file_pruned(spark, stats.get(f, {}), prune, prune_eq, probes):
                 cand.append(os.path.join(pdir, f))
     return cand, total
@@ -1438,7 +1797,7 @@ def delete_where(
     if not parts:
         return out
     cand, out["files_total"] = _candidate_files(
-        spark, base, sink, parts, part_col, prune, prune_eq
+        spark, base, sink, parts, part_col, prune, prune_eq, log=log
     )
     out["files_scanned"] = len(cand)
     if not cand:
