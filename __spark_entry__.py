@@ -1745,6 +1745,54 @@ def q_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flagship_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_rule sink path end-to-end THROUGH the Iceberg-analog table
+    shim with HIDDEN PARTITIONING: routed rows are written once under spec
+    ``identity(route) x hour(warc_ts)`` (the reference's multi-Iceberg-sink
+    fan-out — route IS the sink, time is the layout), then a 12-hour
+    window aggregate reads back via ``read_table(prune=("warc_ts", ...))``
+    — the READER names only data columns; the recorded spec turns the
+    predicate into manifest-level partition pruning (12/24 hour partitions
+    per route scanned before any footer is read).  The oracle replays the
+    same window aggregate relationally, so this row hash-verifies the whole
+    write→commit→hidden-prune→read→aggregate path, not just the transform.
+    Reference: aws_s3 strftime key-prefix / elasticsearch daily-index
+    partition semantics, ui/src/components/pipeline/config_panel.rs:
+    1969-2003, 2088-2130."""
+    import shutil
+    import tempfile
+
+    from vector_spark.plans import table_format as TF
+
+    routed = _flagship_contract(spark, sf_dir).select(
+        "doc_id", "url", "lang", "family", "route", "warc_ts", "content_bytes"
+    )
+    base = tempfile.mkdtemp(prefix="vs_flagship_iceberg_")
+    try:
+        TF.write_multi_sink(
+            {"routed": routed},
+            base,
+            spec=[("identity", "route"), ("hour", "warc_ts")],
+        )
+        lo, hi = "2026-01-01 06:00:00", "2026-01-01 17:59:59.999999"
+        tbl = TF.read_table(spark, base, "routed", prune=("warc_ts", lo, hi))
+        out = (
+            tbl.filter(F.col("warc_ts").between(lo, hi))
+            .groupBy(
+                "route", "lang", F.date_trunc("hour", "warc_ts").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.sum("content_bytes").alias("byte_total"),
+            )
+        )
+        # materialize before the table dir is removed — the caller collects
+        # the returned DataFrame after this function exits
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # The oracle's independent re-implementation of the extraction contract
 # (extract.py `extract_text_bytes`) in RE2: backreference `</\1>` expanded
 # into explicit alternatives, `\s` expanded to the ASCII class [ \t\n\v\f\r]
@@ -1834,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- flagship + core transforms (driver-checked every round)
         "flagship_routed": q_flagship_routed,
         "flagship_agg": q_flagship_agg,
+        "flagship_iceberg": q_flagship_iceberg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
@@ -2009,6 +2058,15 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(content_bytes) AS BIGINT) AS byte_total
           FROM routed
           GROUP BY 1, 2, 3, 4
+        """,
+        "flagship_iceberg": _ORACLE_WEBPAGES + """
+          SELECT route, lang, date_trunc('hour', warc_ts) AS bucket,
+                 COUNT(*) AS event_count,
+                 CAST(SUM(content_bytes) AS BIGINT) AS byte_total
+          FROM routed
+          WHERE warc_ts BETWEEN TIMESTAMP '2026-01-01 06:00:00'
+                            AND TIMESTAMP '2026-01-01 17:59:59.999999'
+          GROUP BY 1, 2, 3
         """,
         "t1_remap_parse": r"""
             SELECT event_id,

@@ -179,7 +179,7 @@ def main() -> None:
     compact["n_queries"] = len(timings)
     compact["detail"] = "bench_results/bench_full.json"
     headline = [
-        "flagship_e2e", "t1_remap_parse", "t2_filter", "t3_route",
+        "flagship_e2e", "flagship_iceberg", "t1_remap_parse", "t2_filter", "t3_route",
         "t7_reduce", "t8_aggregate", "t9_log_to_metric",
         "enrich_broadcast_join", "asof_join_bucketed", "rollup_hypertable",
         "topk_per_user", "text_lang_id", "text_quality", "text_c4_gopher",
