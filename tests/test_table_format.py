@@ -736,3 +736,150 @@ def test_hidden_partition_unicode_identity_roundtrip(spark, tmp_path):
     hit = TF.read_table(spark, base, "t", prune_eq=("k", "café/№1=?"))
     assert len(_part_dirs(hit)) == 1
     assert hit.filter(F.col("k") == "café/№1=?").count() == 2
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg spec evolution)
+# --------------------------------------------------------------------------
+
+
+def test_spec_evolution_mixed_generations(spark, tmp_path):
+    """day -> day x bucket: old partitions keep the old layout, new writes
+    use the new one (g1~ prefix), a time-window prune hits BOTH generations
+    correctly, and an equality prune on the bucketed column prunes gen-1
+    only (gen-0 day partitions are all kept — sound, never wrong)."""
+    rows = spark.range(400).select(
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(HOUR, cast(id % 72 as int), timestamp'2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": rows.filter("v < 200")}, base, spec=[("day", "ts")])
+    TF.evolve_spec(base, "t", [("day", "ts"), ("bucket", "url", 4)])
+    TF.write_multi_sink(
+        {"t": rows.filter("v >= 200")}, base,
+        spec=[("day", "ts"), ("bucket", "url", 4)],
+    )
+
+    full = TF.read_table(spark, base, "t")
+    assert full.count() == 400
+    keys = {os.path.basename(d).split("=", 1)[1] for d in _part_dirs(full)}
+    assert any(k.startswith("g1~") for k in keys)
+    assert any(not k.startswith("g1~") for k in keys)
+
+    lo, hi = "2026-01-02 00:00:00", "2026-01-02 23:59:59"
+    pruned = TF.read_table(spark, base, "t", prune=("ts", lo, hi))
+    pk = {os.path.basename(d).split("=", 1)[1] for d in _part_dirs(pruned)}
+    assert all("2026-01-02" in k for k in pk)  # both gens, only that day
+    assert any(k.startswith("g1~") for k in pk) and any(not k.startswith("g1~") for k in pk)
+    flt = F.col("ts").between(lo, hi)
+    assert pruned.filter(flt).count() == full.filter(flt).count() > 0
+
+    eq = TF.read_table(spark, base, "t", prune_eq=("url", "u3"))
+    ek = {os.path.basename(d).split("=", 1)[1] for d in _part_dirs(eq)}
+    g0 = {k for k in ek if not k.startswith("g1~")}
+    g1 = {k for k in ek if k.startswith("g1~")}
+    assert len(g0) == 3  # every gen-0 day survives: day spec can't prune url
+    assert len({k.rsplit("~", 1)[1] for k in g1}) == 1  # exactly one bucket
+    assert (
+        eq.filter(F.col("url") == "u3").count()
+        == full.filter(F.col("url") == "u3").count()
+        > 0
+    )
+
+
+def test_spec_evolution_from_flat(spark, tmp_path):
+    """A flat (lineage-keyed) sink evolves onto its first spec: old
+    partitions are never pruned (gen 0 has no spec), new writes are."""
+    docs = _spread_days(synth.documents(spark, 300).drop("html"))
+    base = str(tmp_path / "t")
+    half = F.pmod(F.xxhash64("url", F.lit(9)), F.lit(2)) == 0
+    keyed = CP.with_part_key(docs.filter(half), n_parts=4, key_cols=["url"])
+    TF.write_multi_sink({"pages": keyed}, base)
+    TF.evolve_spec(base, "pages", [("day", "warc_ts")])
+    TF.write_multi_sink(
+        {"pages": docs.filter(~half)}, base, spec=[("day", "warc_ts")]
+    )
+    full = TF.read_table(spark, base, "pages")
+    assert full.count() == 300
+    day = full.select(F.date_trunc("day", "warc_ts").alias("d")).orderBy("d").first()["d"]
+    import datetime as dt
+
+    lo, hi = day, day + dt.timedelta(hours=23, minutes=59, seconds=59)
+    pruned = TF.read_table(spark, base, "pages", prune=("warc_ts", lo, hi))
+    pk = {os.path.basename(d).split("=", 1)[1] for d in _part_dirs(pruned)}
+    flat_keys = {k for k in pk if not k.startswith("g1~")}
+    spec_keys = {k for k in pk if k.startswith("g1~")}
+    assert len(flat_keys) == 4  # every flat partition kept — never pruned
+    assert len(spec_keys) == 1  # exactly the queried day
+    flt = F.col("warc_ts").between(lo, hi)
+    assert pruned.filter(flt).count() == full.filter(flt).count() > 0
+
+
+def test_spec_evolution_refusals(spark, tmp_path):
+    rows = spark.createDataFrame([("a", 1)], "k string, v int")
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": rows}, base, spec=[("identity", "k")])
+    # stale-generation write
+    TF.evolve_spec(base, "t", [("truncate", "k", 1)])
+    with pytest.raises(ValueError, match="evolve_spec"):
+        TF.write_multi_sink(
+            {"t": spark.createDataFrame([("b", 2)], "k string, v int")},
+            base, spec=[("identity", "k")],
+        )
+    # no-op evolve
+    with pytest.raises(ValueError, match="already in force"):
+        TF.evolve_spec(base, "t", [("truncate", "k", 1)])
+    # unknown column (schema is recorded)
+    with pytest.raises(ValueError, match="not in the recorded schema"):
+        TF.evolve_spec(base, "t", [("identity", "nope")])
+    # flat sink still can't be switched implicitly (without evolve_spec)
+    base2 = str(tmp_path / "t2")
+    TF.write_multi_sink({"t": CP.with_part_key(rows, n_parts=2, key_cols=["k"])}, base2)
+    with pytest.raises(ValueError, match="evolve_spec"):
+        TF.write_multi_sink({"t": rows}, base2, spec=[("identity", "k")])
+
+
+def test_spec_evolution_survives_expire_and_rollback(spark, tmp_path):
+    """The spec HISTORY (not just the current spec) survives
+    expire_snapshots, and rollback to a pre-evolution version restores the
+    old current spec — a write under it succeeds again."""
+    rows = spark.range(100).select(
+        F.expr(
+            "timestampadd(HOUR, cast(id % 48 as int), timestamp'2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": rows.filter("v < 50")}, base, spec=[("day", "ts")])
+    pre_evolve = TF.CommitLog(base).current_version()
+    TF.evolve_spec(base, "t", [("hour", "ts")])
+    TF.write_multi_sink({"t": rows.filter("v >= 50")}, base, spec=[("hour", "ts")])
+
+    TF.expire_snapshots(base)
+    hist = TF.CommitLog(base).spec_history()["t"]
+    assert len(hist) == 2 and hist[0][0]["transform"] == "day"
+    lo, hi = "2026-01-01 05:00:00", "2026-01-01 05:59:59"
+    pruned = TF.read_table(spark, base, "t", prune=("ts", lo, hi))
+    pk = {os.path.basename(d).split("=", 1)[1] for d in _part_dirs(pruned)}
+    # gen-0 day partition for Jan 1 kept; gen-1 pruned to the single hour
+    assert pk == {"2026-01-01", "g1~2026-01-01-05"}
+    flt = F.col("ts").between(lo, hi)
+    assert pruned.filter(flt).count() == TF.read_table(spark, base, "t").filter(flt).count() > 0
+
+    base2 = str(tmp_path / "t2")
+    TF.write_multi_sink({"t": rows.filter("v < 50")}, base2, spec=[("day", "ts")])
+    v0 = TF.CommitLog(base2).current_version()
+    TF.evolve_spec(base2, "t", [("hour", "ts")])
+    TF.rollback_table(base2, v0)
+    # current spec is day again: a day-spec write is accepted (fresh day
+    # partitions — write_multi_sink's resume filter skips committed keys)
+    later = rows.filter("v >= 50").withColumn(
+        "ts", F.expr("timestampadd(DAY, 10, ts)")
+    )
+    TF.write_multi_sink({"t": later}, base2, spec=[("day", "ts")])
+    assert TF.read_table(spark, base2, "t").count() == 100
+    with pytest.raises(ValueError, match="evolve_spec"):
+        TF.write_multi_sink({"t": later}, base2, spec=[("hour", "ts")])

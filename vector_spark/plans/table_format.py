@@ -226,6 +226,13 @@ class CommitLog:
                         st = cur.setdefault("stats", {})
                         for f, d in by_file.items():
                             st.setdefault(f, {}).update(d)
+                elif op in ("evolve_spec", "flagship_run"):
+                    # metadata-only for the manifest fold: evolve_spec only
+                    # changes the sink's CURRENT spec (folded by
+                    # spec_history()); flagship_run records per-sink
+                    # cardinality ledgers over its own route-partitioned
+                    # layout, not part_col directories
+                    pass
                 else:
                     raise ValueError(f"unknown snapshot operation {op!r}")
         if as_of is not None and folded == 0:
@@ -264,25 +271,48 @@ class CommitLog:
         return out
 
 
-    def specs(self, as_of: int | None = None) -> dict[str, list[dict]]:
-        """Fold snapshots → {sink: partition-spec} — the HIDDEN-PARTITIONING
-        spec each sink was written under (Iceberg's partition spec: a list of
-        transforms over DATA columns whose outputs form the partition key).
-        Like :meth:`schemas`, the spec lives in table metadata, so readers
-        can derive partition pruning from data-column predicates without the
-        caller knowing the layout.  Sinks written without a spec (lineage
-        part keys) have no entry."""
-        out: dict[str, list[dict]] = {}
+    def spec_history(self, as_of: int | None = None) -> dict[str, list]:
+        """Fold snapshots → {sink: [spec-or-None per GENERATION]} — the full
+        PARTITION-SPEC EVOLUTION history (Iceberg keeps every spec and a
+        spec_id per data file; this shim keeps the list and a generation
+        prefix in the partition key).  ``hist[g]`` is the spec in force at
+        generation ``g``; the CURRENT spec is ``hist[-1]``.  ``hist[0] is
+        None`` marks a sink that started FLAT (lineage part keys) and was
+        evolved onto a spec later — its gen-0 partitions are never
+        spec-pruned.  Sinks never written under any spec have no entry."""
+        out: dict[str, list] = {}
         for snap in self.snapshots():
             if as_of is not None and snap["version"] > as_of:
                 continue
             if snap.get("operation", "append") == "checkpoint":
-                out = {k: list(v) for k, v in (snap.get("specs") or {}).items()}
+                hist = snap.get("spec_history")
+                if hist is not None:
+                    out = {k: list(v) for k, v in hist.items()}
+                else:  # pre-evolution checkpoint: current spec only
+                    out = {k: [list(v)] for k, v in (snap.get("specs") or {}).items()}
                 continue
             for sink, info in (snap.get("sinks") or {}).items():
-                if info.get("spec"):
-                    out[sink] = list(info["spec"])
+                if not info.get("spec"):
+                    continue
+                g = int(info.get("spec_gen", 0))
+                hist = out.setdefault(sink, [])
+                while len(hist) <= g:
+                    hist.append(None)
+                hist[g] = list(info["spec"])
         return out
+
+    def specs(self, as_of: int | None = None) -> dict[str, list[dict]]:
+        """Fold snapshots → {sink: CURRENT partition-spec} — the
+        HIDDEN-PARTITIONING spec new writes to each sink must use (the last
+        generation of :meth:`spec_history`).  Like :meth:`schemas`, the spec
+        lives in table metadata, so readers can derive partition pruning
+        from data-column predicates without the caller knowing the layout.
+        Sinks written without a spec (lineage part keys) have no entry."""
+        return {
+            sink: hist[-1]
+            for sink, hist in self.spec_history(as_of=as_of).items()
+            if hist and hist[-1] is not None
+        }
 
     def delete_files(self, as_of: int | None = None) -> dict[str, list[str]]:
         """Fold snapshots → {sink: [tombstone file names]} — the PENDING
@@ -425,10 +455,17 @@ def norm_spec(spec) -> list[dict]:
     return out
 
 
-def partition_key_expr(df: DataFrame, spec: list[dict]):
+def partition_key_expr(df: DataFrame, spec: list[dict], gen: int = 0):
     """The WRITER half of hidden partitioning: one string Column encoding
     every transform's output, ``~``-joined in spec order — entirely JVM-side
     expressions, evaluated per row during the partitioned write.
+
+    ``gen`` is the SPEC GENERATION (partition-spec evolution): generation 0
+    keys are bare; evolved generations prefix ``g{gen}~`` so keys from
+    different layouts can never collide in one directory and readers know
+    which spec interprets each key.  No gen-0 token can start with ``g``
+    (dates/buckets/numerics are digits, strings are ``x``-hex, NULL is
+    ``null``), so the prefix is unambiguous by construction.
 
     Token encodings (each chosen so the key never contains characters
     Spark's partition-path escaping would rewrite, keeping directory names
@@ -476,6 +513,8 @@ def partition_key_expr(df: DataFrame, spec: list[dict]):
             else:
                 v = c.cast("string")
         toks.append(F.when(c.isNull(), F.lit("null")).otherwise(v))
+    if gen:
+        toks.insert(0, F.lit(f"g{gen}"))
     return F.concat_ws("~", *toks)
 
 
@@ -589,9 +628,27 @@ def _bucket_of(spark: SparkSession, schema, col: str, value, n: int):
     return None if row is None else row["b"]
 
 
+def _resolve_spec(hist: list, key: str):
+    """(spec, tokens) the partition key was written under, per the spec
+    EVOLUTION history — or None when unknowable (flat gen-0 partitions,
+    foreign layouts, token-count mismatch): those are never pruned.
+    Evolved keys carry a ``g{gen}~`` prefix; bare keys are generation 0."""
+    toks = key.split("~")
+    head = toks[0]
+    if len(head) > 1 and head[0] == "g" and head[1:].isdigit():
+        g = int(head[1:])
+        if 0 < g < len(hist) and hist[g] is not None and len(toks) - 1 == len(hist[g]):
+            return hist[g], toks[1:]
+        return None
+    sp = hist[0] if hist else None
+    if sp is not None and len(toks) == len(sp):
+        return sp, toks
+    return None
+
+
 def _part_pruned(
     spark: SparkSession,
-    spec: list[dict],
+    hist: list,
     schema,
     key: str,
     prune,
@@ -600,13 +657,16 @@ def _part_pruned(
 ) -> bool:
     """True when the PARTITION KEY proves the whole partition holds no
     matching row — Iceberg's manifest-level partition pruning, derived from
-    predicates on DATA columns via the recorded spec (the caller never names
-    the partition layout).  Runs before, and composes with, per-file stats
-    skipping (:func:`_file_pruned`).  Keys whose token count does not match
-    the spec (foreign layouts) are never pruned."""
-    toks = key.split("~")
-    if len(toks) != len(spec):
+    predicates on DATA columns via the recorded spec HISTORY (the caller
+    never names the partition layout; each key is interpreted under the
+    spec generation that wrote it).  Runs before, and composes with,
+    per-file stats skipping (:func:`_file_pruned`).  Keys whose generation
+    or token count does not match any recorded spec (foreign layouts,
+    pre-evolution flat partitions) are never pruned."""
+    resolved = _resolve_spec(hist, key)
+    if resolved is None:
         return False
+    spec, toks = resolved
     rng = _as_predicate_list(prune)
     eqs = _as_predicate_list(prune_eq)
     for tok, e in zip(toks, spec):
@@ -666,9 +726,10 @@ def write_multi_sink(
     (:func:`partition_key_expr`) — callers never materialize it — and the
     spec is recorded in the snapshot, so :func:`read_table` prunes whole
     partitions from ordinary ``prune``/``prune_eq`` predicates on the
-    SOURCE columns.  The spec is immutable per sink: a write under a
-    different spec (or none) than the recorded one is refused — Iceberg
-    supports spec evolution, this shim documents it as out of scope.
+    SOURCE columns.  Writes must use the sink's CURRENT spec: a write under
+    a different spec (or none) is refused — change the layout first with
+    :func:`evolve_spec` (partition-spec evolution; old partitions keep
+    their old layout, exactly Iceberg's model).
 
     ``spec_distribute`` (default True) hash-repartitions each spec sink by
     the derived key before writing — Iceberg's default
@@ -684,9 +745,12 @@ def write_multi_sink(
     log = CommitLog(base)
     done = log.committed()
     recorded_schemas = log.schemas()
-    recorded_specs = log.specs()
+    spec_hist = log.spec_history()
+    recorded_specs = {
+        k: h[-1] for k, h in spec_hist.items() if h and h[-1] is not None
+    }
     schema_by_sink: dict[str, str] = {}
-    spec_by_sink: dict[str, list[dict]] = {}
+    spec_by_sink: dict[str, tuple[list[dict], int]] = {}
     written: dict[str, dict[str, int]] = {}
     # NULL part keys: Spark writes them under this directory name; we commit
     # them under the same key so read_table finds the data, and the resume
@@ -700,21 +764,22 @@ def write_multi_sink(
         if rec is not None and sp != rec:
             raise ValueError(
                 f"sink {name!r}: partition spec change refused "
-                f"(recorded {rec}, got {sp}); spec evolution is unsupported — "
-                "write under the recorded spec or to a new sink"
+                f"(current {rec}, got {sp}); run evolve_spec() first — "
+                "writes always use the sink's current spec generation"
             )
         if sp is not None:
             if rec is None and done.get(name):
                 raise ValueError(
                     f"sink {name!r} already has committed partitions without a "
-                    "spec; cannot switch an existing sink to hidden partitioning"
+                    "spec; run evolve_spec() to switch it to hidden partitioning"
                 )
+            gen = len(spec_hist.get(name, [sp])) - 1
             if part_col in df.columns:
                 df = df.drop(part_col)
-            df = df.withColumn(part_col, partition_key_expr(df, sp))
+            df = df.withColumn(part_col, partition_key_expr(df, sp, gen=gen))
             if spec_distribute:
                 df = df.repartition(F.col(part_col))
-            spec_by_sink[name] = sp
+            spec_by_sink[name] = (sp, gen)
         # Record the DATA schema only: the partition column lives in
         # directory names whose type is re-inferred on read (Iceberg
         # likewise keeps the partition spec outside the schema), so
@@ -755,7 +820,10 @@ def write_multi_sink(
                         "parts": parts,
                         "schema": schema_by_sink[name],
                         **(
-                            {"spec": spec_by_sink[name]}
+                            {
+                                "spec": spec_by_sink[name][0],
+                                "spec_gen": spec_by_sink[name][1],
+                            }
                             if name in spec_by_sink
                             else {}
                         ),
@@ -765,6 +833,47 @@ def write_multi_sink(
             }
         )
     return written
+
+
+def evolve_spec(base: str, sink: str, new_spec) -> int:
+    """PARTITION-SPEC EVOLUTION (Iceberg `ALTER TABLE ... WRITE ORDERED/
+    PARTITIONED BY` analog): make ``new_spec`` the sink's CURRENT spec in a
+    metadata-only snapshot.  No data moves — partitions already written
+    keep their old layout and are read/pruned under the spec generation
+    that wrote them (:func:`_resolve_spec`); only FUTURE writes use the new
+    layout, with a ``g{gen}~`` key prefix so generations can never collide
+    in one directory.  A flat sink (lineage part keys) may evolve onto its
+    first spec: its existing partitions simply become generation 0 with no
+    spec (never pruned, always scanned — sound).  Returns the committed
+    snapshot version.  Evolving to the spec already in force is refused
+    (it would burn a generation for nothing); so is an invalid transform
+    or, when a schema is recorded, a column the sink does not have."""
+    sp = norm_spec(new_spec)
+    log = CommitLog(base)
+    hist = log.spec_history().get(sink)
+    if hist is None:
+        hist = [None] if log.committed().get(sink) else []
+    if hist and hist[-1] == sp:
+        raise ValueError(
+            f"sink {sink!r}: evolve_spec to the spec already in force "
+            f"(generation {len(hist) - 1}) — nothing to change"
+        )
+    schema_json = log.schemas().get(sink)
+    if schema_json is not None:
+        cols = {f["name"] for f in json.loads(schema_json).get("fields", [])}
+        missing = [e["col"] for e in sp if e["col"] not in cols]
+        if missing:
+            raise ValueError(
+                f"sink {sink!r}: spec columns {missing} not in the recorded "
+                f"schema — evolve the schema first (write with the column), "
+                "then the spec"
+            )
+    return log.commit(
+        {
+            "operation": "evolve_spec",
+            "sinks": {sink: {"spec": sp, "spec_gen": len(hist)}},
+        }
+    )
 
 
 def _stat_key(v):
@@ -935,7 +1044,7 @@ def read_table(
     bcache: dict = {}  # bucket-transform probe results, per (col, n, value)
     paths = []
     use_stats = prune is not None or prune_eq is not None
-    sink_spec = log.specs(as_of=version).get(sink) if use_stats else None
+    sink_spec = log.spec_history(as_of=version).get(sink) if use_stats else None
     for k in sorted(parts):
         pdir = os.path.join(base, sink, f"{part_col}={k}")
         files = parts[k]["files"]
@@ -1595,6 +1704,7 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
             "state": state,
             "schemas": log.schemas(),
             "specs": log.specs(),
+            "spec_history": log.spec_history(),
             "delete_files": log.delete_files(),
             "eq_delete_files": log.eq_delete_files(),
             "file_versions": log.file_versions(),
@@ -1646,6 +1756,7 @@ def rollback_table(base: str, to_version: int, part_col: str = PART_COL) -> int:
             "state": state,
             "schemas": schemas,
             "specs": log.specs(as_of=to_version),
+            "spec_history": log.spec_history(as_of=to_version),
             "delete_files": log.delete_files(as_of=to_version),
             "eq_delete_files": log.eq_delete_files(as_of=to_version),
             "file_versions": log.file_versions(as_of=to_version),
@@ -1713,7 +1824,7 @@ def _candidate_files(
     bcache: dict = {}
     spec = schema = None
     if log is not None and (prune is not None or prune_eq is not None):
-        spec = log.specs().get(sink)
+        spec = log.spec_history().get(sink)
         schema_json = log.schemas().get(sink)
         if schema_json is not None:
             from pyspark.sql.types import StructType
