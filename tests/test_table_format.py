@@ -883,3 +883,55 @@ def test_spec_evolution_survives_expire_and_rollback(spark, tmp_path):
     assert TF.read_table(spark, base2, "t").count() == 100
     with pytest.raises(ValueError, match="evolve_spec"):
         TF.write_multi_sink({"t": later}, base2, spec=[("hour", "ts")])
+
+
+# --------------------------------------------------------------------------
+# Metadata inspection tables (Iceberg t.snapshots / t.partitions / t.files)
+# --------------------------------------------------------------------------
+
+
+def test_inspect_table_kinds(spark, tmp_path):
+    rows = spark.range(200).select(
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(HOUR, cast(id % 48 as int), timestamp'2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": rows.filter("v<100")}, base, spec=[("day", "ts")], run_id="r1")
+    TF.evolve_spec(base, "t", [("hour", "ts")])
+    TF.write_multi_sink({"t": rows.filter("v>=100")}, base, spec=[("hour", "ts")], run_id="r2")
+    TF.pin_files(base, "t")
+    TF.collect_file_stats(spark, base, "t", ["ts", "v"])
+    TF.collect_file_blooms(spark, base, "t", "url")
+
+    snaps = {r["version"]: r for r in TF.inspect_table(spark, base, kind="snapshots").collect()}
+    assert snaps[1]["operation"] == "append" and snaps[1]["run_id"] == "r1"
+    assert snaps[2]["operation"] == "evolve_spec"
+    assert all(r["committed_at"] is not None for r in snaps.values())
+    assert list(snaps) == sorted(snaps)
+
+    parts = TF.inspect_table(spark, base, "t", kind="partitions").collect()
+    man = TF.CommitLog(base).manifest()["t"]
+    assert {r["part_key"] for r in parts} == set(man)
+    assert sum(r["rows"] for r in parts) == 200
+    assert {r["spec_gen"] for r in parts} == {0, 1}
+    assert all(r["file_mode"] and r["files_with_stats"] == r["n_files"] for r in parts)
+
+    files = TF.inspect_table(spark, base, "t", kind="files").collect()
+    assert len(files) == sum(len(i["files"]) for i in man.values())
+    assert all(r["add_version"] is not None and r["has_bloom"] for r in files)
+    import json as _json
+
+    st = _json.loads(files[0]["stats"])
+    assert set(st) == {"ts", "v"} and len(st["v"]) == 2
+
+    specs = TF.inspect_table(spark, base, "t", kind="specs").collect()
+    assert [r["generation"] for r in specs] == [0, 1]
+    assert [r["is_current"] for r in specs] == [False, True]
+
+    with pytest.raises(ValueError, match="needs a sink"):
+        TF.inspect_table(spark, base, kind="partitions")
+    with pytest.raises(ValueError, match="unknown inspect_table kind"):
+        TF.inspect_table(spark, base, "t", kind="nope")

@@ -118,7 +118,7 @@ class CommitLog:
         link, readers see the previous snapshot; after it, the new one —
         never a partial state."""
         version = self.current_version() + 1
-        meta = {"version": version, **meta}
+        meta = {"version": version, "committed_at": time.time(), **meta}
         final = os.path.join(self.dir, f"v{version}.json")
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
@@ -1766,6 +1766,116 @@ def rollback_table(base: str, to_version: int, part_col: str = PART_COL) -> int:
 
 
 NULL_PART_KEY = "__HIVE_DEFAULT_PARTITION__"
+
+
+def inspect_table(
+    spark: SparkSession, base: str, sink: str | None = None, kind: str = "snapshots"
+) -> DataFrame:
+    """Iceberg METADATA TABLES analog (``SELECT * FROM t.snapshots`` /
+    ``t.partitions`` / ``t.files`` / Iceberg's specs+schemas metadata):
+    expose the commit log's folds as queryable DataFrames, so operational
+    questions ("what changed at v7?", "which partitions are file-mode?",
+    "which files have stats/blooms?", "what spec wrote this partition?")
+    are answered with the same DataFrame API as the data.
+
+    Kinds (``sink`` required for all but ``snapshots``):
+
+      * ``snapshots``  — one row per snapshot: version, committed_at,
+        operation, run_id, the sinks it touched;
+      * ``partitions`` — current manifest, one row per partition: rows,
+        dir/file mode, file count, stats/bloom coverage, the spec
+        GENERATION that wrote the key (NULL for flat/lineage keys);
+      * ``files``      — one row per live data file: add version (data
+        sequence number), per-column min/max stats, bloom presence;
+      * ``specs``      — one row per spec generation with the transform
+        list and whether it is current.
+
+    Metadata only — never opens a data file.  Built driver-side, like every
+    commit-log fold: the log is O(partitions + files) JSON, the same scale
+    Iceberg manifests are; at 100 TB this is still a metadata read, not a
+    table scan."""
+    log = CommitLog(base)
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["version"]),
+                float(s["committed_at"]) if s.get("committed_at") else None,
+                s.get("operation", "append"),
+                s.get("run_id"),
+                sorted((s.get("sinks") or {}).keys()),
+            )
+            for s in log.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, committed_at double, operation string, "
+            "run_id string, sinks array<string>",
+        )
+    if sink is None:
+        raise ValueError(f"inspect_table kind={kind!r} needs a sink")
+    if kind == "partitions":
+        hist = log.spec_history().get(sink, [])
+        rows = []
+        for k, info in sorted(log.manifest().get(sink, {}).items()):
+            resolved = _resolve_spec(hist, k)
+            gen = None
+            if resolved is not None:
+                gen = hist.index(resolved[0])
+            files = info.get("files")
+            stats = info.get("stats") or {}
+            rows.append(
+                (
+                    k,
+                    int(info.get("rows", 0)),
+                    files is not None,
+                    len(files) if files is not None else None,
+                    gen,
+                    sum(1 for d in stats.values() if any(not x.startswith("_bloom:") for x in d)),
+                    sum(1 for d in stats.values() if any(x.startswith("_bloom:") for x in d)),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "part_key string, rows bigint, file_mode boolean, n_files int, "
+            "spec_gen int, files_with_stats int, files_with_blooms int",
+        )
+    if kind == "files":
+        vers = log.file_versions().get(sink, {})
+        rows = []
+        for k, info in sorted(log.manifest().get(sink, {}).items()):
+            stats = info.get("stats") or {}
+            for f in info.get("files") or ():
+                d = stats.get(f, {})
+                rows.append(
+                    (
+                        k,
+                        f,
+                        vers.get(f"{k}/{f}"),
+                        json.dumps(
+                            {c: v for c, v in d.items() if not c.startswith("_bloom:")},
+                            default=_stat_key,
+                        ),
+                        any(c.startswith("_bloom:") for c in d),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "part_key string, file string, add_version int, "
+            "stats string, has_bloom boolean",
+        )
+    if kind == "specs":
+        hist = log.spec_history().get(sink, [])
+        rows = [
+            (g, json.dumps(sp) if sp is not None else None, g == len(hist) - 1)
+            for g, sp in enumerate(hist)
+        ]
+        return spark.createDataFrame(
+            rows, "generation int, spec string, is_current boolean"
+        )
+    raise ValueError(
+        f"unknown inspect_table kind {kind!r} "
+        "(snapshots | partitions | files | specs)"
+    )
 
 
 def _stage_and_move(
