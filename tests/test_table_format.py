@@ -935,3 +935,124 @@ def test_inspect_table_kinds(spark, tmp_path):
         TF.inspect_table(spark, base, kind="partitions")
     with pytest.raises(ValueError, match="unknown inspect_table kind"):
         TF.inspect_table(spark, base, "t", kind="nope")
+
+
+# --------------------------------------------------------------------------
+# Incremental / changelog reads (Iceberg incremental append scan analog)
+# --------------------------------------------------------------------------
+
+
+def _kv(spark, lo, hi, mult=1):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * mult).alias("v"),
+    )
+
+
+def test_changelog_append_and_cdc_window(spark, tmp_path):
+    """(v1, v2] over an append + cdc_upsert history returns exactly the
+    delta, and replaying the changelog over the base state reproduces the
+    current table (upsert semantics)."""
+    base = str(tmp_path / "t")
+    TF.write_multi_sink(
+        {"t": CP.with_part_key(_kv(spark, 0, 100), n_parts=2, key_cols=["url"])},
+        base, run_id="a",
+    )
+    v1 = TF.CommitLog(base).current_version()
+    batch = CP.with_part_key(_kv(spark, 90, 150, mult=1000), n_parts=2, key_cols=["url"])
+    TF.upsert_keys(spark, base, "t", batch, ["url"], run_id="b1")
+    v2 = TF.CommitLog(base).current_version()
+
+    ch = TF.read_table_changes(spark, base, "t", v1)
+    ins = ch.filter("_change_type='insert'")
+    dels = ch.filter("_change_type='delete'")
+    assert ins.count() == 60 and dels.count() == 60
+    assert dels.filter(F.col("v").isNotNull()).count() == 0  # blind deletes
+
+    # replay: base state minus deleted keys plus inserts == current table
+    base_state = TF.read_table_changes(spark, base, "t", 0, to_version=v1)
+    replayed = (
+        base_state.select("url", "v")
+        .join(dels.select("url"), "url", "left_anti")
+        .unionByName(ins.select("url", "v"))
+    )
+    tbl = TF.read_table(spark, base, "t").select("url", "v")
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, tbl.collect()))
+
+    # empty window
+    assert TF.read_table_changes(spark, base, "t", v2, to_version=v2).count() == 0
+
+
+def test_changelog_survives_compaction_and_materialize(spark, tmp_path):
+    """Compaction + materialize_deletes inside the window are logical
+    no-ops: the changelog still reads the ORIGINAL bytes of each version
+    (pins record the append's files; added files persist until vacuum)."""
+    base = str(tmp_path / "t")
+    TF.write_multi_sink(
+        {"t": CP.with_part_key(_kv(spark, 0, 100), n_parts=2, key_cols=["url"])}, base
+    )
+    v1 = TF.CommitLog(base).current_version()
+    batch = CP.with_part_key(_kv(spark, 90, 150, mult=7), n_parts=2, key_cols=["url"])
+    TF.upsert_keys(spark, base, "t", batch, ["url"], run_id="b")
+    v2 = TF.CommitLog(base).current_version()
+    TF.materialize_deletes(spark, base, "t")
+    TF.compact_table(spark, base, "t", max_files=0)
+
+    assert (
+        TF.read_table_changes(spark, base, "t", v1, to_version=v2)
+        .filter("_change_type='insert'").count() == 60
+    )
+    full = TF.read_table_changes(spark, base, "t", 0)
+    assert full.filter("_change_type='insert'").count() == 160
+    assert full.filter("_change_type='delete'").count() == 60
+
+    # vacuum reclaims the rewritten-away originals → refusal, not silence
+    TF.vacuum_table(base, "t", staging_grace_s=0)
+    with pytest.raises(TF.IncrementalUnavailable, match="vacuumed"):
+        TF.read_table_changes(spark, base, "t", v1, to_version=v2)
+
+
+def test_changelog_refusals(spark, tmp_path):
+    """COW delete, rollback, and expired history in the window refuse
+    loudly; windows that avoid them still work."""
+    base = str(tmp_path / "t")
+    TF.write_multi_sink(
+        {"t": CP.with_part_key(_kv(spark, 0, 50), n_parts=2, key_cols=["url"])}, base
+    )
+    v1 = TF.CommitLog(base).current_version()
+    TF.delete_where(spark, base, "t", F.col("v") < 5)
+    with pytest.raises(TF.IncrementalUnavailable, match="not derivable"):
+        TF.read_table_changes(spark, base, "t", v1)
+    assert TF.read_table_changes(spark, base, "t", 0, to_version=v1).count() == 50
+
+    base3 = str(tmp_path / "t3")
+    TF.write_multi_sink(
+        {"t": CP.with_part_key(_kv(spark, 0, 50), n_parts=2, key_cols=["url"])}, base3
+    )
+    v31 = TF.CommitLog(base3).current_version()
+    TF.write_multi_sink(
+        {"t2": CP.with_part_key(
+            _kv(spark, 50, 80).withColumn("url", F.concat(F.lit("x"), F.col("url"))),
+            n_parts=2, key_cols=["url"],
+        )}, base3
+    )
+    TF.rollback_table(base3, v31)
+    with pytest.raises(TF.IncrementalUnavailable, match="rollback"):
+        TF.read_table_changes(spark, base3, "t", v31)
+
+    base2 = str(tmp_path / "t2")
+    TF.write_multi_sink(
+        {"t": CP.with_part_key(_kv(spark, 0, 50), n_parts=2, key_cols=["url"])}, base2
+    )
+    TF.write_multi_sink(
+        {"t2": CP.with_part_key(
+            _kv(spark, 50, 80).withColumn("url", F.concat(F.lit("x"), F.col("url"))),
+            n_parts=2, key_cols=["url"],
+        )}, base2
+    )
+    TF.expire_snapshots(base2)
+    with pytest.raises((TF.IncrementalUnavailable, ValueError)):
+        TF.read_table_changes(spark, base2, "t", 1)
+
+    with pytest.raises(ValueError, match="bad window"):
+        TF.read_table_changes(spark, base, "t", 99)
