@@ -1056,3 +1056,68 @@ def test_changelog_refusals(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bad window"):
         TF.read_table_changes(spark, base, "t", 99)
+
+
+def test_row_ops_derive_spec_partition_keys(spark, tmp_path):
+    """upsert_keys / add_files / merge_upsert into a HIDDEN-PARTITIONED
+    sink derive the partition key from the data under the CURRENT spec —
+    caller-provided keys (right or wrong) are ignored, so spec pruning
+    stays exact after CDC traffic, including across an evolution."""
+    rows = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("url"),
+        F.expr(
+            "timestampadd(HOUR, cast(id % 24 as int), timestamp'2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    base = str(tmp_path / "t")
+    TF.write_multi_sink({"t": rows}, base, spec=[("hour", "ts")])
+
+    # upsert WITHOUT any part column; one key moves to a different hour
+    batch = spark.createDataFrame(
+        [("k5", "2026-01-01 23:00:00", 5000), ("knew", "2026-01-01 22:30:00", 1)],
+        "url string, ts string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    TF.upsert_keys(spark, base, "t", batch, ["url"], run_id="c1")
+
+    full = TF.read_table(spark, base, "t")
+    assert full.count() == 101
+    # the moved row is found by pruning in its NEW hour, not its old one
+    hit = TF.read_table(
+        spark, base, "t", prune=("ts", "2026-01-01 23:00:00", "2026-01-01 23:59:59")
+    )
+    got = hit.filter(F.col("url") == "k5").collect()
+    assert len(got) == 1 and got[0]["v"] == 5000
+    data_dirs = {d for d in _part_dirs(hit) if "_deletes" not in d}
+    assert len(data_dirs) == 1  # exactly the 23:00 partition scanned
+
+    # a WRONG caller-provided part key is overridden, not trusted
+    bad = batch.withColumn("v", F.lit(7).cast("long")).withColumn(TF.PART_COL, F.lit("g9~zzz"))
+    TF.upsert_keys(spark, base, "t", bad, ["url"], run_id="c2")
+    hit2 = TF.read_table(
+        spark, base, "t", prune=("ts", "2026-01-01 23:00:00", "2026-01-01 23:59:59")
+    )
+    assert hit2.filter(F.col("url") == "k5").collect()[0]["v"] == 7
+    keys = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in _part_dirs(TF.read_table(spark, base, "t"))
+        if "=" in os.path.basename(d)  # skip the _deletes tombstone dir
+    }
+    assert "g9~zzz" not in keys
+
+    # after an evolution, CDC rows land under the NEW generation
+    TF.evolve_spec(base, "t", [("day", "ts"), ("bucket", "url", 4)])
+    TF.materialize_deletes(spark, base, "t")
+    b2 = spark.createDataFrame(
+        [("k5", "2026-01-02 01:00:00", 9)], "url string, ts string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    TF.merge_upsert(spark, base, "t", b2, ["url"])
+    keys = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in _part_dirs(TF.read_table(spark, base, "t"))
+        if "=" in os.path.basename(d)
+    }
+    assert any(k.startswith("g1~2026-01-02~") for k in keys)
+    hit3 = TF.read_table(spark, base, "t", prune_eq=("url", "k5"))
+    assert hit3.filter(F.col("url") == "k5").collect()[0]["v"] == 9
+    assert TF.read_table(spark, base, "t").filter("url = 'k5'").count() == 1

@@ -2387,6 +2387,26 @@ def _count_rows_per_part(
     return out
 
 
+def _apply_sink_spec(
+    log: CommitLog, sink: str, df: DataFrame, part_col: str
+) -> DataFrame:
+    """For HIDDEN-PARTITIONED sinks, derive the partition key from the DATA
+    under the sink's CURRENT spec generation — never trust a caller-provided
+    key.  A row keyed into the wrong partition would be invisible to spec
+    pruning (``_part_pruned`` proves absence from the KEY alone), turning
+    the superset guarantee into silently wrong query results — the one
+    failure mode pruning must never have.  Flat sinks pass through
+    unchanged: the caller's lineage key IS the layout there."""
+    hist = log.spec_history().get(sink)
+    if not hist or hist[-1] is None:
+        return df
+    if part_col in df.columns:
+        df = df.drop(part_col)
+    return df.withColumn(
+        part_col, partition_key_expr(df, hist[-1], gen=len(hist) - 1)
+    )
+
+
 def add_files(
     spark: SparkSession,
     base: str,
@@ -2410,6 +2430,7 @@ def add_files(
     rules apply as for ``write_multi_sink``.  Returns {part: rows added}."""
     log = CommitLog(base)
     pin_files(base, sink, part_col)
+    df = _apply_sink_spec(log, sink, df, part_col)
     from pyspark.sql.types import StructType
 
     new_schema = StructType(
@@ -2542,6 +2563,7 @@ def upsert_keys(
                 f"to {list(key_cols)}"
             )
     pin_files(base, sink, part_col)
+    updates = _apply_sink_spec(log, sink, updates, part_col)
     from pyspark.sql.types import StructType
 
     new_schema = StructType(
@@ -2764,6 +2786,7 @@ def merge_upsert(
     log = CommitLog(base)
     _require_no_pending_deletes(log, sink, "merge_upsert")
     pin_files(base, sink, part_col)
+    updates = _apply_sink_spec(log, sink, updates, part_col)
     parts = log.manifest().get(sink, {})
     sdir = os.path.join(base, sink)
     key_cols = list(key_cols)
