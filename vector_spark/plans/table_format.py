@@ -1821,6 +1821,73 @@ def read_table_changes(
     from pyspark.sql.types import StructType
 
     log = CommitLog(base)
+    schema_json, file_inserts, dir_inserts, deletes = _plan_changes(
+        log, base, sink, from_version, to_version, part_col
+    )
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    sink_dir = os.path.join(base, sink)
+
+    def _reader():
+        r = spark.read.option("basePath", sink_dir)
+        return r.schema(schema) if schema is not None else r
+
+    pieces = []
+    for v in sorted(set(file_inserts) | set(dir_inserts)):
+        paths = file_inserts.get(v, []) + dir_inserts.get(v, [])
+        pieces.append(
+            _reader()
+            .parquet(*paths)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(v))
+        )
+    for v in sorted(deletes):
+        key_cols, paths = deletes[v]
+        t = spark.read.parquet(*paths).select(*key_cols)
+        if schema is not None:
+            for f in schema.fields:
+                if f.name not in key_cols:
+                    t = t.withColumn(f.name, F.lit(None).cast(f.dataType))
+            t = t.select(*[f.name for f in schema.fields])
+        pieces.append(
+            t.withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v))
+        )
+    if not pieces:
+        if schema is None:
+            return None
+        empty = _reader().parquet(sink_dir).where(F.lit(False))
+        return (
+            empty.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0))
+            .where(F.lit(False))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _plan_changes(
+    log: CommitLog,
+    base: str,
+    sink: str,
+    from_version: int,
+    to_version: int | None,
+    part_col: str = PART_COL,
+    skip_unreadable: bool = False,
+) -> tuple[str | None, dict[int, list[str]], dict[int, list[str]], dict]:
+    """Metadata-only planning half of :func:`read_table_changes`, shared with
+    the streaming source (streaming/table_source.py): fold the snapshot
+    window into ``(schema_json, file_inserts, dir_inserts, deletes)`` where
+    ``file_inserts``/``dir_inserts`` map version → absolute parquet paths /
+    partition dirs and ``deletes`` maps version → ``(key_cols, tombstone
+    paths)``.  Performs ALL the exactness validation (window bounds, expiry
+    gaps, rollbacks, non-changelog-able ops, vacuumed bytes) so every
+    consumer inherits the refusal-not-wrong contract.  Never touches a
+    SparkSession — safe to run on a bare driver thread, which is what the
+    DataSource ``partitions()`` hook requires."""
     cur = log.current_version()
     to = cur if to_version is None else to_version
     if not 0 <= from_version <= to <= cur:
@@ -1838,9 +1905,6 @@ def read_table_changes(
 
     man_to = log.manifest(as_of=to).get(sink, {}) if to else {}
     schema_json = log.schemas(as_of=to).get(sink)
-    schema = (
-        StructType.fromJson(json.loads(schema_json)) if schema_json else None
-    )
     sink_dir = os.path.join(base, sink)
 
     appended: dict[str, int] = {}  # part -> append version in window
@@ -1896,6 +1960,11 @@ def read_table_changes(
             # delete_mor version — no new logical change here
             continue
         else:  # delete, merge, delete_mor — pre-image not key-addressable
+            if skip_unreadable:
+                # Iceberg streaming-skip-delete-snapshots semantics: skip
+                # the snapshot WHOLE (its row effects are absent from the
+                # changelog) — the caller opted out of exactness here
+                continue
             raise IncrementalUnavailable(
                 f"{op} at v{v} inside the window: its pre-image rows are "
                 "not derivable from metadata (use equality deletes / "
@@ -1929,50 +1998,13 @@ def read_table_changes(
                 f"data files of v{v} were vacuumed: {gone[:3]} — the "
                 "changelog horizon is vacuum_table, like time travel"
             )
-
-    def _reader():
-        r = spark.read.option("basePath", sink_dir)
-        return r.schema(schema) if schema is not None else r
-
-    pieces = []
-    for v in sorted(set(file_inserts) | set(dir_inserts)):
-        paths = file_inserts.get(v, []) + dir_inserts.get(v, [])
-        pieces.append(
-            _reader()
-            .parquet(*paths)
-            .withColumn("_change_type", F.lit("insert"))
-            .withColumn("_commit_version", F.lit(v))
-        )
-    for v in sorted(deletes):
-        key_cols, paths = deletes[v]
+    for v, (_, paths) in deletes.items():
         gone = [p for p in paths if not os.path.exists(p)]
         if gone:
             raise IncrementalUnavailable(
                 f"tombstone files of v{v} were vacuumed: {gone[:3]}"
             )
-        t = spark.read.parquet(*paths).select(*key_cols)
-        if schema is not None:
-            for f in schema.fields:
-                if f.name not in key_cols:
-                    t = t.withColumn(f.name, F.lit(None).cast(f.dataType))
-            t = t.select(*[f.name for f in schema.fields])
-        pieces.append(
-            t.withColumn("_change_type", F.lit("delete"))
-            .withColumn("_commit_version", F.lit(v))
-        )
-    if not pieces:
-        if schema is None:
-            return None
-        empty = _reader().parquet(sink_dir).where(F.lit(False))
-        return (
-            empty.withColumn("_change_type", F.lit("insert"))
-            .withColumn("_commit_version", F.lit(0))
-            .where(F.lit(False))
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return schema_json, file_inserts, dir_inserts, deletes
 
 
 def inspect_table(

@@ -56,7 +56,10 @@ __all__ = [
     "streaming_to_table",
     "streaming_cdc_upsert",
     "run_available_now",
+    "TableChangesDataSource",
 ]
+
+from vector_spark.streaming.table_source import TableChangesDataSource  # noqa: E402
 
 
 # ----------------------------------------------------------------- sources
