@@ -1793,6 +1793,58 @@ def q_flagship_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_table_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) [WHERE …] answered from the table shim's METADATA — the
+    Iceberg aggregate-pushdown analog (``count_rows``).  Events are written
+    once under spec ``identity(event_type) x day(ts)`` and stats-collected;
+    four counts then exercise the whole decision ladder: 'all' (pure
+    manifest fold, zero files opened), a day-ALIGNED window (partition-token
+    proof), a MISALIGNED window (metadata for interior days + per-file
+    ``_rowcount`` stats / one residual boundary scan at the edges), and an
+    equality count on the identity-partitioned column.  The oracle
+    recomputes every window relationally over the same rows, so this row
+    hash-verifies that metadata-derived counts equal real counts — the
+    property that makes a dashboard count O(manifest) instead of a table
+    scan at 100 TB.  Reference: Iceberg answers count(*) from manifest
+    record_count sums; Vector's internal metrics expose per-sink event
+    totals the same way (config_panel.rs observability family)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from vector_spark.plans import table_format as TF
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ → the spec's tz type
+    )
+    base = tempfile.mkdtemp(prefix="vs_count_pushdown_")
+    try:
+        TF.write_multi_sink(
+            {"ev": ev}, base, spec=[("identity", "event_type"), ("day", "ts")]
+        )
+        TF.collect_file_stats(spark, base, "ev", ["ts"])
+        windows = [
+            ("all", None),
+            ("d02_d08", ("ts", dt.datetime(2024, 1, 2),
+                         dt.datetime(2024, 1, 8, 23, 59, 59, 999999))),
+            ("mid", ("ts", dt.datetime(2024, 1, 5, 12),
+                     dt.datetime(2024, 1, 14, 6, 30))),
+        ]
+        rows = [
+            (name, TF.count_rows(spark, base, "ev", prune=p))
+            for name, p in windows
+        ]
+        rows.append(
+            ("type_click",
+             TF.count_rows(spark, base, "ev", prune_eq=("event_type", "click")))
+        )
+        return spark.createDataFrame(
+            rows, "win string, row_count long"
+        ).orderBy("win")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # The oracle's independent re-implementation of the extraction contract
 # (extract.py `extract_text_bytes`) in RE2: backreference `</\1>` expanded
 # into explicit alternatives, `\s` expanded to the ASCII class [ \t\n\v\f\r]
@@ -1883,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_routed": q_flagship_routed,
         "flagship_agg": q_flagship_agg,
         "flagship_iceberg": q_flagship_iceberg,
+        "table_count_pushdown": q_table_count_pushdown,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
@@ -2067,6 +2120,22 @@ def oracle_sql() -> dict[str, str]:
           WHERE warc_ts BETWEEN TIMESTAMP '2026-01-01 06:00:00'
                             AND TIMESTAMP '2026-01-01 17:59:59.999999'
           GROUP BY 1, 2, 3
+        """,
+        "table_count_pushdown": """
+            SELECT * FROM (
+              SELECT 'all' AS win, COUNT(*) AS row_count FROM events
+              UNION ALL
+              SELECT 'd02_d08', COUNT(*) FROM events
+              WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+                AND ts <= TIMESTAMP '2024-01-08 23:59:59.999999'
+              UNION ALL
+              SELECT 'mid', COUNT(*) FROM events
+              WHERE ts >= TIMESTAMP '2024-01-05 12:00:00'
+                AND ts <= TIMESTAMP '2024-01-14 06:30:00'
+              UNION ALL
+              SELECT 'type_click', COUNT(*) FROM events
+              WHERE event_type = 'click'
+            ) ORDER BY win
         """,
         "t1_remap_parse": r"""
             SELECT event_id,

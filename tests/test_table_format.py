@@ -925,7 +925,7 @@ def test_inspect_table_kinds(spark, tmp_path):
     import json as _json
 
     st = _json.loads(files[0]["stats"])
-    assert set(st) == {"ts", "v"} and len(st["v"]) == 2
+    assert {"ts", "v", "_rowcount"} <= set(st) and len(st["v"]) == 2
 
     specs = TF.inspect_table(spark, base, "t", kind="specs").collect()
     assert [r["generation"] for r in specs] == [0, 1]

@@ -152,7 +152,9 @@ def test_file_stats_pruning_roundtrip(spark, table):
                      cluster_by="warc_ts")
     stats = TF.collect_file_stats(spark, table, "logs", ["warc_ts", "url"])
     assert stats and all(
-        set(fs) == {"warc_ts", "url"} for by_file in stats.values()
+        {"warc_ts", "url", "_rowcount", "_nulls:warc_ts", "_nulls:url"} == set(fs)
+        and fs["_rowcount"] > 0
+        for by_file in stats.values()
         for fs in by_file.values()
     )
 

@@ -621,6 +621,101 @@ def _tok_disproves_range(tok: str, e: dict, schema, lo, hi) -> bool:
         return False
 
 
+def _tok_proves_range(tok: str, e: dict, schema, lo, hi) -> bool:
+    """The PROOF dual of :func:`_tok_disproves_range`: True when partition
+    token ``tok`` proves EVERY row in the partition satisfies
+    ``lo <= col <= hi`` (either bound may be None = unbounded).  This is
+    what lets :func:`count_rows` answer from the manifest without opening a
+    single data file.  Every branch is conservative the other way round: a
+    decode surprise or an unprovable transform returns False (the caller
+    falls back to file stats or a scan) — a wrong True would be a wrong
+    COUNT, so only airtight cases return True:
+
+      * time transforms — the token's [start, end) window lies inside the
+        bounds (end is exclusive; timestamps are µs-resolution, so the top
+        test uses end - 1µs);
+      * bucket — never provable (hash order);
+      * truncate numeric — the covered [v, v+w) window lies inside;
+      * truncate string — rows share prefix p but their suffixes are
+        unbounded above, so only a one-sided ``lo <= p`` with ``hi is None``
+        is provable;
+      * identity — the token IS the single value every row shares.
+
+    A non-null token also proves the column is non-NULL for every row, so
+    no separate null-count check is needed at partition level."""
+    t = e["transform"]
+    if tok == "null":
+        return False  # NULL rows satisfy no comparison
+    try:
+        if t in _TIME_FMT:
+            import datetime as _dt
+
+            start, end = _time_window(tok, t)
+            if lo is not None:
+                lo_dt = _parse_dt_bound(lo)
+                if lo_dt is None or lo_dt > start:
+                    return False
+            if hi is not None:
+                hi_dt = _parse_dt_bound(hi)
+                if hi_dt is None or hi_dt < end - _dt.timedelta(microseconds=1):
+                    return False
+            return True
+        if t == "bucket":
+            return False
+        styp = None
+        if schema is not None and e["col"] in schema.fieldNames():
+            styp = schema[e["col"]].dataType.simpleString()
+        if t == "truncate":
+            if tok.startswith("x"):  # string prefix, hex-encoded
+                if hi is not None:
+                    return False
+                p = bytes.fromhex(tok[1:]).decode("utf-8")
+                return lo is None or (isinstance(lo, str) and lo <= p)
+            v, w = float(tok), e["w"]  # numeric: partition covers [v, v+w)
+            top = v + w - 1 if styp in ("tinyint", "smallint", "int", "bigint") else v + w
+            if lo is not None and float(lo) > v:
+                return False
+            if hi is not None and float(hi) < top:
+                return False
+            return True
+        # identity: the token encodes the one value every row shares
+        if tok.startswith("x") or styp == "string":
+            v = bytes.fromhex(tok[1:]).decode("utf-8")
+            if lo is not None and not (isinstance(lo, str) and lo <= v):
+                return False
+            if hi is not None and not (isinstance(hi, str) and v <= hi):
+                return False
+            return True
+        if styp == "timestamp":
+            import datetime as _dt
+
+            v = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(tok))
+            if lo is not None:
+                lo_dt = _parse_dt_bound(lo)
+                if lo_dt is None or lo_dt > v:
+                    return False
+            if hi is not None:
+                hi_dt = _parse_dt_bound(hi)
+                if hi_dt is None or hi_dt < v:
+                    return False
+            return True
+        if styp in ("date", "boolean"):
+            slo, shi = _stat_key(lo), _stat_key(hi)
+            if lo is not None and not (isinstance(slo, str) and slo <= tok):
+                return False
+            if hi is not None and not (isinstance(shi, str) and tok <= shi):
+                return False
+            return True
+        v = float(tok)
+        if lo is not None and float(lo) > v:
+            return False
+        if hi is not None and float(hi) < v:
+            return False
+        return True
+    except (ValueError, TypeError, OverflowError):
+        return False
+
+
 def _bucket_of(spark: SparkSession, schema, col: str, value, n: int):
     """The reader half of the bucket transform: hash a probe literal the
     exact way the writer hashed the column (xxhash64 after casting to the
@@ -1143,9 +1238,19 @@ def collect_file_stats(
     if not paths:
         return {}
     df = _sink_reader(spark, log, base, sink).parquet(*paths)
-    aggs = []
+    # Per-file row and per-column NULL counts ride along with min/max in the
+    # same single pass (Iceberg manifests carry record_count and
+    # null_value_counts for exactly this reason): they are what lets
+    # count_rows() answer from metadata — a file counts from its stats only
+    # when the stats PROVE every row matches, and min/max ignore NULLs, so
+    # that proof needs the null count to be zero.
+    aggs = [F.count(F.lit(1)).alias("_rc")]
     for i, c in enumerate(columns):
-        aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
+        aggs += [
+            F.min(c).alias(f"_mn{i}"),
+            F.max(c).alias(f"_mx{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nl{i}"),
+        ]
     rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     marker = f"/{part_col}="
     out: dict[str, dict[str, dict]] = {}
@@ -1153,13 +1258,210 @@ def collect_file_stats(
         path = unquote(r["_f"])
         tail = path[path.rindex(marker) + len(marker):]
         part, fname = tail.split("/", 1)
-        out.setdefault(part, {})[fname] = {
-            c: [_stat_key(r[f"_mn{i}"]), _stat_key(r[f"_mx{i}"])]
-            for i, c in enumerate(columns)
-        }
+        d: dict = {"_rowcount": r["_rc"]}
+        for i, c in enumerate(columns):
+            d[c] = [_stat_key(r[f"_mn{i}"]), _stat_key(r[f"_mx{i}"])]
+            d[f"_nulls:{c}"] = r[f"_nl{i}"]
+        out.setdefault(part, {})[fname] = d
     if out:
         log.commit({"operation": "stats", "sinks": {sink: {"stats": out}}})
     return out
+
+
+def _part_proven(hist, schema, key: str, rng: list, eqs: list) -> tuple[set, set]:
+    """Which predicates does the PARTITION KEY alone prove all-match?
+    Returns (proven range-pred indices, proven eq-pred indices), interpreting
+    the key under the spec generation that wrote it (None/foreign layouts
+    prove nothing)."""
+    resolved = _resolve_spec(hist, key) if hist else None
+    if resolved is None:
+        return set(), set()
+    spec, toks = resolved
+    prng: set = set()
+    peq: set = set()
+    for tok, e in zip(toks, spec):
+        col = e["col"]
+        for i, (pcol, lo, hi) in enumerate(rng):
+            if pcol == col and _tok_proves_range(tok, e, schema, lo, hi):
+                prng.add(i)
+        for i, (ecol, val) in enumerate(eqs):
+            # equality proof = the degenerate range [val, val]; bucket and
+            # truncate can never prove it, identity/time can
+            if ecol == col and _tok_proves_range(tok, e, schema, val, val):
+                peq.add(i)
+    return prng, peq
+
+
+def _file_proves_range(fstats: dict, pcol: str, lo, hi) -> bool:
+    """True when this file's stats prove EVERY row satisfies
+    ``lo <= pcol <= hi``: min/max inside the bounds AND a recorded zero
+    null count (min/max ignore NULLs, and NULL satisfies no comparison, so
+    without the null count the proof is unsound)."""
+    rng = fstats.get(pcol)
+    if rng is None or fstats.get(f"_nulls:{pcol}") != 0:
+        return False
+    mn, mx = rng
+    if mn is None:
+        return False
+    lo, hi = _stat_key(lo), _stat_key(hi)
+    try:
+        if lo is not None and mn < lo:
+            return False
+        if hi is not None and mx > hi:
+            return False
+    except TypeError:
+        return False
+    return True
+
+
+def _predicate_condition(rng: list, eqs: list):
+    """The predicates as a real Column filter — applied to boundary files a
+    metadata count cannot decide.  Semantics match the stats comparison:
+    inclusive BETWEEN for ranges (one-sided when a bound is None), equality
+    for eq — NULL never matches either."""
+    cond = F.lit(True)
+    for pcol, lo, hi in rng:
+        if lo is not None:
+            cond = cond & (F.col(pcol) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(pcol) <= F.lit(hi))
+    for ecol, val in eqs:
+        cond = cond & (F.col(ecol) == F.lit(val))
+    return cond
+
+
+def count_rows(
+    spark: SparkSession,
+    base: str,
+    sink: str,
+    part_col: str = PART_COL,
+    prune: tuple | list | None = None,
+    prune_eq: tuple | list | None = None,
+    version: int | None = None,
+    audit: dict | None = None,
+) -> int:
+    """COUNT(*) [WHERE …] answered from METADATA wherever possible — the
+    Iceberg aggregate-pushdown analog (Iceberg answers ``count(*)`` from
+    manifest ``record_count`` sums and, with predicates, from partition +
+    column stats, scanning only the files the stats cannot decide).
+
+    Decision ladder, per partition then per file:
+
+      1. partition key disproves a predicate (:func:`_part_pruned`) → 0 rows,
+         nothing opened;
+      2. partition key PROVES every predicate (:func:`_tok_proves_range`
+         under the spec generation that wrote the key) → the manifest row
+         count, nothing opened — with no predicates at all every partition
+         takes this path and the whole call is one commit-log fold;
+      3. file stats disprove (:func:`_file_pruned`) → 0 rows for that file;
+      4. file stats PROVE every remaining predicate (min/max inside bounds
+         + zero null count) and carry ``_rowcount`` → the stat's row count;
+      5. otherwise the file is a BOUNDARY file: collected and counted in ONE
+         residual scan with the real filter applied.
+
+    At 100 TB this is the difference between a full-table scan per
+    dashboard count and an O(manifest) metadata fold plus a scan of only
+    the window-straddling edge files.
+
+    Exactness guards (refusal-of-shortcut, never a wrong count): any pending
+    merge-on-read tombstones — positional or equality — make manifest/stat
+    row counts non-authoritative at file level, so the whole call falls
+    back to ``read_table(...).where(pred).count()`` (which subtracts them);
+    Iceberg likewise disables count pushdown while deletes pend.  ``version``
+    counts as-of that snapshot; a fallback/boundary scan then re-checks
+    byte-exactness the same way ``read_table`` does.
+
+    ``audit`` (optional dict) is filled with how the count was decided:
+    ``meta_rows``/``stats_rows``/``scan_rows``, ``pruned_parts``/``meta_parts``,
+    ``pruned_files``/``stats_files``/``scanned_files``/``scanned_dirs``,
+    ``fallback`` — tests pin "zero files opened" with it."""
+    rng = _as_predicate_list(prune)
+    eqs = _as_predicate_list(prune_eq)
+    for pcol, lo, hi in rng:
+        if lo is None and hi is None:
+            raise ValueError(f"prune on {pcol!r} needs at least one bound")
+    a = audit if audit is not None else {}
+    a.update(
+        meta_rows=0, stats_rows=0, scan_rows=0, pruned_parts=0, meta_parts=0,
+        pruned_files=0, stats_files=0, scanned_files=0, scanned_dirs=0,
+        fallback=False,
+    )
+    log = CommitLog(base)
+    parts = log.manifest(as_of=version).get(sink, {})
+    if not parts:
+        return 0
+    if log.delete_files(as_of=version).get(sink) or log.eq_delete_files(
+        as_of=version
+    ).get(sink):
+        a["fallback"] = True
+        df = read_table(spark, base, sink, part_col, prune or None,
+                        prune_eq or None, version)
+        if df is None:
+            return 0
+        n = df.where(_predicate_condition(rng, eqs)).count()
+        a["scan_rows"] = n
+        return n
+    schema_struct = None
+    schema_json = log.schemas(as_of=version).get(sink)
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        schema_struct = StructType.fromJson(json.loads(schema_json))
+    hist = log.spec_history(as_of=version).get(sink)
+    total = 0
+    scan_paths: list[str] = []
+    scan_parts: dict[str, dict] = {}
+    probes: dict[tuple[int, int], list[int]] = {}
+    bcache: dict = {}
+    for k in sorted(parts):
+        pdir = os.path.join(base, sink, f"{part_col}={k}")
+        if (rng or eqs) and hist is not None and _part_pruned(
+            spark, hist, schema_struct, k, prune, prune_eq, bcache
+        ):
+            a["pruned_parts"] += 1
+            continue
+        prng, peq = _part_proven(hist, schema_struct, k, rng, eqs)
+        open_rng = [p for i, p in enumerate(rng) if i not in prng]
+        open_eqs = [p for i, p in enumerate(eqs) if i not in peq]
+        if not open_rng and not open_eqs:
+            total += parts[k]["rows"]
+            a["meta_rows"] += parts[k]["rows"]
+            a["meta_parts"] += 1
+            continue
+        files = parts[k]["files"]
+        if files is None:
+            scan_paths.append(pdir)
+            scan_parts[k] = parts[k]
+            a["scanned_dirs"] += 1
+            continue
+        stats = parts[k].get("stats", {})
+        for f in files:
+            fst = stats.get(f, {})
+            if _file_pruned(spark, fst, open_rng or None, open_eqs or None, probes):
+                a["pruned_files"] += 1
+                continue
+            if "_rowcount" in fst and all(
+                _file_proves_range(fst, pcol, lo, hi) for pcol, lo, hi in open_rng
+            ) and all(
+                _file_proves_range(fst, ecol, val, val) for ecol, val in open_eqs
+            ):
+                total += fst["_rowcount"]
+                a["stats_rows"] += fst["_rowcount"]
+                a["stats_files"] += 1
+            else:
+                scan_paths.append(os.path.join(pdir, f))
+                scan_parts[k] = parts[k]
+                a["scanned_files"] += 1
+    if scan_paths:
+        if version is not None:
+            _check_time_travelable(log, base, sink, part_col, scan_parts, version)
+        reader = spark.read.option("basePath", os.path.join(base, sink))
+        if schema_struct is not None:
+            reader = reader.schema(schema_struct)
+        n = reader.parquet(*scan_paths).where(_predicate_condition(rng, eqs)).count()
+        a["scan_rows"] = n
+        total += n
+    return total
 
 
 def _sink_reader(spark: SparkSession, log: CommitLog, base: str, sink: str):
