@@ -174,12 +174,18 @@ class CommitLog:
         """
         state: dict[str, dict[str, dict]] = {}
         folded = 0
+        newest_seen = 0
+        present: list[int] = []
+        anchor = None
         for snap in self.snapshots():
+            newest_seen = max(newest_seen, snap["version"])
             if as_of is not None and snap["version"] > as_of:
                 continue
             folded += 1
+            present.append(snap["version"])
             op = snap.get("operation", "append")
             if op == "checkpoint":
+                anchor = snap["version"]
                 state = {
                     sink: {p: dict(info) for p, info in parts.items()}
                     for sink, parts in (snap.get("state") or {}).items()
@@ -235,21 +241,63 @@ class CommitLog:
                         st = cur.setdefault("stats", {})
                         for f, d in by_file.items():
                             st.setdefault(f, {}).update(d)
-                elif op in ("evolve_spec", "flagship_run"):
+                elif op in ("evolve_spec", "flagship_run", "tag", "delete_tag"):
                     # metadata-only for the manifest fold: evolve_spec only
                     # changes the sink's CURRENT spec (folded by
                     # spec_history()); flagship_run records per-sink
                     # cardinality ledgers over its own route-partitioned
-                    # layout, not part_col directories
+                    # layout, not part_col directories; tag/delete_tag are
+                    # named refs (folded by tags())
                     pass
                 else:
                     raise ValueError(f"unknown snapshot operation {op!r}")
-        if as_of is not None and folded == 0:
-            raise ValueError(
-                f"no snapshot metadata at or before v{as_of} "
-                "(expired by expire_snapshots, or the version never existed)"
-            )
+        if as_of is not None:
+            if folded == 0:
+                raise ValueError(
+                    f"no snapshot metadata at or before v{as_of} "
+                    "(expired by expire_snapshots, or the version never existed)"
+                )
+            # CONTIGUITY guard: after expire_snapshots preserves TAGGED
+            # versions as self-contained checkpoints, versions between a
+            # tagged checkpoint and the expiry checkpoint are gone — folding
+            # across the gap would silently return the tagged state for a
+            # later version.  Exact iff every version from the latest folded
+            # checkpoint up to as_of (capped at the newest version that ever
+            # existed) is still on disk.  Derived from the fold's own
+            # iteration — no extra metadata reads.
+            lo = anchor if anchor is not None else present[0]
+            hi = min(as_of, newest_seen)
+            missing = [w for w in range(lo, hi + 1) if w not in set(present)]
+            if missing:
+                raise ValueError(
+                    f"history between v{lo} and v{hi} was expired "
+                    f"(missing v{missing[0]}..v{missing[-1]}); time travel to "
+                    f"v{as_of} is only exact at tagged or current versions"
+                )
         return state
+
+    def tags(self, as_of: int | None = None) -> dict[str, int]:
+        """Fold snapshots → {tag name: version} — NAMED REFS (the Iceberg
+        tag analog: a retained, human-named pointer into history).  A
+        checkpoint that carries a ``tags`` mapping replaces the fold
+        wholesale (expire_snapshots records the current refs there); a
+        checkpoint without one — rollbacks, pre-tag checkpoints — leaves
+        refs untouched (a rollback moves table STATE, never refs, exactly
+        Iceberg's model)."""
+        out: dict[str, int] = {}
+        for snap in self.snapshots():
+            if as_of is not None and snap["version"] > as_of:
+                continue
+            op = snap.get("operation", "append")
+            if op == "checkpoint":
+                t = snap.get("tags")
+                if t is not None:
+                    out = {k: int(v) for k, v in t.items()}
+            elif op == "tag":
+                out[snap["tag"]["name"]] = int(snap["tag"]["at_version"])
+            elif op == "delete_tag":
+                out.pop(snap["tag"]["name"], None)
+        return out
 
     def committed(self) -> dict[str, dict[str, int]]:
         """Fold all snapshots → {sink: {part_key: rows}} of committed parts."""
@@ -939,6 +987,56 @@ def write_multi_sink(
     return written
 
 
+def tag_snapshot(base: str, name: str, version: int | None = None,
+                 replace: bool = False) -> int:
+    """Create (or with ``replace=True`` move) a NAMED TAG pointing at a
+    snapshot — the Iceberg ``create_tag`` analog.  A tag is a retained ref:
+    ``read_table(tag=...)`` / ``count_rows(tag=...)`` resolve it to a
+    time-travel read, ``expire_snapshots`` preserves the tagged version as a
+    self-contained checkpoint instead of dropping it, and ``vacuum_table``
+    keeps the files it references ("publish the audited corpus as
+    `gold-2026-01`" — the data-release workflow).  Defaults to the current
+    version.  Returns the tag snapshot's version (the tag itself is one
+    metadata commit, so it is visible atomically and survives in history)."""
+    log = CommitLog(base)
+    cur = log.current_version()
+    if cur == 0:
+        raise ValueError("nothing committed yet — no snapshot to tag")
+    v = cur if version is None else int(version)
+    if not 1 <= v <= cur:
+        raise ValueError(f"version {v} out of range (1..{cur})")
+    log.manifest(as_of=v)  # raises when that history is already gone
+    tags = log.tags()
+    if name in tags and not replace:
+        raise ValueError(
+            f"tag {name!r} already points at v{tags[name]} "
+            "(pass replace=True to move it)"
+        )
+    return log.commit({"operation": "tag", "tag": {"name": name, "at_version": v}})
+
+
+def delete_tag(base: str, name: str) -> int:
+    """Drop a named tag (Iceberg ``remove_tag``).  The tagged version's
+    metadata stays in history; what changes is retention — the next
+    ``expire_snapshots`` / ``vacuum_table`` no longer preserve it."""
+    log = CommitLog(base)
+    if name not in log.tags():
+        raise KeyError(f"unknown tag {name!r} (have {sorted(log.tags())})")
+    return log.commit({"operation": "delete_tag", "tag": {"name": name}})
+
+
+def _resolve_tag(log: CommitLog, tag: str | None, version: int | None) -> int | None:
+    """Shared tag→version resolution for read_table/count_rows."""
+    if tag is None:
+        return version
+    if version is not None:
+        raise ValueError("pass version OR tag, not both")
+    tags = log.tags()
+    if tag not in tags:
+        raise KeyError(f"unknown tag {tag!r} (have {sorted(tags)})")
+    return tags[tag]
+
+
 def evolve_spec(base: str, sink: str, new_spec) -> int:
     """PARTITION-SPEC EVOLUTION (Iceberg `ALTER TABLE ... WRITE ORDERED/
     PARTITIONED BY` analog): make ``new_spec`` the sink's CURRENT spec in a
@@ -1094,6 +1192,7 @@ def read_table(
     prune: tuple | None = None,
     prune_eq: tuple | None = None,
     version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame | None:
     """Snapshot-isolated read: only partitions recorded in committed
     snapshots are visible (None when nothing is committed).  Dir-mode
@@ -1130,8 +1229,13 @@ def read_table(
     :class:`TimeTravelUnavailable` is raised when the bytes are gone — a
     later append physically overwrote the partition, vacuum removed the old
     files, or the partition was dir-mode at ``N`` and later writes changed
-    the directory."""
+    the directory.
+
+    ``tag="name"`` resolves a named ref (:func:`tag_snapshot`) to its
+    version and reads there — tagged versions stay readable across
+    ``expire_snapshots`` / ``vacuum_table``, which retain them."""
     log = CommitLog(base)
+    version = _resolve_tag(log, tag, version)
     parts = log.manifest(as_of=version).get(sink, {})
     if not parts:
         return None
@@ -1338,6 +1442,7 @@ def count_rows(
     prune: tuple | list | None = None,
     prune_eq: tuple | list | None = None,
     version: int | None = None,
+    tag: str | None = None,
     audit: dict | None = None,
 ) -> int:
     """COUNT(*) [WHERE …] answered from METADATA wherever possible — the
@@ -1387,6 +1492,7 @@ def count_rows(
         fallback=False,
     )
     log = CommitLog(base)
+    version = _resolve_tag(log, tag, version)
     parts = log.manifest(as_of=version).get(sink, {})
     if not parts:
         return 0
@@ -1959,10 +2065,26 @@ def vacuum_table(
     skipped; pass ``0`` to force-clean after a known crash."""
     log = CommitLog(base)
     deleted = []
+    # TAG RETENTION (Iceberg remove_orphan_files keeps anything a retained
+    # ref still references): files and tombstones named by any tagged
+    # version's manifest are live, even when the current manifest dropped
+    # them — reclaiming them is what delete_tag is for
+    tag_files: dict[str, set[str]] = {}
+    tag_tombs: set[str] = set()
+    for _name, tv in log.tags().items():
+        try:
+            st = log.manifest(as_of=tv).get(sink, {})
+        except ValueError:
+            continue  # tag's history expired un-preserved (legacy log)
+        for part, info in st.items():
+            if info["files"]:
+                tag_files.setdefault(part, set()).update(info["files"])
+        tag_tombs |= set(log.delete_files(as_of=tv).get(sink) or ())
+        tag_tombs |= {e["name"] for e in log.eq_delete_files(as_of=tv).get(sink) or ()}
     for part, info in log.manifest().get(sink, {}).items():
         if info["files"] is None:
             continue
-        live = set(info["files"])
+        live = set(info["files"]) | tag_files.get(part, set())
         pdir = os.path.join(base, sink, f"{part_col}={part}")
         for name in _data_files(pdir):
             if name not in live:
@@ -1976,7 +2098,7 @@ def vacuum_table(
     if os.path.isdir(ddir):
         live_tombs = set(log.delete_files().get(sink) or ()) | {
             e["name"] for e in log.eq_delete_files().get(sink) or ()
-        }
+        } | tag_tombs
         for name in sorted(os.listdir(ddir)):
             if name not in live_tombs:
                 os.unlink(os.path.join(ddir, name))
@@ -1996,7 +2118,35 @@ def vacuum_table(
     return deleted
 
 
-def expire_snapshots(base: str, keep_history: bool = False) -> int:
+def _self_contained_checkpoint(log: CommitLog, v: int) -> dict:
+    """The full fold AS OF ``v`` as one checkpoint-snapshot dict — what makes
+    a TAGGED version survive expiry on its own (Iceberg snapshots are
+    self-contained manifest lists; this shim's are incremental, so
+    preservation = materializing the fold)."""
+    with open(os.path.join(log.dir, f"v{v}.json")) as fh:
+        orig = json.load(fh)
+    meta = {
+        "version": v,
+        "committed_at": orig.get("committed_at"),
+        "operation": "checkpoint",
+        "checkpointed_from": orig.get("operation", "append"),
+        "state": log.manifest(as_of=v),
+        "schemas": log.schemas(as_of=v),
+        "specs": log.specs(as_of=v),
+        "spec_history": log.spec_history(as_of=v),
+        "delete_files": log.delete_files(as_of=v),
+        "eq_delete_files": log.eq_delete_files(as_of=v),
+        "file_versions": log.file_versions(as_of=v),
+        "tags": log.tags(as_of=v),
+    }
+    if orig.get("run_id"):
+        meta["run_id"] = orig["run_id"]
+    return meta
+
+
+def expire_snapshots(
+    base: str, keep_history: bool = False, part_col: str = PART_COL
+) -> int:
     """Iceberg ``expire_snapshots`` analog: consolidate the fold of all
     snapshots into ONE ``checkpoint`` snapshot, then drop the older metadata
     files.  Readers and resume logic are unaffected (the checkpoint IS the
@@ -2004,11 +2154,34 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
     that a long-lived table otherwise accretes one metadata file per run
     and every reader folds all of them.  Returns the number of metadata
     files removed.  ``keep_history=True`` writes the checkpoint but keeps
-    the old files (audit mode)."""
+    the old files (audit mode).
+
+    TAGGED versions (:func:`tag_snapshot`) are RETAINED, exactly Iceberg's
+    tag-retention rule: each tagged version's metadata file is atomically
+    rewritten as a SELF-CONTAINED checkpoint (the fold as of that version —
+    fold-equivalent, so readers see no difference), and only untagged
+    history is dropped.  Reads between a tag and the expiry checkpoint then
+    REFUSE (the contiguity guard) rather than silently returning the tagged
+    state.  A tag whose version is no longer byte-reconstructable (its
+    dir-mode partitions were later overwritten, or files vacuumed) fails
+    the expire with :class:`TimeTravelUnavailable` — delete the tag or pass
+    ``keep_history=True`` instead; expiring it would commit metadata that
+    promises an unreadable read."""
     log = CommitLog(base)
     state = log.manifest()
     if not state:
         return 0
+    tags = log.tags()
+    preserved: dict[int, dict] = {}
+    if not keep_history:
+        # keep_history keeps every metadata file, so no preservation (and no
+        # new readability promise) is needed
+        for v in sorted(set(tags.values())):
+            # refuse now, not at read time: preservation must only promise
+            # reads that still work
+            for sink, parts in log.manifest(as_of=v).items():
+                _check_time_travelable(log, base, sink, part_col, parts, v)
+            preserved[v] = _self_contained_checkpoint(log, v)
     new_v = log.commit(
         {
             "operation": "checkpoint",
@@ -2019,12 +2192,22 @@ def expire_snapshots(base: str, keep_history: bool = False) -> int:
             "delete_files": log.delete_files(),
             "eq_delete_files": log.eq_delete_files(),
             "file_versions": log.file_versions(),
+            "tags": tags,
         }
     )
     removed = 0
     if not keep_history:
+        for v, meta in preserved.items():
+            # atomic in-place replace: fold-equivalent content, so a reader
+            # racing the rewrite sees either version and the same answers
+            fd, tmp = tempfile.mkstemp(dir=log.dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(meta, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(log.dir, f"v{v}.json"))
         for v in log.versions():
-            if v < new_v:
+            if v < new_v and v not in preserved:
                 os.unlink(os.path.join(log.dir, f"v{v}.json"))
                 removed += 1
     return removed
@@ -2329,7 +2512,10 @@ def inspect_table(
       * ``files``      — one row per live data file: add version (data
         sequence number), per-column min/max stats, bloom presence;
       * ``specs``      — one row per spec generation with the transform
-        list and whether it is current.
+        list and whether it is current;
+      * ``refs``       — one row per named TAG (:func:`tag_snapshot`):
+        name, the version it pins, whether that is the current version
+        (sink-independent, like ``snapshots``).
 
     Metadata only — never opens a data file.  Built driver-side, like every
     commit-log fold: the log is O(partitions + files) JSON, the same scale
@@ -2351,6 +2537,15 @@ def inspect_table(
             rows,
             "version int, committed_at double, operation string, "
             "run_id string, sinks array<string>",
+        )
+    if kind == "refs":
+        cur = log.current_version()
+        rows = [
+            (name, int(v), bool(v == cur))
+            for name, v in sorted(log.tags().items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, version int, at_current boolean"
         )
     if sink is None:
         raise ValueError(f"inspect_table kind={kind!r} needs a sink")
@@ -2415,7 +2610,7 @@ def inspect_table(
         )
     raise ValueError(
         f"unknown inspect_table kind {kind!r} "
-        "(snapshots | partitions | files | specs)"
+        "(snapshots | partitions | files | specs | refs)"
     )
 
 
