@@ -1345,6 +1345,224 @@ def q_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OTLP/JSON traces decode (sources/otlp.py otlp_traces_parse): each
+    # event becomes one span in a spec-shaped TracesData body (ids are
+    # lowercase hex paddings of user_id/event_id, kind/duration/status/
+    # span-event count derived per event), and the oracle recomputes every
+    # output field directly from the source columns — ground truth, not
+    # parser-vs-itself.
+    from vector_spark.sources.otlp import otlp_traces_parse
+
+    ev = _ev(spark, sf_dir)
+    kv = lambda key, val: F.struct(F.lit(key).alias("key"), val.alias("value"))  # noqa: E731
+    start_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    dur_ns = (F.col("event_id") % 1_000_000) * 1000
+    span_event = lambda name: F.struct(  # noqa: E731
+        start_ns.cast("string").alias("timeUnixNano"), F.lit(name).alias("name")
+    )
+    span = F.struct(
+        F.lower(F.lpad(F.hex("user_id"), 32, "0")).alias("traceId"),
+        F.lower(F.lpad(F.hex("event_id"), 16, "0")).alias("spanId"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(""))
+        .otherwise(F.lower(F.lpad(F.hex(F.col("event_id") + 1), 16, "0")))
+        .alias("parentSpanId"),
+        F.col("event_type").alias("name"),
+        (F.col("event_id") % 5 + 1).cast("int").alias("kind"),
+        start_ns.cast("string").alias("startTimeUnixNano"),
+        (start_ns + dur_ns).cast("string").alias("endTimeUnixNano"),
+        F.array(kv("user_id", F.struct(F.col("user_id").cast("string").alias("intValue")))).alias("attributes"),
+        F.struct(
+            F.when(F.col("event_type") == "error", F.lit(2)).otherwise(F.lit(1)).alias("code"),
+            F.when(F.col("event_type") == "error", F.col("props")).otherwise(F.lit("")).alias("message"),
+        ).alias("status"),
+        F.slice(
+            F.array(span_event("cache.miss"), span_event("db.query")),
+            1, (F.col("event_id") % 3).cast("int"),
+        ).alias("events"),
+    )
+    body = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(kv("service.name", F.struct(F.col("event_type").alias("stringValue")))).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("app").alias("name")).alias("scope"),
+                            F.array(span).alias("spans"),
+                        )
+                    ).alias("scopeSpans"),
+                )
+            ).alias("resourceSpans")
+        )
+    )
+    out = otlp_traces_parse(ev.select("event_id", body.alias("message")))
+    return out.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "name", "kind",
+        F.col("start_timestamp").cast("timestamp_ntz").alias("start_timestamp"),
+        "duration_us", "status_code", "status_message", "n_events",
+        F.col("attributes")["user_id"].alias("attr_user"),
+        F.col("resource")["service.name"].alias("resource_service"),
+    )
+
+
+def q_otlp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OTLP/JSON metrics decode (sources/otlp.py otlp_metrics_parse): each
+    # event becomes one metric whose point kind rotates gauge/sum/histogram
+    # on event_id%3, so every normalization arm (value coalesce, temporality
+    # carry, histogram count/sum/buckets/bounds) is exercised; the oracle
+    # recomputes each field from the source columns.
+    from vector_spark.sources.otlp import otlp_metrics_parse
+
+    ev = _ev(spark, sf_dir)
+    kv = lambda key, val: F.struct(F.lit(key).alias("key"), val.alias("value"))  # noqa: E731
+    tns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    attrs = F.array(kv("user_id", F.struct(F.col("user_id").cast("string").alias("intValue"))))
+    arm = F.col("event_id") % 3
+    gauge = F.when(
+        arm == 0,
+        F.struct(
+            F.array(
+                F.struct(attrs.alias("attributes"), tns.alias("timeUnixNano"),
+                         F.col("value").alias("asDouble"))
+            ).alias("dataPoints")
+        ),
+    )
+    msum = F.when(
+        arm == 1,
+        F.struct(
+            F.array(
+                F.struct(attrs.alias("attributes"), tns.alias("timeUnixNano"),
+                         F.col("user_id").cast("string").alias("asInt"))
+            ).alias("dataPoints"),
+            F.lit(2).alias("aggregationTemporality"),
+            F.lit(True).alias("isMonotonic"),
+        ),
+    )
+    hist = F.when(
+        arm == 2,
+        F.struct(
+            F.array(
+                F.struct(
+                    attrs.alias("attributes"), tns.alias("timeUnixNano"),
+                    F.lit("3").alias("count"),
+                    (F.col("value") * 2).alias("sum"),
+                    F.array((F.col("event_id") % 7).cast("string"), F.lit("2")).alias("bucketCounts"),
+                    F.array(F.lit(1.5)).alias("explicitBounds"),
+                )
+            ).alias("dataPoints"),
+            F.lit(1).alias("aggregationTemporality"),
+        ),
+    )
+    body = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(kv("service.name", F.struct(F.col("event_type").alias("stringValue")))).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("app").alias("name")).alias("scope"),
+                            F.array(
+                                F.struct(
+                                    F.concat(F.lit("app_"), F.col("event_type")).alias("name"),
+                                    F.lit("ms").alias("unit"),
+                                    gauge.alias("gauge"),
+                                    msum.alias("sum"),
+                                    hist.alias("histogram"),
+                                )
+                            ).alias("metrics"),
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("resourceMetrics")
+        )
+    )
+    out = otlp_metrics_parse(ev.select("event_id", body.alias("message")))
+    return out.select(
+        "event_id", "metric_name", "unit", "metric_type",
+        F.col("timestamp").cast("timestamp_ntz").alias("timestamp"),
+        "value",
+        F.col("count").alias("h_count"),
+        F.col("sum").alias("h_sum"),
+        F.array_join(F.transform("bucket_counts", lambda x: x.cast("string")), ",").alias("buckets_csv"),
+        F.array_join(F.transform("explicit_bounds", lambda x: x.cast("string")), ",").alias("bounds_csv"),
+        "temporality",
+        # stringified: nullable-boolean pandas dtypes differ between the
+        # Spark and DuckDB arrows of the compare harness
+        F.col("is_monotonic").cast("string").alias("is_monotonic"),
+        F.col("attributes")["user_id"].alias("attr_user"),
+        F.col("resource")["service.name"].alias("resource_service"),
+    )
+
+
+def q_metric_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prometheus-style counter rate (operators/metric_rate.py counter_rate):
+    # events become cumulative counter samples on 40 series whose readings
+    # (event_id % 1000) bounce, exercising BOTH arms — normal increase and
+    # counter reset (increase := new value).  The oracle replays the lag
+    # window + reset CASE; rate division is written in the same
+    # double*1e6/int64 shape on both sides, so doubles are IEEE-identical.
+    from vector_spark.operators import counter_rate
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 40).alias("series"),
+        (F.col("event_id") % 1000).cast("double").alias("value"),
+    )
+    out = counter_rate(
+        df, ["series"], ts_col="ts", value_col="value", tiebreaker="event_id"
+    )
+    return out.select("event_id", "series", "delta", "rate_per_s")
+
+
+def q_metric_delta_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OTel deltatocumulative analog (operators/metric_rate.py
+    # delta_to_cumulative): per-series running sum in event-time order,
+    # integer-exact vs a SUM OVER window oracle.
+    from vector_spark.operators import delta_to_cumulative
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 40).alias("series"),
+        (F.col("event_id") % 7).alias("value"),
+    )
+    out = delta_to_cumulative(
+        df, ["series"], ts_col="ts", value_col="value", tiebreaker="event_id"
+    )
+    return out.select("event_id", "series", "cumulative")
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Drain-style template mining (functions/templates.py): log lines are
+    # synthesized from event columns (ids, an IP built from id bytes, a
+    # latency, a hex request id), mined into templates, and profiled.  The
+    # oracle rebuilds the same lines and replays the mask regexes in RE2 —
+    # the patterns are written in the Java∩RE2 common syntax for exactly
+    # this.  template_id (xxhash64) is exercised in tests; here the profile
+    # keys on the template string so DuckDB can replay everything.
+    from vector_spark.functions import template_profile
+
+    ev = _ev(spark, sf_dir)
+    msg = F.concat(
+        F.lit("user "), F.col("user_id").cast("string"),
+        F.lit(" did "), F.col("event_type"),
+        F.lit(" from 10.0."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit(" in "), (F.col("event_id") % 500).cast("string"),
+        F.lit("ms req 0x"), F.hex(F.col("event_id")),
+    )
+    prof = template_profile(ev.select(msg.alias("message")))
+    return prof.select("template", "n_events", "example")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -1936,6 +2154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_agg": q_flagship_agg,
         "flagship_iceberg": q_flagship_iceberg,
         "table_count_pushdown": q_table_count_pushdown,
+        "src_otlp_traces": q_otlp_traces,
+        "src_otlp_metrics": q_otlp_metrics,
+        "metric_counter_rate": q_metric_counter_rate,
+        "metric_delta_cum": q_metric_delta_cum,
+        "log_templates": q_log_templates,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
@@ -2136,6 +2359,99 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'type_click', COUNT(*) FROM events
               WHERE event_type = 'click'
             ) ORDER BY win
+        """,
+        "src_otlp_traces": """
+            SELECT event_id,
+                   lower(lpad(to_hex(user_id), 32, '0')) AS trace_id,
+                   lower(lpad(to_hex(event_id), 16, '0')) AS span_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE lower(lpad(to_hex(event_id + 1), 16, '0'))
+                   END AS parent_span_id,
+                   event_type AS name,
+                   CAST(event_id % 5 + 1 AS INT) AS kind,
+                   ts AS start_timestamp,
+                   event_id % 1000000 AS duration_us,
+                   CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+                   CASE WHEN event_type = 'error' THEN props ELSE '' END AS status_message,
+                   CAST(event_id % 3 AS INT) AS n_events,
+                   CAST(user_id AS VARCHAR) AS attr_user,
+                   event_type AS resource_service
+            FROM events
+        """,
+        "src_otlp_metrics": """
+            SELECT event_id,
+                   'app_' || event_type AS metric_name,
+                   'ms' AS unit,
+                   CASE CAST(event_id % 3 AS INT)
+                        WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+                        ELSE 'histogram' END AS metric_type,
+                   ts AS timestamp,
+                   CASE WHEN event_id % 3 = 0 THEN value
+                        WHEN event_id % 3 = 1 THEN CAST(user_id AS DOUBLE)
+                   END AS value,
+                   CASE WHEN event_id % 3 = 2 THEN CAST(3 AS BIGINT) END AS h_count,
+                   CASE WHEN event_id % 3 = 2 THEN value * 2 END AS h_sum,
+                   CASE WHEN event_id % 3 = 2
+                        THEN CAST(event_id % 7 AS VARCHAR) || ',2' END AS buckets_csv,
+                   CASE WHEN event_id % 3 = 2 THEN '1.5' END AS bounds_csv,
+                   CASE WHEN event_id % 3 = 1 THEN 2
+                        WHEN event_id % 3 = 2 THEN 1 END AS temporality,
+                   CASE WHEN event_id % 3 = 1 THEN 'true' END AS is_monotonic,
+                   CAST(user_id AS VARCHAR) AS attr_user,
+                   event_type AS resource_service
+            FROM events
+        """,
+        "metric_counter_rate": """
+            WITH s AS (
+              SELECT event_id,
+                     user_id % 40 AS series,
+                     CAST(event_id % 1000 AS DOUBLE) AS v,
+                     LAG(CAST(event_id % 1000 AS DOUBLE))
+                       OVER (PARTITION BY user_id % 40 ORDER BY ts, event_id) AS prev_v,
+                     epoch_us(ts) AS us,
+                     LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id % 40 ORDER BY ts, event_id) AS prev_us
+              FROM events
+            )
+            SELECT event_id, series,
+                   CASE WHEN prev_v IS NULL THEN NULL
+                        WHEN v - prev_v >= 0 THEN v - prev_v
+                        ELSE v END AS delta,
+                   CASE WHEN prev_v IS NULL OR us - prev_us <= 0 THEN NULL
+                        ELSE (CASE WHEN v - prev_v >= 0 THEN v - prev_v ELSE v END)
+                             * 1000000.0 / (us - prev_us) END AS rate_per_s
+            FROM s
+        """,
+        "metric_delta_cum": """
+            SELECT event_id,
+                   user_id % 40 AS series,
+                   CAST(SUM(event_id % 7) OVER (
+                     PARTITION BY user_id % 40 ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cumulative
+            FROM events
+        """,
+        "log_templates": r"""
+            WITH m AS (
+              SELECT 'user ' || CAST(user_id AS VARCHAR)
+                     || ' did ' || event_type
+                     || ' from 10.0.' || CAST(user_id % 256 AS VARCHAR)
+                     || '.' || CAST(event_id % 256 AS VARCHAR)
+                     || ' in ' || CAST(event_id % 500 AS VARCHAR)
+                     || 'ms req 0x' || to_hex(event_id) AS message
+              FROM events
+            )
+            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     message,
+                     '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b',
+                     '<UUID>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b0[xX][0-9a-fA-F]+\b', '<HEX>', 'g'),
+                     '\b\d+(\.\d+)?', '<NUM>', 'g') AS template,
+                   COUNT(*) AS n_events,
+                   MIN(message) AS example
+            FROM m
+            GROUP BY 1
         """,
         "t1_remap_parse": r"""
             SELECT event_id,

@@ -1,0 +1,94 @@
+"""counter_rate / delta_to_cumulative — semantics + partition invariance."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.operators import counter_rate, delta_to_cumulative
+
+
+def _ts(s: int) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    # two series: "a" is a healthy cumulative counter with one mid-life
+    # reset (30 -> 4); "b" has a same-timestamp pair and a zero-elapsed gap
+    rows = [
+        ("a", _ts(0), 10.0, 1),
+        ("a", _ts(10), 30.0, 2),
+        ("a", _ts(20), 4.0, 3),   # reset: 4 < 30
+        ("a", _ts(40), 9.0, 4),
+        ("b", _ts(0), 5.0, 5),
+        ("b", _ts(5), 5.0, 6),    # flat
+        ("b", _ts(5), 8.0, 7),    # same ts as previous -> delta, no rate
+    ]
+    return spark.createDataFrame(rows, "series string, ts timestamp, value double, i int")
+
+
+def test_counter_rate_prometheus_reset_semantics(samples):
+    out = counter_rate(
+        samples, ["series"], ts_col="ts", value_col="value", tiebreaker="i"
+    ).orderBy("i").collect()
+    deltas = [r["delta"] for r in out]
+    rates = [r["rate_per_s"] for r in out]
+    # series a: first sample NULL; +20 over 10 s; reset -> increase = new
+    # value (4) over 10 s; +5 over 20 s
+    assert deltas[:4] == [None, 20.0, 4.0, 5.0]
+    assert rates[:4] == [None, 2.0, 0.4, 0.25]
+    # series b: flat (0 over 5 s), then same-ts sample: delta 3, rate NULL
+    assert deltas[4:] == [None, 0.0, 3.0]
+    assert rates[4:] == [None, 0.0, None]
+
+
+def test_counter_rate_strict_mode_nulls_resets(samples):
+    out = counter_rate(
+        samples, ["series"], ts_col="ts", value_col="value",
+        tiebreaker="i", handle_resets=False,
+    ).orderBy("i").collect()
+    assert out[2]["delta"] is None and out[2]["rate_per_s"] is None
+    assert out[1]["delta"] == 20.0  # non-reset rows unaffected
+
+
+def test_delta_to_cumulative_running_sum(samples):
+    out = delta_to_cumulative(
+        samples, ["series"], ts_col="ts", value_col="value", tiebreaker="i"
+    ).orderBy("i").collect()
+    assert [r["cumulative"] for r in out] == [10.0, 40.0, 44.0, 53.0, 5.0, 10.0, 18.0]
+
+
+def test_partition_invariance(spark, samples):
+    # identical output whether the input arrives as 1 partition or 16
+    # shuffled ones — the tiebreaker makes the event-time order total
+    base = counter_rate(
+        samples.repartition(1), ["series"], ts_col="ts", value_col="value",
+        tiebreaker="i",
+    ).orderBy("i").collect()
+    shuffled = counter_rate(
+        samples.repartition(16, F.col("value")), ["series"], ts_col="ts",
+        value_col="value", tiebreaker="i",
+    ).orderBy("i").collect()
+    assert base == shuffled
+
+
+def test_counter_rate_requires_series_cols(samples):
+    with pytest.raises(ValueError):
+        counter_rate(samples, [], ts_col="ts", value_col="value")
+    with pytest.raises(ValueError):
+        delta_to_cumulative(samples, [], ts_col="ts", value_col="value")
+
+
+def test_roundtrip_delta_cum_rate(spark):
+    # deltas -> cumulative -> counter_rate recovers the deltas (no resets)
+    rows = [("s", _ts(i * 10), float(d), i) for i, d in enumerate([3, 0, 7, 2, 5])]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, i int")
+    cum = delta_to_cumulative(df, ["series"], ts_col="ts", value_col="value", tiebreaker="i")
+    back = counter_rate(
+        cum.select("series", "ts", "i", F.col("cumulative").alias("value")),
+        ["series"], ts_col="ts", value_col="value", tiebreaker="i",
+    ).orderBy("i").collect()
+    assert [r["delta"] for r in back] == [None, 0.0, 7.0, 2.0, 5.0]

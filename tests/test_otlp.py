@@ -126,3 +126,178 @@ def test_otlp_duplicate_attribute_key_keeps_last(spark):
     assert len(rows) == 1
     assert rows[0].resource == {"k": "b"}
     assert rows[0].attributes == {"a": "2", "b": "3"}
+
+
+# ---------------------------------------------------------------------------
+# Traces + metrics signals
+# ---------------------------------------------------------------------------
+
+from vector_spark.sources.otlp import otlp_metrics_parse, otlp_traces_parse  # noqa: E402
+
+_TRACE_BODY = {
+    "resourceSpans": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "checkout"}}
+                ]
+            },
+            "scopeSpans": [
+                {
+                    "scope": {"name": "app.tracer", "version": "1.0"},
+                    "spans": [
+                        {
+                            "traceId": "0af7651916cd43dd8448eb211c80319c",
+                            "spanId": "b7ad6b7169203331",
+                            "name": "GET /cart",
+                            "kind": 2,
+                            "startTimeUnixNano": "1700000000000000000",
+                            "endTimeUnixNano": "1700000000250000000",
+                            "attributes": [
+                                {"key": "http.status", "value": {"intValue": "200"}},
+                                {"key": "http.status", "value": {"intValue": "204"}},
+                            ],
+                            "status": {"code": 1, "message": ""},
+                            "events": [
+                                {"timeUnixNano": "1700000000100000000", "name": "cache.miss"},
+                                {"timeUnixNano": "1700000000200000000", "name": "db.query"},
+                            ],
+                        },
+                        {
+                            "traceId": "0af7651916cd43dd8448eb211c80319c",
+                            "spanId": "c7ad6b7169203332",
+                            "parentSpanId": "b7ad6b7169203331",
+                            "name": "SELECT",
+                            "kind": 3,
+                            "startTimeUnixNano": "1700000000120000000",
+                            "endTimeUnixNano": "1700000000180000000",
+                            "status": {"code": 2, "message": "timeout"},
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+
+def test_otlp_traces_flatten_and_span_semantics(spark):
+    df = spark.createDataFrame([(1, json.dumps(_TRACE_BODY))], "id int, message string")
+    rows = {r["span_id"]: r for r in otlp_traces_parse(df).collect()}
+    assert set(rows) == {"b7ad6b7169203331", "c7ad6b7169203332"}
+
+    root = rows["b7ad6b7169203331"]
+    assert root["parent_span_id"] is None  # proto3 absent -> NULL root marker
+    assert root["name"] == "GET /cart" and root["kind"] == 2
+    assert root["duration_us"] == 250_000
+    assert root["n_events"] == 2
+    assert root["attributes"]["http.status"] == "204"  # repeated key: last wins
+    assert root["resource"]["service.name"] == "checkout"
+    assert root["scope_name"] == "app.tracer"
+    assert root["status_code"] == 1
+
+    child = rows["c7ad6b7169203332"]
+    assert child["parent_span_id"] == "b7ad6b7169203331"
+    assert child["duration_us"] == 60_000 and child["n_events"] == 0
+    assert child["status_code"] == 2 and child["status_message"] == "timeout"
+    # epoch-nano precision survives the decimal path (no double rounding)
+    assert root["start_timestamp"].microsecond == 0
+    assert root["end_timestamp"].microsecond == 250_000
+
+
+_METRIC_BODY = {
+    "resourceMetrics": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "checkout"}}
+                ]
+            },
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "app.meter", "version": "1.0"},
+                    "metrics": [
+                        {
+                            "name": "mem_usage",
+                            "unit": "MiB",
+                            "gauge": {
+                                "dataPoints": [
+                                    {
+                                        "attributes": [
+                                            {"key": "pool", "value": {"stringValue": "heap"}}
+                                        ],
+                                        "timeUnixNano": "1700000000000000000",
+                                        "asDouble": 512.25,
+                                    }
+                                ]
+                            },
+                        },
+                        {
+                            "name": "requests_total",
+                            "unit": "1",
+                            "sum": {
+                                "dataPoints": [
+                                    {
+                                        "timeUnixNano": "1700000001000000000",
+                                        "asInt": "12345",
+                                    }
+                                ],
+                                "aggregationTemporality": 2,
+                                "isMonotonic": True,
+                            },
+                        },
+                        {
+                            "name": "latency",
+                            "unit": "ms",
+                            "histogram": {
+                                "dataPoints": [
+                                    {
+                                        "timeUnixNano": "1700000002000000000",
+                                        "count": "7",
+                                        "sum": 99.5,
+                                        "bucketCounts": ["3", "3", "1"],
+                                        "explicitBounds": [5.0, 50.0],
+                                    }
+                                ],
+                                "aggregationTemporality": 1,
+                            },
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+
+def test_otlp_metrics_three_point_kinds_normalized(spark):
+    df = spark.createDataFrame([(1, json.dumps(_METRIC_BODY))], "id int, message string")
+    rows = {r["metric_name"]: r for r in otlp_metrics_parse(df).collect()}
+    assert set(rows) == {"mem_usage", "requests_total", "latency"}
+
+    g = rows["mem_usage"]
+    assert g["metric_type"] == "gauge" and g["value"] == 512.25
+    assert g["count"] is None and g["bucket_counts"] is None
+    assert g["temporality"] is None and g["is_monotonic"] is None
+    assert g["attributes"]["pool"] == "heap"
+    assert g["resource"]["service.name"] == "checkout"
+
+    s = rows["requests_total"]
+    assert s["metric_type"] == "sum" and s["value"] == 12345.0
+    assert s["temporality"] == 2 and s["is_monotonic"] is True
+
+    h = rows["latency"]
+    assert h["metric_type"] == "histogram" and h["value"] is None
+    assert h["count"] == 7 and h["sum"] == 99.5
+    assert list(h["bucket_counts"]) == [3, 3, 1]
+    assert list(h["explicit_bounds"]) == [5.0, 50.0]
+    assert h["temporality"] == 1
+
+
+def test_otlp_traces_metrics_malformed_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "{not json"), (2, json.dumps({"resourceSpans": []}))],
+        "id int, message string",
+    )
+    assert otlp_traces_parse(df).count() == 0
+    assert otlp_metrics_parse(df.withColumnRenamed("message", "m"), "m").count() == 0

@@ -407,6 +407,47 @@ inputs = ["otel"]
     assert len(otel_rows) == 1 and otel_rows[0]["body"] == "hi"
 
 
+def test_opentelemetry_source_signal_option(spark):
+    """signal = traces|metrics routes the body to the right OTLP parser;
+    an unknown signal is a validation error, not a silent logs parse."""
+    import json
+
+    trace_body = json.dumps({
+        "resourceSpans": [{
+            "resource": {"attributes": []},
+            "scopeSpans": [{
+                "scope": {"name": "t"},
+                "spans": [{
+                    "traceId": "0af7651916cd43dd8448eb211c80319c",
+                    "spanId": "b7ad6b7169203331",
+                    "name": "GET /x",
+                    "kind": 2,
+                    "startTimeUnixNano": "1700000000000000000",
+                    "endTimeUnixNano": "1700000000500000000",
+                }],
+            }],
+        }]
+    })
+    toml = f"""
+[sources.otel]
+type = "opentelemetry"
+signal = "traces"
+events = ['{trace_body}']
+
+[sinks.out]
+type = "console"
+inputs = ["otel"]
+"""
+    rows = Pipeline.from_toml(toml).build(spark)["out"].collect()
+    assert len(rows) == 1
+    assert rows[0]["span_id"] == "b7ad6b7169203331"
+    assert rows[0]["duration_us"] == 500_000
+
+    bad = toml.replace('signal = "traces"', 'signal = "profiles"')
+    with pytest.raises(PipelineError, match="signal"):
+        Pipeline.from_toml(bad).build(spark)
+
+
 def test_prometheus_scrape_source_requires_endpoints():
     toml = """
 [sources.prom]

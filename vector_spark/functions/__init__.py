@@ -103,6 +103,11 @@ from vector_spark.functions.search import (
     bm25_postings,
     bm25_topk,
 )
+from vector_spark.functions.templates import (
+    mask_message,
+    template_extract,
+    template_profile,
+)
 from vector_spark.functions.similarity import (
     cosine_expr,
     brute_force_topk,
@@ -149,4 +154,5 @@ __all__ = [
     "profile_corpus",
     "detect_bursts", "rate_spikes",
     "alpha_mix_rates_micro", "alpha_mix_sample",
+    "mask_message", "template_extract", "template_profile",
 ]

@@ -55,6 +55,7 @@ from vector_spark.operators.enrich import (
     validate_ip_ranges,
 )
 from vector_spark.operators.asof import asof_join
+from vector_spark.operators.metric_rate import counter_rate, delta_to_cumulative
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -69,4 +70,5 @@ __all__ = [
     "map_events", "register_map_hook",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
+    "counter_rate", "delta_to_cumulative",
 ]

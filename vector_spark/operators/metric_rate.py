@@ -1,0 +1,105 @@
+"""Counter-rate and temporality conversion over metrics-shaped rows.
+
+Reference semantics: Vector converts between metric kinds (incremental vs
+absolute, config_panel.rs:1812-1822) but leaves rate derivation to the
+downstream TSDB; the OTLP metrics signal this repo decodes
+(sources/otlp.py) carries ``aggregationTemporality`` (1=DELTA,
+2=CUMULATIVE) that any aggregate consumer must normalize.  These two
+operators close that loop the way Prometheus/OTel collectors define it:
+
+* :func:`counter_rate` — per-series ``increase`` and per-second ``rate``
+  from CUMULATIVE counter samples, with Prometheus counter-reset handling
+  (a decrease means the process restarted from 0, so the increase since
+  the previous sample is the new reading itself).
+* :func:`delta_to_cumulative` — DELTA → CUMULATIVE via a per-series
+  running sum (the OTel ``deltatocumulative`` processor analog).
+
+Spark design: both are ONE shuffle on the series key columns followed by
+a per-series window scan — no self-joins, no Python.  Telemetry corpora
+have series cardinality far above core counts (millions of label-sets),
+so the window parallelizes on series; a single pathologically hot series
+is sequential by the semantics themselves (an ordered scan), which is the
+same bound any TSDB pays.  Event-time ordering must be made total for
+deterministic output: pass ``tiebreaker`` whenever two samples of one
+series can share a timestamp (same contract as dedupe/throttle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(series_cols: list[str], ts_col: str, tiebreaker: str | None):
+    order = [F.col(ts_col).asc()]
+    if tiebreaker is not None:
+        order.append(F.col(tiebreaker).asc())
+    return Window.partitionBy(*series_cols).orderBy(*order)
+
+
+def counter_rate(
+    df: DataFrame,
+    series_cols: list[str],
+    *,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    tiebreaker: str | None = None,
+    handle_resets: bool = True,
+    delta_col: str = "delta",
+    rate_col: str = "rate_per_s",
+) -> DataFrame:
+    """Per-sample increase + per-second rate for CUMULATIVE counters.
+
+    Adds ``delta_col`` (the increase since the previous sample of the same
+    series) and ``rate_col`` (that increase divided by the elapsed seconds).
+    The first sample of each series has no baseline — both are NULL there.
+    A sample whose value DROPPED below its predecessor is a counter reset
+    when ``handle_resets`` (Prometheus semantics: the counter restarted at
+    0, so the increase is the new value itself); with ``handle_resets=False``
+    a decrease yields NULL delta/rate instead (strict mode — surface bad
+    series rather than guess).  Two samples at the same timestamp produce a
+    NULL rate (zero elapsed time) but still a delta.
+    """
+    if not series_cols:
+        raise ValueError("counter_rate needs at least one series column")
+    w = _series_window(series_cols, ts_col, tiebreaker)
+    v = F.col(value_col).cast("double")
+    prev_v = F.lag(v).over(w)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    raw = v - prev_v
+    if handle_resets:
+        delta = F.when(raw >= 0, raw).otherwise(v)
+    else:
+        delta = F.when(raw >= 0, raw)
+    delta = F.when(prev_v.isNotNull(), delta)
+    dt_us = us - prev_us
+    # double*double/long in this exact order on both the Spark and any
+    # ANSI-SQL oracle side — IEEE-identical, no tolerance needed
+    rate = F.when(dt_us > 0, delta * F.lit(1000000.0) / dt_us)
+    return df.withColumn(delta_col, delta).withColumn(rate_col, rate)
+
+
+def delta_to_cumulative(
+    df: DataFrame,
+    series_cols: list[str],
+    *,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    tiebreaker: str | None = None,
+    out_col: str = "cumulative",
+) -> DataFrame:
+    """DELTA-temporality samples → running CUMULATIVE total per series.
+
+    The OTel collector's ``deltatocumulative`` processor analog: each
+    sample's ``out_col`` is the sum of all same-series deltas up to and
+    including it in event-time order.  NULL deltas are skipped (sum over
+    nothing-so-far stays NULL until the first non-NULL sample, matching
+    SQL ``SUM OVER``)."""
+    if not series_cols:
+        raise ValueError("delta_to_cumulative needs at least one series column")
+    w = (
+        _series_window(series_cols, ts_col, tiebreaker)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))

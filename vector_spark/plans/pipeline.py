@@ -322,8 +322,23 @@ class Pipeline:
             # The reference's OTLP listener; here the decode stage over either
             # spooled request bodies (path glob, one body per file) or inline
             # bodies (events) — the live-ingest transport is http_server.
-            from vector_spark.sources.otlp import otlp_logs_parse
+            # `signal` picks the OTLP signal the endpoint carried (the three
+            # /v1/{logs,traces,metrics} routes of the real listener).
+            from vector_spark.sources import otlp as otlp_mod
 
+            sig = o.get("signal", "logs")
+            parsers = {
+                "logs": otlp_mod.otlp_logs_parse,
+                "traces": otlp_mod.otlp_traces_parse,
+                "metrics": otlp_mod.otlp_metrics_parse,
+            }
+            if sig not in parsers:
+                raise PipelineError([ValidationIssue(
+                    "INVALID_INPUT",
+                    f"opentelemetry source '{st.name}': signal must be one of "
+                    f"{sorted(parsers)}, got {sig!r}",
+                    st.name,
+                )])
             if o.get("path"):
                 bodies = (
                     spark.read.option("wholetext", True)
@@ -334,7 +349,7 @@ class Pipeline:
                 bodies = spark.createDataFrame(
                     [(b,) for b in o.get("events", [])], "message string"
                 )
-            return otlp_logs_parse(bodies)
+            return parsers[sig](bodies)
         if t == "fluent":
             # Fluent Forward frames (msgpack).  Live TCP transport is not
             # line-delimited, so Spark's socket source cannot carry it;

@@ -139,3 +139,236 @@ def otlp_logs_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
         F.col("_r.traceId").alias("trace_id"),
         F.col("_r.spanId").alias("span_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TracesData — the second OTLP signal (opentelemetry-proto trace.proto, same
+# proto3 JSON mapping).  Reference: the `opentelemetry` source palette row
+# covers all three signals; Vector's `is_trace` filter condition
+# (config_panel.rs:1461-1467) is what consumes these rows downstream.
+# ---------------------------------------------------------------------------
+
+_SPAN = (
+    "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
+    f"attributes:{_KV},"
+    "status:struct<code:int,message:string>,"
+    f"events:array<struct<timeUnixNano:string,name:string,attributes:{_KV}>>>"
+)
+OTLP_TRACES_SCHEMA = (
+    "struct<resourceSpans:array<struct<"
+    f"resource:struct<attributes:{_KV}>,"
+    "scopeSpans:array<struct<scope:struct<name:string,version:string>,"
+    f"spans:array<{_SPAN}>>>"
+    ">>>"
+)
+
+
+def otlp_traces_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """OTLP/JSON ``TracesData`` bodies → one flattened row per span.
+
+    Output: trace_id, span_id, parent_span_id (NULL for root spans — proto3
+    renders an absent parent as empty string), name, kind (the proto enum
+    int: 1=INTERNAL … 5=CONSUMER), start/end timestamps, duration_us
+    (decimal-exact from the nano strings, same as :func:`_nanos_to_ts`),
+    status_code/status_message, n_events (span events counted, not
+    exploded — explode them separately if event-level rows are needed),
+    attributes + resource maps, scope_name, plus the input's other columns.
+    Same plan shape as :func:`otlp_logs_parse`: one ``from_json`` + three
+    explodes, all JVM-side."""
+    keep = [c for c in df.columns if c != message_col]
+    parsed = df.select(
+        *keep, F.from_json(F.col(message_col), OTLP_TRACES_SCHEMA).alias("_td")
+    )
+    rs = parsed.select(*keep, F.explode("_td.resourceSpans").alias("_rs"))
+    ss = rs.select(
+        *keep,
+        _attr_entries(F.col("_rs.resource.attributes")).alias("_res_ents"),
+        F.explode("_rs.scopeSpans").alias("_ss"),
+    ).select(
+        *keep,
+        _entries_to_map_last(F.col("_res_ents")).alias("resource"),
+        "_ss",
+    )
+    sp = ss.select(
+        *keep,
+        "resource",
+        F.col("_ss.scope.name").alias("scope_name"),
+        F.explode("_ss.spans").alias("_s"),
+    ).withColumn("_sp_ents", _attr_entries(F.col("_s.attributes")))
+    start_ns = F.col("_s.startTimeUnixNano").try_cast("decimal(20,0)")
+    end_ns = F.col("_s.endTimeUnixNano").try_cast("decimal(20,0)")
+    return sp.select(
+        *keep,
+        F.col("_s.traceId").alias("trace_id"),
+        F.col("_s.spanId").alias("span_id"),
+        F.nullif(F.col("_s.parentSpanId"), F.lit("")).alias("parent_span_id"),
+        F.col("_s.name").alias("name"),
+        F.col("_s.kind").alias("kind"),
+        _nanos_to_ts(F.col("_s.startTimeUnixNano")).alias("start_timestamp"),
+        _nanos_to_ts(F.col("_s.endTimeUnixNano")).alias("end_timestamp"),
+        F.floor((end_ns - start_ns) / 1000).cast("long").alias("duration_us"),
+        F.col("_s.status.code").alias("status_code"),
+        F.col("_s.status.message").alias("status_message"),
+        F.coalesce(F.size("_s.events"), F.lit(0)).alias("n_events"),
+        _entries_to_map_last(F.col("_sp_ents")).alias("attributes"),
+        "resource",
+        "scope_name",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MetricsData — the third OTLP signal (metrics.proto).  Gauge / Sum /
+# Histogram points are normalized into ONE row shape so downstream
+# log_to_metric / aggregate operators consume them uniformly (the
+# metrics-shaped DataFrame of operators/metrics_conv.py).
+# ---------------------------------------------------------------------------
+
+_NUM_DP = (
+    f"struct<attributes:{_KV},startTimeUnixNano:string,timeUnixNano:string,"
+    "asDouble:double,asInt:string>"
+)
+_HIST_DP = (
+    f"struct<attributes:{_KV},startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,bucketCounts:array<string>,"
+    "explicitBounds:array<double>>"
+)
+OTLP_METRICS_SCHEMA = (
+    "struct<resourceMetrics:array<struct<"
+    f"resource:struct<attributes:{_KV}>,"
+    "scopeMetrics:array<struct<scope:struct<name:string,version:string>,"
+    "metrics:array<struct<name:string,description:string,unit:string,"
+    f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
+    f"sum:struct<dataPoints:array<{_NUM_DP}>,aggregationTemporality:int,"
+    "isMonotonic:boolean>,"
+    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>"
+    ">>>>"
+    ">>>"
+)
+
+#: the normalized per-point struct all three metric kinds map onto before
+#: the single explode (field order must match across the three transforms)
+_POINT = (
+    f"struct<mtype:string,attrs:{_KV},ts:string,start:string,vd:double,"
+    "vi:string,cnt:string,msum:double,bkts:array<string>,"
+    "bnds:array<double>,temporality:int,monotonic:boolean>"
+)
+
+
+def otlp_metrics_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """OTLP/JSON ``MetricsData`` bodies → one flattened row per DATA POINT,
+    normalized across the three point kinds:
+
+      * gauge     — ``value`` from asDouble/asInt, histogram fields NULL;
+      * sum       — same, plus temporality + is_monotonic;
+      * histogram — ``count``/``sum``/``bucket_counts``/``explicit_bounds``,
+        ``value`` NULL, temporality carried.
+
+    One ``from_json``, the three per-metric point arrays mapped onto one
+    common struct and concatenated IN-ROW (``F.transform`` + ``F.concat``),
+    then a single explode — no per-kind scans, no union of three plans,
+    no Python."""
+    m = F.col("_m")
+
+    def _num_points(arr, mtype, temporality, monotonic):
+        return F.transform(
+            F.coalesce(arr, F.array().cast(f"array<{_NUM_DP}>")),
+            lambda dp: F.struct(
+                F.lit(mtype).alias("mtype"),
+                dp.getField("attributes").alias("attrs"),
+                dp.getField("timeUnixNano").alias("ts"),
+                dp.getField("startTimeUnixNano").alias("start"),
+                dp.getField("asDouble").alias("vd"),
+                dp.getField("asInt").alias("vi"),
+                F.lit(None).cast("string").alias("cnt"),
+                F.lit(None).cast("double").alias("msum"),
+                F.lit(None).cast("array<string>").alias("bkts"),
+                F.lit(None).cast("array<double>").alias("bnds"),
+                temporality.alias("temporality"),
+                monotonic.alias("monotonic"),
+            ),
+        )
+
+    hist_points = F.transform(
+        F.coalesce(m.getField("histogram").getField("dataPoints"),
+                   F.array().cast(f"array<{_HIST_DP}>")),
+        lambda dp: F.struct(
+            F.lit("histogram").alias("mtype"),
+            dp.getField("attributes").alias("attrs"),
+            dp.getField("timeUnixNano").alias("ts"),
+            dp.getField("startTimeUnixNano").alias("start"),
+            F.lit(None).cast("double").alias("vd"),
+            F.lit(None).cast("string").alias("vi"),
+            dp.getField("count").alias("cnt"),
+            dp.getField("sum").alias("msum"),
+            dp.getField("bucketCounts").alias("bkts"),
+            dp.getField("explicitBounds").alias("bnds"),
+            m.getField("histogram").getField("aggregationTemporality").alias("temporality"),
+            F.lit(None).cast("boolean").alias("monotonic"),
+        ),
+    )
+
+    keep = [c for c in df.columns if c != message_col]
+    parsed = df.select(
+        *keep, F.from_json(F.col(message_col), OTLP_METRICS_SCHEMA).alias("_md")
+    )
+    rm = parsed.select(*keep, F.explode("_md.resourceMetrics").alias("_rm"))
+    sm = rm.select(
+        *keep,
+        _attr_entries(F.col("_rm.resource.attributes")).alias("_res_ents"),
+        F.explode("_rm.scopeMetrics").alias("_sm"),
+    ).select(
+        *keep,
+        _entries_to_map_last(F.col("_res_ents")).alias("resource"),
+        "_sm",
+    )
+    met = sm.select(
+        *keep,
+        "resource",
+        F.col("_sm.scope.name").alias("scope_name"),
+        F.explode("_sm.metrics").alias("_m"),
+    )
+    pts = met.select(
+        *keep,
+        "resource",
+        "scope_name",
+        m.getField("name").alias("metric_name"),
+        m.getField("unit").alias("unit"),
+        F.explode(
+            F.concat(
+                _num_points(
+                    m.getField("gauge").getField("dataPoints"), "gauge",
+                    F.lit(None).cast("int"), F.lit(None).cast("boolean"),
+                ),
+                _num_points(
+                    m.getField("sum").getField("dataPoints"), "sum",
+                    m.getField("sum").getField("aggregationTemporality"),
+                    m.getField("sum").getField("isMonotonic"),
+                ),
+                hist_points,
+            )
+        ).alias("_p"),
+    ).withColumn("_pt_ents", _attr_entries(F.col("_p.attrs")))
+    p = F.col("_p")
+    return pts.select(
+        *keep,
+        "metric_name",
+        "unit",
+        p.getField("mtype").alias("metric_type"),
+        _nanos_to_ts(p.getField("ts")).alias("timestamp"),
+        _nanos_to_ts(p.getField("start")).alias("start_timestamp"),
+        F.coalesce(
+            p.getField("vd"), p.getField("vi").try_cast("double")
+        ).alias("value"),
+        p.getField("cnt").try_cast("long").alias("count"),
+        p.getField("msum").alias("sum"),
+        F.transform(p.getField("bkts"), lambda x: x.try_cast("long")).alias(
+            "bucket_counts"
+        ),
+        p.getField("bnds").alias("explicit_bounds"),
+        p.getField("temporality").alias("temporality"),
+        p.getField("monotonic").alias("is_monotonic"),
+        _entries_to_map_last(F.col("_pt_ents")).alias("attributes"),
+        "resource",
+        "scope_name",
+    )
