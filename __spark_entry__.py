@@ -1563,6 +1563,66 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("template", "n_events", "example")
 
 
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic span table from events: trace = user bucket, span ids =
+    # event ids, roots where event_id % 5 == 0, error status from event_type
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        (F.col("user_id") % 500).alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") + 1)
+        .alias("parent_span_id"),
+        F.col("event_type").alias("name"),
+        F.when(F.col("event_type") == "error", F.lit(2)).otherwise(F.lit(1)).alias("status_code"),
+        F.col("ts").cast("timestamp").alias("start_timestamp"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id") % 1_000_000
+        ).alias("end_timestamp"),
+        F.col("event_type").alias("service"),
+    )
+
+
+def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Span -> trace assembly (operators/traces.py trace_rollup): one hash
+    # aggregate per trace — span/error counts, wall duration, deterministic
+    # root pick (min span_id among parent-NULL spans), sorted service set.
+    # The oracle replays every aggregate with FILTER/min_by/list_sort.
+    from vector_spark.operators import trace_rollup
+
+    out = trace_rollup(_spans(spark, sf_dir), service_expr=F.col("service"))
+    return out.select(
+        "trace_id", "n_spans", "n_errors",
+        F.col("trace_start").cast("timestamp_ntz").alias("trace_start"),
+        F.col("trace_end").cast("timestamp_ntz").alias("trace_end"),
+        "duration_us", "root_name",
+        F.array_join("services", ",").alias("services_csv"),
+    )
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL histogram_quantile (operators/metric_rate.py): per-row OTLP
+    # explicit-bounds histograms [a, 2, 1] over bounds [1.5, 4.5] with
+    # a = event_id % 7 — p50 exercises both interpolation arms (first
+    # bucket when a >= 3, second otherwise) and p99 always lands in the
+    # +inf bucket, exercising the highest-finite-bound clamp.  The oracle
+    # computes the same piecewise closed form with identically-shaped
+    # double arithmetic.
+    from vector_spark.operators import histogram_quantile
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        F.array(F.col("event_id") % 7, F.lit(2), F.lit(1))
+        .cast("array<long>")
+        .alias("bucket_counts"),
+        F.array(F.lit(1.5), F.lit(4.5)).alias("explicit_bounds"),
+    )
+    out = histogram_quantile(df, 0.5, out_col="p50")
+    out = histogram_quantile(out, 0.99, out_col="p99")
+    return out.select("event_id", "p50", "p99")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -2158,6 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_metrics": q_otlp_metrics,
         "metric_counter_rate": q_metric_counter_rate,
         "metric_delta_cum": q_metric_delta_cum,
+        "metric_histo_quantile": q_histogram_quantile,
+        "trace_rollup": q_trace_rollup,
         "log_templates": q_log_templates,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -2430,6 +2492,46 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cumulative
             FROM events
+        """,
+        "metric_histo_quantile": """
+            WITH h AS (
+              SELECT event_id, CAST(event_id % 7 AS BIGINT) AS a FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN a + 3 <= 0 THEN NULL
+                        WHEN CAST(a AS DOUBLE) >= 0.5 * CAST(a + 3 AS DOUBLE)
+                        THEN 0.0 + (1.5 - 0.0)
+                             * (0.5 * CAST(a + 3 AS DOUBLE) - CAST(0 AS DOUBLE))
+                             / CAST(a AS DOUBLE)
+                        ELSE 1.5 + (4.5 - 1.5)
+                             * (0.5 * CAST(a + 3 AS DOUBLE) - CAST(a AS DOUBLE))
+                             / CAST(2 AS DOUBLE)
+                   END AS p50,
+                   4.5 AS p99
+            FROM h
+        """,
+        "trace_rollup": """
+            WITH s AS (
+              SELECT user_id % 500 AS trace_id,
+                     event_id AS span_id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id + 1 END AS parent_span_id,
+                     event_type AS name,
+                     CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+                     ts AS start_ts,
+                     ts + to_microseconds(CAST(event_id % 1000000 AS BIGINT)) AS end_ts,
+                     event_type AS service
+              FROM events
+            )
+            SELECT trace_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   MIN(start_ts) AS trace_start,
+                   MAX(end_ts) AS trace_end,
+                   epoch_us(MAX(end_ts)) - epoch_us(MIN(start_ts)) AS duration_us,
+                   MIN_BY(name, span_id) FILTER (WHERE parent_span_id IS NULL) AS root_name,
+                   array_to_string(list_sort(array_agg(DISTINCT service)), ',') AS services_csv
+            FROM s
+            GROUP BY trace_id
         """,
         "log_templates": r"""
             WITH m AS (

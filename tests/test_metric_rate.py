@@ -92,3 +92,78 @@ def test_roundtrip_delta_cum_rate(spark):
         ["series"], ts_col="ts", value_col="value", tiebreaker="i",
     ).orderBy("i").collect()
     assert [r["delta"] for r in back] == [None, 0.0, 7.0, 2.0, 5.0]
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantile_interpolation(spark):
+    rows = [
+        # 10 obs <=1, 20 in (1,5], 5 in (5,+inf)
+        (1, [10, 20, 5], [1.0, 5.0]),
+        (2, [0, 0, 0], [1.0, 5.0]),     # empty histogram -> NULL
+        (3, None, [1.0, 5.0]),          # NULL counts -> NULL
+        (4, [3, 0, 9], [1.0, 5.0]),     # rank in +inf bucket -> highest bound
+        (5, [4, 4], []),                # no finite bounds -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, bucket_counts array<bigint>, explicit_bounds array<double>"
+    )
+    out = {r["id"]: r["q0_5"] for r in
+           __import__("vector_spark.operators", fromlist=["histogram_quantile"])
+           .histogram_quantile(df, 0.5).collect()}
+    # rank = 17.5: first bucket holds 10, so 7.5/20 into (1, 5]
+    assert out[1] == 1.0 + 4.0 * 7.5 / 20
+    assert out[2] is None and out[3] is None and out[5] is None
+    assert out[4] == 5.0  # +inf bucket clamps to highest finite bound
+
+
+def test_histogram_quantile_edges(spark):
+    from vector_spark.operators import histogram_quantile
+
+    df = spark.createDataFrame(
+        [(1, [4, 6], [2.0])],
+        "id int, bucket_counts array<bigint>, explicit_bounds array<double>",
+    )
+    # q=0 -> rank 0 -> first bucket at its very start (lower edge 0)
+    assert histogram_quantile(df, 0.0).collect()[0]["q0_0"] == 0.0
+    # q=1 -> rank 10 -> lands exactly on the last cumulative: +inf bucket
+    assert histogram_quantile(df, 1.0).collect()[0]["q1_0"] == 2.0
+    # q=0.25 -> rank 2.5 inside first bucket: 2.0 * 2.5/4
+    assert histogram_quantile(df, 0.25).collect()[0]["q0_25"] == 2.0 * 2.5 / 4
+    with pytest.raises(ValueError):
+        histogram_quantile(df, 1.5)
+
+
+def test_histogram_quantile_from_otlp_rows(spark):
+    # end-to-end: decode an OTLP histogram, then quantile it in-row
+    import json
+    from vector_spark.operators import histogram_quantile
+    from vector_spark.sources.otlp import otlp_metrics_parse
+
+    body = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{
+                "scope": {"name": "m"},
+                "metrics": [{
+                    "name": "latency",
+                    "unit": "ms",
+                    "histogram": {
+                        "dataPoints": [{
+                            "timeUnixNano": "1700000000000000000",
+                            "count": "35",
+                            "sum": 99.0,
+                            "bucketCounts": ["10", "20", "5"],
+                            "explicitBounds": [1.0, 5.0],
+                        }],
+                        "aggregationTemporality": 2,
+                    },
+                }],
+            }],
+        }]
+    })
+    df = otlp_metrics_parse(spark.createDataFrame([(body,)], "message string"))
+    row = histogram_quantile(df, 0.5, out_col="p50").collect()[0]
+    assert row["p50"] == 1.0 + 4.0 * 7.5 / 20

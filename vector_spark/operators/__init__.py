@@ -55,7 +55,12 @@ from vector_spark.operators.enrich import (
     validate_ip_ranges,
 )
 from vector_spark.operators.asof import asof_join
-from vector_spark.operators.metric_rate import counter_rate, delta_to_cumulative
+from vector_spark.operators.metric_rate import (
+    counter_rate,
+    delta_to_cumulative,
+    histogram_quantile,
+)
+from vector_spark.operators.traces import trace_rollup
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -70,5 +75,6 @@ __all__ = [
     "map_events", "register_map_hook",
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
-    "counter_rate", "delta_to_cumulative",
+    "counter_rate", "delta_to_cumulative", "histogram_quantile",
+    "trace_rollup",
 ]

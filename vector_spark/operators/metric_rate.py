@@ -13,6 +13,8 @@ operators close that loop the way Prometheus/OTel collectors define it:
   the previous sample is the new reading itself).
 * :func:`delta_to_cumulative` — DELTA → CUMULATIVE via a per-series
   running sum (the OTel ``deltatocumulative`` processor analog).
+* :func:`histogram_quantile` — PromQL's bucket-interpolation quantile
+  over explicit-bounds histogram rows, fully in-row.
 
 Spark design: both are ONE shuffle on the series key columns followed by
 a per-series window scan — no self-joins, no Python.  Telemetry corpora
@@ -103,3 +105,64 @@ def delta_to_cumulative(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+
+
+def histogram_quantile(
+    df: DataFrame,
+    q: float,
+    *,
+    counts_col: str = "bucket_counts",
+    bounds_col: str = "explicit_bounds",
+    out_col: str | None = None,
+) -> DataFrame:
+    """PromQL ``histogram_quantile`` over explicit-bounds histogram rows.
+
+    Input rows carry OTLP-shaped histograms (``bucket_counts`` has one more
+    entry than ``explicit_bounds``; the last bucket is (last_bound, +inf) —
+    exactly what :func:`vector_spark.sources.otlp.otlp_metrics_parse`
+    emits).  The estimate is Prometheus's: find the bucket holding the
+    q-rank observation, linearly interpolate inside it assuming uniform
+    spread, with the first bucket's lower edge taken as 0 (the
+    non-negative-observation convention) and a rank landing in the +inf
+    bucket clamped to the highest finite bound.  Empty/NULL histograms and
+    empty bounds yield NULL, never an error row.
+
+    Fully IN-ROW (higher-order functions over the two arrays — no explode,
+    no shuffle, no Python): a 10^12-row histogram table stays one codegen
+    scan.  The running-sum transform is O(n_buckets²) per row, irrelevant
+    at real bucket counts (tens).
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if out_col is None:
+        out_col = f"q{str(q).replace('.', '_')}"
+    counts = F.col(counts_col)
+    bounds = F.col(bounds_col)
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(counts, zero, lambda a, x: a + x)
+    rank = F.lit(float(q)) * total.cast("double")
+    # cums[i] = counts[0] + … + counts[i], 1-indexed for element_at
+    cums = F.transform(
+        F.sequence(F.lit(1), F.size(counts)),
+        lambda n: F.aggregate(F.slice(counts, F.lit(1), n), zero, lambda a, x: a + x),
+    )
+    # smallest 1-based bucket index whose cumulative count reaches the rank
+    idx = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.size(counts)),
+            lambda i: F.element_at(cums, i).cast("double") >= rank,
+        ),
+        1,
+    )
+    n_bounds = F.size(bounds)
+    lower = F.when(idx == 1, F.lit(0.0)).otherwise(F.element_at(bounds, idx - 1))
+    upper = F.element_at(bounds, idx)
+    cum_prev = F.when(idx == 1, zero).otherwise(F.element_at(cums, idx - 1))
+    in_bucket = F.element_at(counts, idx)
+    interp = lower + (upper - lower) * (rank - cum_prev.cast("double")) / in_bucket.cast("double")
+    val = (
+        F.when(counts.isNull() | bounds.isNull() | (total <= 0) | (n_bounds < 1), F.lit(None).cast("double"))
+        .when(idx > n_bounds, F.element_at(bounds, n_bounds))  # +inf bucket
+        .otherwise(interp)
+    )
+    return df.withColumn(out_col, val)
