@@ -59,6 +59,15 @@ def test_profile_partition_invariant(spark, logs):
     assert a == b
 
 
+def test_profile_count_only_fast_path(spark, logs):
+    prof = template_profile(logs, with_example=False)
+    assert "example" not in prof.columns
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    counts = {r["template"]: r["n_events"] for r in prof.collect()}
+    assert counts["user <NUM> logged in from <IP>"] == 3
+
+
 def test_custom_masks(logs):
     masks = [(r"user \d+", "user <ID>")]
     out = logs.select(mask_message("message", masks).alias("m")).collect()

@@ -74,20 +74,24 @@ def template_profile(
     *,
     masks: list[tuple[str, str]] | None = None,
     ts_col: str | None = None,
+    with_example: bool = True,
 ) -> DataFrame:
     """Corpus template inventory: one row per template with its frequency and
     a deterministic example (the lexicographically smallest raw message, so
     output is partition-independent).  With ``ts_col``, first/last event
     times are included — the "when did this log shape appear" question.
-    ONE hash aggregate on the template string; template cardinality is
-    tiny next to row count (thousands vs 10^12), so the shuffle is
-    negligible and map-side partial aggregation absorbs almost everything.
-    """
+
+    ONE aggregate on the template string; template cardinality is tiny next
+    to row count (thousands vs 10^12), so the shuffle carries almost
+    nothing after map-side partial aggregation.  Cost nuance: ``min`` over
+    a STRING buffer forces Spark's SortAggregate (each partition sorts by
+    template before combining).  ``with_example=False`` drops the example
+    column and the whole profile runs as a plain HashAggregate — the cheap
+    mode for count-only monitoring sweeps."""
     t = template_extract(df, message_col, masks=masks)
-    aggs = [
-        F.count(F.lit(1)).alias("n_events"),
-        F.min(message_col).alias("example"),
-    ]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if with_example:
+        aggs.append(F.min(message_col).alias("example"))
     if ts_col is not None:
         aggs += [F.min(ts_col).alias("first_seen"), F.max(ts_col).alias("last_seen")]
     return t.groupBy("template", "template_id").agg(*aggs)

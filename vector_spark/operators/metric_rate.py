@@ -79,7 +79,9 @@ def counter_rate(
     # double*double/long in this exact order on both the Spark and any
     # ANSI-SQL oracle side — IEEE-identical, no tolerance needed
     rate = F.when(dt_us > 0, delta * F.lit(1000000.0) / dt_us)
-    return df.withColumn(delta_col, delta).withColumn(rate_col, rate)
+    # one projection so both lags land in ONE Window node (a second
+    # withColumn would stack a second Window pass over the same sort)
+    return df.select("*", delta.alias(delta_col), rate.alias(rate_col))
 
 
 def delta_to_cumulative(
