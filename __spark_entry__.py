@@ -1623,6 +1623,36 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "p50", "p99")
 
 
+def q_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # APM service map (operators/traces.py service_graph): child spans
+    # equi-join their parent within the trace, then one hash aggregate on
+    # the (parent_service, child_service) edge.  The oracle replays the
+    # self-join; dangling parents drop out of both sides identically.
+    from vector_spark.operators import service_graph
+
+    return service_graph(_spans(spark, sf_dir))
+
+
+def q_exph_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponential-histogram quantile (operators/metric_rate.py
+    # exp_histogram_quantile) at scale=0, where base = 2 exactly and every
+    # pow(2, int) is float-exact in both engines: zero bucket z =
+    # event_id % 5 (z >= 2 exercises the zero-bucket arm), one positive
+    # bucket layout [1, 1] puts every other rank in bucket (1, 2].
+    from vector_spark.operators import exp_histogram_quantile
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        F.lit(0).alias("scale"),
+        (F.col("event_id") % 5).alias("zero_count"),
+        F.lit(0).alias("positive_offset"),
+        F.array(F.lit(1), F.lit(1)).cast("array<long>").alias("positive_bucket_counts"),
+    )
+    out = exp_histogram_quantile(df, 0.5, out_col="p50")
+    return out.select("event_id", "p50")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.functions import exact_dedup
 
@@ -2219,7 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_counter_rate": q_metric_counter_rate,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
+        "metric_exph_quantile": q_exph_quantile,
         "trace_rollup": q_trace_rollup,
+        "trace_service_graph": q_service_graph,
         "log_templates": q_log_templates,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -2509,6 +2541,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS p50,
                    4.5 AS p99
             FROM h
+        """,
+        "metric_exph_quantile": """
+            WITH h AS (
+              SELECT event_id, CAST(event_id % 5 AS BIGINT) AS z FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN CAST(z AS DOUBLE) >= 0.5 * CAST(z + 2 AS DOUBLE)
+                        THEN 0.0
+                        ELSE 1.0 + (2.0 - 1.0)
+                             * (0.5 * CAST(z + 2 AS DOUBLE) - CAST(z AS DOUBLE))
+                             / CAST(1 AS DOUBLE)
+                   END AS p50
+            FROM h
+        """,
+        "trace_service_graph": """
+            WITH s AS (
+              SELECT user_id % 500 AS trace_id,
+                     event_id AS span_id,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id + 1 END AS parent_span_id,
+                     CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+                     event_type AS service
+              FROM events
+            )
+            SELECT p.service AS parent_service,
+                   c.service AS child_service,
+                   COUNT(*) AS n_calls,
+                   CAST(SUM(CASE WHEN c.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM s c JOIN s p
+              ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+            GROUP BY 1, 2
         """,
         "trace_rollup": """
             WITH s AS (

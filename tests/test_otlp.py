@@ -4,6 +4,8 @@ input.  Reference: opentelemetry source palette row (config_panel.rs:1290-
 
 import json
 
+import pytest
+
 from vector_spark.sources.otlp import otlp_logs_parse
 
 _BODY = {
@@ -301,3 +303,91 @@ def test_otlp_traces_metrics_malformed_dropped(spark):
     )
     assert otlp_traces_parse(df).count() == 0
     assert otlp_metrics_parse(df.withColumnRenamed("message", "m"), "m").count() == 0
+
+
+def test_otlp_metrics_summary_and_exponential_histogram(spark):
+    body = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{
+                "scope": {"name": "m"},
+                "metrics": [
+                    {
+                        "name": "rpc_latency",
+                        "unit": "ms",
+                        "summary": {
+                            "dataPoints": [{
+                                "timeUnixNano": "1700000000000000000",
+                                "count": "100",
+                                "sum": 2500.0,
+                                "quantileValues": [
+                                    {"quantile": 0.5, "value": 20.0},
+                                    {"quantile": 0.99, "value": 95.5},
+                                ],
+                            }]
+                        },
+                    },
+                    {
+                        "name": "req_size",
+                        "unit": "By",
+                        "exponentialHistogram": {
+                            "dataPoints": [{
+                                "timeUnixNano": "1700000001000000000",
+                                "count": "10",
+                                "sum": 30.5,
+                                "scale": 0,
+                                "zeroCount": "2",
+                                "positive": {"offset": 0, "bucketCounts": ["2", "4", "2"]},
+                            }],
+                            "aggregationTemporality": 2,
+                        },
+                    },
+                ],
+            }],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(body),)], "message string")
+    rows = {r["metric_name"]: r for r in otlp_metrics_parse(df).collect()}
+
+    s = rows["rpc_latency"]
+    assert s["metric_type"] == "summary"
+    assert s["count"] == 100 and s["sum"] == 2500.0
+    assert [(qv["quantile"], qv["value"]) for qv in s["quantiles"]] == [
+        (0.5, 20.0), (0.99, 95.5)
+    ]
+    assert s["scale"] is None and s["value"] is None
+
+    e = rows["req_size"]
+    assert e["metric_type"] == "exp_histogram"
+    assert e["scale"] == 0 and e["zero_count"] == 2
+    assert e["positive_offset"] == 0
+    assert list(e["positive_bucket_counts"]) == [2, 4, 2]
+    assert e["negative_bucket_counts"] is None
+    assert e["temporality"] == 2 and e["count"] == 10
+
+
+def test_exp_histogram_quantile(spark):
+    from vector_spark.operators import exp_histogram_quantile
+
+    # scale=0 -> base=2; buckets: (1,2], (2,4], (4,8]; zero bucket holds 2
+    df = spark.createDataFrame(
+        [(1, 0, 2, 0, [2, 4, 2]), (2, 0, 5, 0, [1, 1, 1]), (3, 0, 0, 0, None)],
+        "id int, scale int, zero_count long, positive_offset int, "
+        "positive_bucket_counts array<long>",
+    )
+    out = {r["id"]: r["q0_5"] for r in exp_histogram_quantile(df, 0.5).collect()}
+    # id 1: total 10, rank 5; zero(2) + b0(2) = 4 < 5; bucket (2,4]:
+    # interp = 2 + 2 * (5-4)/4
+    assert out[1] == 2.0 + 2.0 * (5 - 4) / 4
+    # id 2: total 8, rank 4; zero holds 5 >= 4 -> 0.0
+    assert out[2] == 0.0
+    # id 3: empty -> NULL
+    assert out[3] is None
+    # higher scale: base = 2^(2^-1) = sqrt(2)
+    df2 = spark.createDataFrame(
+        [(1, 1, 0, 2, [4])],
+        "id int, scale int, zero_count long, positive_offset int, "
+        "positive_bucket_counts array<long>",
+    )
+    v = exp_histogram_quantile(df2, 1.0).collect()[0]["q1_0"]
+    assert v == pytest.approx(2.0 ** 1.5)  # upper bound of bucket (b^2, b^3]

@@ -56,3 +56,23 @@ def test_trace_rollup_partition_invariant(spark, spans):
     a = sorted(map(tuple, trace_rollup(spans.repartition(1)).collect()))
     b = sorted(map(tuple, trace_rollup(spans.repartition(7, "name")).collect()))
     assert a == b
+
+
+def test_service_graph_edges(spark, spans):
+    from vector_spark.operators import service_graph
+
+    out = {(r["parent_service"], r["child_service"]): r
+           for r in service_graph(spans).collect()}
+    # T1: s2 (db) and s3 (cache) call into s1 (api); T3's parent is not
+    # ingested -> no invented edge; T2 has only roots -> no edges
+    assert set(out) == {("api", "db"), ("api", "cache")}
+    assert out[("api", "db")]["n_calls"] == 1
+    assert out[("api", "db")]["n_errors"] == 1      # SELECT errored (code 2)
+    assert out[("api", "cache")]["n_errors"] == 0
+
+
+def test_service_graph_no_status(spark, spans):
+    from vector_spark.operators import service_graph
+
+    out = service_graph(spans.drop("status_code"), status_col=None).collect()
+    assert {r["n_errors"] for r in out} == {0}

@@ -58,9 +58,10 @@ from vector_spark.operators.asof import asof_join
 from vector_spark.operators.metric_rate import (
     counter_rate,
     delta_to_cumulative,
+    exp_histogram_quantile,
     histogram_quantile,
 )
-from vector_spark.operators.traces import trace_rollup
+from vector_spark.operators.traces import service_graph, trace_rollup
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -76,5 +77,5 @@ __all__ = [
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
-    "trace_rollup",
+    "exp_histogram_quantile", "trace_rollup", "service_graph",
 ]

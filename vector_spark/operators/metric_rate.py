@@ -168,3 +168,71 @@ def histogram_quantile(
         .otherwise(interp)
     )
     return df.withColumn(out_col, val)
+
+
+def exp_histogram_quantile(
+    df: DataFrame,
+    q: float,
+    *,
+    counts_col: str = "positive_bucket_counts",
+    offset_col: str = "positive_offset",
+    scale_col: str = "scale",
+    zero_col: str = "zero_count",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile over OTLP EXPONENTIAL histogram rows (the OTel analog of a
+    Prometheus native histogram).
+
+    Bucket geometry per metrics.proto: with ``b = 2^(2^-scale)``, positive
+    bucket ``i`` (0-based in the array) covers
+    ``(b^(offset+i), b^(offset+i+1)]``; ``zero_count`` observations sit at
+    ~0.  This implementation covers the non-negative-observation case
+    (latencies/sizes — the overwhelmingly common one): the rank is taken
+    over ``zero_count`` + the positive buckets, a rank inside the zero
+    bucket returns 0.0, and negative buckets are ignored (a row whose
+    negative side is non-empty still computes — over its non-negative
+    mass — callers with signed data should filter first).  Inside the
+    winning bucket the estimate interpolates LINEARLY in value space
+    between the bucket's bounds, like :func:`histogram_quantile` (not in
+    log space — same convention Prometheus applies to native histograms).
+
+    In-row like its explicit-bounds sibling: array HOFs + ``F.pow``, no
+    explode, no shuffle, NULL on empty/NULL histograms.
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if out_col is None:
+        out_col = f"q{str(q).replace('.', '_')}"
+    counts = F.col(counts_col)
+    zero_n = F.coalesce(F.col(zero_col), F.lit(0)).cast("long")
+    off = F.col(offset_col).cast("double")
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col(scale_col).cast("double")))
+    zl = F.lit(0).cast("long")
+    pos_total = F.aggregate(
+        F.coalesce(counts, F.array().cast("array<long>")), zl, lambda a, x: a + x
+    )
+    total = zero_n + pos_total
+    rank = F.lit(float(q)) * total.cast("double")
+    cums = F.transform(
+        F.sequence(F.lit(1), F.size(counts)),
+        lambda n: F.aggregate(F.slice(counts, F.lit(1), n), zl, lambda a, x: a + x),
+    )
+    idx = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.size(counts)),
+            lambda i: (zero_n + F.element_at(cums, i)).cast("double") >= rank,
+        ),
+        1,
+    )
+    lower = F.pow(base, off + (idx - 1).cast("double"))
+    upper = F.pow(base, off + idx.cast("double"))
+    cum_prev = zero_n + F.when(idx == 1, zl).otherwise(F.element_at(cums, idx - 1))
+    in_bucket = F.element_at(counts, idx)
+    interp = lower + (upper - lower) * (rank - cum_prev.cast("double")) / in_bucket.cast("double")
+    val = (
+        F.when(total <= 0, F.lit(None).cast("double"))
+        .when(zero_n.cast("double") >= rank, F.lit(0.0))
+        .when(idx.isNull(), F.lit(None).cast("double"))  # malformed: count > buckets
+        .otherwise(interp)
+    )
+    return df.withColumn(out_col, val)

@@ -68,3 +68,53 @@ def trace_rollup(
     if service_expr is not None:
         aggs.append(F.array_sort(F.collect_set(service_expr)).alias("services"))
     return spans.groupBy(trace_col).agg(*aggs)
+
+
+def service_graph(
+    spans: DataFrame,
+    *,
+    service_col: str = "service",
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    status_col: str | None = "status_code",
+    error_code: int = 2,
+) -> DataFrame:
+    """Service dependency map: one row per (parent_service, child_service)
+    edge with call and error counts — the APM "service map" aggregate.
+
+    An edge exists for every span whose parent lives in the SAME trace:
+    child spans join their parent on ``(trace_id, parent_span_id =
+    span_id)``.  Root spans (NULL parent) and orphans (parent id not
+    ingested) contribute no edge — a dangling parent pointer is dropped by
+    the inner join rather than invented.  ``n_errors`` counts edges whose
+    CHILD span errored (the convention service maps use: the callee
+    failed).
+
+    Plan: one equi-join shuffled on ``(trace_col, span/parent id)`` — a
+    high-cardinality, uniformly-distributed key (no hot keys: fan-in per
+    span is bounded) — then one hash aggregate on the tiny
+    (parent_service, child_service) space.  Self-loops (a service calling
+    itself) are kept; filter ``parent_service != child_service`` downstream
+    if unwanted.
+    """
+    child = spans.where(F.col(parent_col).isNotNull()).select(
+        F.col(trace_col).alias("_t"),
+        F.col(parent_col).alias("_pid"),
+        F.col(service_col).alias("child_service"),
+        (
+            (F.col(status_col) == error_code).cast("int")
+            if status_col is not None
+            else F.lit(0)
+        ).alias("_err"),
+    )
+    parents = spans.select(
+        F.col(trace_col).alias("_t"),
+        F.col(span_col).alias("_pid"),
+        F.col(service_col).alias("parent_service"),
+    )
+    edges = child.join(parents, on=["_t", "_pid"], how="inner")
+    return edges.groupBy("parent_service", "child_service").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("_err").alias("n_errors"),
+    )

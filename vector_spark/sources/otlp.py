@@ -233,6 +233,17 @@ _HIST_DP = (
     "count:string,sum:double,bucketCounts:array<string>,"
     "explicitBounds:array<double>>"
 )
+_SUMM_DP = (
+    f"struct<attributes:{_KV},startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,"
+    "quantileValues:array<struct<quantile:double,value:double>>>"
+)
+_EXPH_BUCKETS = "struct<offset:int,bucketCounts:array<string>>"
+_EXPH_DP = (
+    f"struct<attributes:{_KV},startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,scale:int,zeroCount:string,"
+    f"positive:{_EXPH_BUCKETS},negative:{_EXPH_BUCKETS}>"
+)
 OTLP_METRICS_SCHEMA = (
     "struct<resourceMetrics:array<struct<"
     f"resource:struct<attributes:{_KV}>,"
@@ -241,71 +252,122 @@ OTLP_METRICS_SCHEMA = (
     f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
     f"sum:struct<dataPoints:array<{_NUM_DP}>,aggregationTemporality:int,"
     "isMonotonic:boolean>,"
-    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>"
+    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>,"
+    f"exponentialHistogram:struct<dataPoints:array<{_EXPH_DP}>,"
+    "aggregationTemporality:int>,"
+    f"summary:struct<dataPoints:array<{_SUMM_DP}>>"
     ">>>>"
     ">>>"
 )
 
-#: the normalized per-point struct all three metric kinds map onto before
-#: the single explode (field order must match across the three transforms)
+#: the normalized per-point struct all five metric kinds map onto before
+#: the single explode (field order must match across the five transforms)
 _POINT = (
     f"struct<mtype:string,attrs:{_KV},ts:string,start:string,vd:double,"
     "vi:string,cnt:string,msum:double,bkts:array<string>,"
-    "bnds:array<double>,temporality:int,monotonic:boolean>"
+    "bnds:array<double>,temporality:int,monotonic:boolean,"
+    "qs:array<struct<quantile:double,value:double>>,"
+    "scale:int,zero_cnt:string,pos_off:int,pos_bkts:array<string>,"
+    "neg_off:int,neg_bkts:array<string>>"
 )
 
 
 def otlp_metrics_parse(df: DataFrame, message_col: str = "message") -> DataFrame:
     """OTLP/JSON ``MetricsData`` bodies → one flattened row per DATA POINT,
-    normalized across the three point kinds:
+    normalized across all FIVE point kinds of metrics.proto:
 
       * gauge     — ``value`` from asDouble/asInt, histogram fields NULL;
       * sum       — same, plus temporality + is_monotonic;
       * histogram — ``count``/``sum``/``bucket_counts``/``explicit_bounds``,
-        ``value`` NULL, temporality carried.
+        ``value`` NULL, temporality carried;
+      * exponential histogram — ``scale``/``zero_count`` plus
+        positive/negative ``(offset, bucket_counts)`` (base-2 buckets:
+        bucket i covers ``(b^(offset+i), b^(offset+i+1)]`` with
+        ``b = 2^(2^-scale)``) — feed
+        :func:`vector_spark.operators.metric_rate.exp_histogram_quantile`;
+      * summary   — ``count``/``sum`` plus the pre-computed ``quantiles``
+        (quantile, value) structs.
 
-    One ``from_json``, the three per-metric point arrays mapped onto one
+    One ``from_json``, the five per-metric point arrays mapped onto one
     common struct and concatenated IN-ROW (``F.transform`` + ``F.concat``),
-    then a single explode — no per-kind scans, no union of three plans,
+    then a single explode — no per-kind scans, no union of five plans,
     no Python."""
     m = F.col("_m")
 
-    def _num_points(arr, mtype, temporality, monotonic):
-        return F.transform(
-            F.coalesce(arr, F.array().cast(f"array<{_NUM_DP}>")),
-            lambda dp: F.struct(
-                F.lit(mtype).alias("mtype"),
+    # every point kind maps onto the SAME struct shape (field order fixed
+    # by _FIELDS); unset fields are typed NULLs so F.concat type-checks
+    _FIELDS = [
+        ("mtype", "string"), ("attrs", _KV), ("ts", "string"),
+        ("start", "string"), ("vd", "double"), ("vi", "string"),
+        ("cnt", "string"), ("msum", "double"), ("bkts", "array<string>"),
+        ("bnds", "array<double>"), ("temporality", "int"),
+        ("monotonic", "boolean"),
+        ("qs", "array<struct<quantile:double,value:double>>"),
+        ("scale", "int"), ("zero_cnt", "string"), ("pos_off", "int"),
+        ("pos_bkts", "array<string>"), ("neg_off", "int"),
+        ("neg_bkts", "array<string>"),
+    ]
+
+    def _point(dp, mtype, **given):
+        cols = [F.lit(mtype).alias("mtype"),
                 dp.getField("attributes").alias("attrs"),
                 dp.getField("timeUnixNano").alias("ts"),
-                dp.getField("startTimeUnixNano").alias("start"),
-                dp.getField("asDouble").alias("vd"),
-                dp.getField("asInt").alias("vi"),
-                F.lit(None).cast("string").alias("cnt"),
-                F.lit(None).cast("double").alias("msum"),
-                F.lit(None).cast("array<string>").alias("bkts"),
-                F.lit(None).cast("array<double>").alias("bnds"),
-                temporality.alias("temporality"),
-                monotonic.alias("monotonic"),
-            ),
+                dp.getField("startTimeUnixNano").alias("start")]
+        for name, typ in _FIELDS[4:]:
+            c = given.get(name, F.lit(None).cast(typ))
+            cols.append(c.alias(name))
+        return F.struct(*cols)
+
+    def _kind(arr, dp_type, mtype, point_kw):
+        return F.transform(
+            F.coalesce(arr, F.array().cast(f"array<{dp_type}>")),
+            lambda dp: _point(dp, mtype, **point_kw(dp)),
         )
 
-    hist_points = F.transform(
-        F.coalesce(m.getField("histogram").getField("dataPoints"),
-                   F.array().cast(f"array<{_HIST_DP}>")),
-        lambda dp: F.struct(
-            F.lit("histogram").alias("mtype"),
-            dp.getField("attributes").alias("attrs"),
-            dp.getField("timeUnixNano").alias("ts"),
-            dp.getField("startTimeUnixNano").alias("start"),
-            F.lit(None).cast("double").alias("vd"),
-            F.lit(None).cast("string").alias("vi"),
-            dp.getField("count").alias("cnt"),
-            dp.getField("sum").alias("msum"),
-            dp.getField("bucketCounts").alias("bkts"),
-            dp.getField("explicitBounds").alias("bnds"),
-            m.getField("histogram").getField("aggregationTemporality").alias("temporality"),
-            F.lit(None).cast("boolean").alias("monotonic"),
-        ),
+    num_kw = lambda dp: {"vd": dp.getField("asDouble"), "vi": dp.getField("asInt")}  # noqa: E731
+    gauge_points = _kind(
+        m.getField("gauge").getField("dataPoints"), _NUM_DP, "gauge", num_kw
+    )
+    sum_points = _kind(
+        m.getField("sum").getField("dataPoints"), _NUM_DP, "sum",
+        lambda dp: {
+            **num_kw(dp),
+            "temporality": m.getField("sum").getField("aggregationTemporality"),
+            "monotonic": m.getField("sum").getField("isMonotonic"),
+        },
+    )
+    hist_points = _kind(
+        m.getField("histogram").getField("dataPoints"), _HIST_DP, "histogram",
+        lambda dp: {
+            "cnt": dp.getField("count"),
+            "msum": dp.getField("sum"),
+            "bkts": dp.getField("bucketCounts"),
+            "bnds": dp.getField("explicitBounds"),
+            "temporality": m.getField("histogram").getField("aggregationTemporality"),
+        },
+    )
+    exph = m.getField("exponentialHistogram")
+    exph_points = _kind(
+        exph.getField("dataPoints"), _EXPH_DP, "exp_histogram",
+        lambda dp: {
+            "cnt": dp.getField("count"),
+            "msum": dp.getField("sum"),
+            "temporality": exph.getField("aggregationTemporality"),
+            "scale": dp.getField("scale"),
+            "zero_cnt": dp.getField("zeroCount"),
+            "pos_off": dp.getField("positive").getField("offset"),
+            "pos_bkts": dp.getField("positive").getField("bucketCounts"),
+            "neg_off": dp.getField("negative").getField("offset"),
+            "neg_bkts": dp.getField("negative").getField("bucketCounts"),
+        },
+    )
+    summ_points = _kind(
+        m.getField("summary").getField("dataPoints"), _SUMM_DP, "summary",
+        lambda dp: {
+            "cnt": dp.getField("count"),
+            "msum": dp.getField("sum"),
+            "qs": dp.getField("quantileValues"),
+        },
     )
 
     keep = [c for c in df.columns if c != message_col]
@@ -336,16 +398,7 @@ def otlp_metrics_parse(df: DataFrame, message_col: str = "message") -> DataFrame
         m.getField("unit").alias("unit"),
         F.explode(
             F.concat(
-                _num_points(
-                    m.getField("gauge").getField("dataPoints"), "gauge",
-                    F.lit(None).cast("int"), F.lit(None).cast("boolean"),
-                ),
-                _num_points(
-                    m.getField("sum").getField("dataPoints"), "sum",
-                    m.getField("sum").getField("aggregationTemporality"),
-                    m.getField("sum").getField("isMonotonic"),
-                ),
-                hist_points,
+                gauge_points, sum_points, hist_points, exph_points, summ_points
             )
         ).alias("_p"),
     ).withColumn("_pt_ents", _attr_entries(F.col("_p.attrs")))
@@ -368,6 +421,17 @@ def otlp_metrics_parse(df: DataFrame, message_col: str = "message") -> DataFrame
         p.getField("bnds").alias("explicit_bounds"),
         p.getField("temporality").alias("temporality"),
         p.getField("monotonic").alias("is_monotonic"),
+        p.getField("qs").alias("quantiles"),
+        p.getField("scale").alias("scale"),
+        p.getField("zero_cnt").try_cast("long").alias("zero_count"),
+        p.getField("pos_off").alias("positive_offset"),
+        F.transform(p.getField("pos_bkts"), lambda x: x.try_cast("long")).alias(
+            "positive_bucket_counts"
+        ),
+        p.getField("neg_off").alias("negative_offset"),
+        F.transform(p.getField("neg_bkts"), lambda x: x.try_cast("long")).alias(
+            "negative_bucket_counts"
+        ),
         _entries_to_map_last(F.col("_pt_ents")).alias("attributes"),
         "resource",
         "scope_name",
