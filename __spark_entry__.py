@@ -1521,6 +1521,32 @@ def q_metric_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "series", "delta", "rate_per_s")
 
 
+def q_metric_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL-style windowed increase()/rate() (operators/metric_rate.py
+    # range_rate): the same 40 bouncing counter series as metric_counter_rate,
+    # rolled up to one row per (series, aligned hour).  Values are
+    # integer-valued doubles (event_id % 1000), so the per-window double SUM
+    # is exact under ANY summation order — hash-safe on both engines.  The
+    # oracle replays the in-window lag + reset CASE and the same /3600.0.
+    from vector_spark.operators import range_rate
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 40).alias("series"),
+        (F.col("event_id") % 1000).cast("double").alias("value"),
+    )
+    out = range_rate(
+        df, ["series"], 3600, ts_col="ts", value_col="value", tiebreaker="event_id"
+    )
+    return out.select(
+        "series",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n_samples", "increase", "rate_per_s",
+    )
+
+
 def q_metric_delta_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OTel deltatocumulative analog (operators/metric_rate.py
     # delta_to_cumulative): per-series running sum in event-time order,
@@ -2235,10 +2261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     did NOT cover (dedup, similarity, pagerank/bm25, curation/sampling,
     the new table-format + telemetry rows) plus the most-central repeats
     (flagship, T1/T2/T3/T7/T8/T9, enrich/asof — changed in r5 — rollup),
-    so the r04 ∪ r05 driver records cover all 84.  The queries displaced
-    past slot 50 were ALL hash-verified green in CORRECTNESS_r04 and are
-    unchanged since, and every query is re-verified locally each round by
-    tools/check_oracles.py, whose full-coverage record is committed at
+    so the r04 ∪ r05 driver records cover all 85 except `bpe_tokenize`
+    (rows-only by declared design — a driver check would add nothing over
+    its committed local record).  The queries displaced past slot 50 were
+    ALL hash-verified green in CORRECTNESS_r04 and are unchanged since, and
+    every query is re-verified locally each round by tools/check_oracles.py,
+    whose full-coverage record is committed at
     bench_results/correctness_local.json.
     """
     return {
@@ -2250,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_traces": q_otlp_traces,
         "src_otlp_metrics": q_otlp_metrics,
         "metric_counter_rate": q_metric_counter_rate,
+        "metric_range_rate": q_metric_range_rate,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
         "metric_exph_quantile": q_exph_quantile,
@@ -2520,6 +2549,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (CASE WHEN v - prev_v >= 0 THEN v - prev_v ELSE v END)
                              * 1000000.0 / (us - prev_us) END AS rate_per_s
             FROM s
+        """,
+        "metric_range_rate": """
+            WITH s AS (
+              SELECT user_id % 40 AS series,
+                     CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS wb,
+                     CAST(event_id % 1000 AS DOUBLE) AS v,
+                     LAG(CAST(event_id % 1000 AS DOUBLE)) OVER (
+                       PARTITION BY user_id % 40,
+                                    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       ORDER BY ts, event_id) AS prev_v
+              FROM events
+            ), d AS (
+              SELECT series, wb,
+                     CASE WHEN prev_v IS NULL THEN NULL
+                          WHEN v - prev_v >= 0 THEN v - prev_v
+                          ELSE v END AS delta
+              FROM s
+            )
+            SELECT series,
+                   make_timestamp(wb * 3600000000) AS window_start,
+                   COUNT(*) AS n_samples,
+                   SUM(delta) AS increase,
+                   SUM(delta) / 3600.0 AS rate_per_s
+            FROM d
+            GROUP BY series, wb
         """,
         "metric_delta_cum": """
             SELECT event_id,

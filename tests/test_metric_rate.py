@@ -167,3 +167,58 @@ def test_histogram_quantile_from_otlp_rows(spark):
     df = otlp_metrics_parse(spark.createDataFrame([(body,)], "message string"))
     row = histogram_quantile(df, 0.5, out_col="p50").collect()[0]
     assert row["p50"] == 1.0 + 4.0 * 7.5 / 20
+
+
+def test_range_rate_aligned_windows(spark, samples):
+    from vector_spark.operators import range_rate
+
+    out = {
+        (r["series"], str(r["window_start"])): r
+        for r in range_rate(
+            samples, ["series"], 30, ts_col="ts", value_col="value", tiebreaker="i"
+        ).collect()
+    }
+    # series a, window [00:00, 00:30): samples 10, 30, 4(reset) ->
+    # increase = 20 + 4 = 24, rate = 24/30
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert a0["n_samples"] == 3
+    assert a0["increase"] == 24.0
+    assert a0["rate_per_s"] == 24.0 / 30
+    # series a, window [00:30, 01:00): single sample (9.0) -> NULL increase
+    a1 = out[("a", "2024-01-01 00:00:30")]
+    assert a1["n_samples"] == 1 and a1["increase"] is None and a1["rate_per_s"] is None
+    # series b, one window: 5 -> 5 -> 8 gives 0 + 3
+    b0 = out[("b", "2024-01-01 00:00:00")]
+    assert b0["n_samples"] == 3 and b0["increase"] == 3.0
+    # no cross-window delta: totals only count in-window pairs
+    assert len(out) == 3
+
+
+def test_range_rate_strict_mode_and_partition_invariance(spark, samples):
+    from vector_spark.operators import range_rate
+
+    strict = {
+        r["series"]: r["increase"]
+        for r in range_rate(
+            samples, ["series"], 30, ts_col="ts", value_col="value",
+            tiebreaker="i", handle_resets=False,
+        ).where(F.col("window_start") == _ts(0)).collect()
+    }
+    assert strict["a"] == 20.0  # the reset pair is dropped, not counted
+    assert strict["b"] == 3.0
+    a = sorted(map(tuple, range_rate(
+        samples.repartition(1), ["series"], 30,
+        ts_col="ts", value_col="value", tiebreaker="i").collect()))
+    b = sorted(map(tuple, range_rate(
+        samples.repartition(7, "value"), ["series"], 30,
+        ts_col="ts", value_col="value", tiebreaker="i").collect()))
+    assert a == b
+
+
+def test_range_rate_validation(samples):
+    from vector_spark.operators import range_rate
+
+    with pytest.raises(ValueError):
+        range_rate(samples, [], 30)
+    with pytest.raises(ValueError):
+        range_rate(samples, ["series"], 0)

@@ -60,6 +60,7 @@ from vector_spark.operators.metric_rate import (
     delta_to_cumulative,
     exp_histogram_quantile,
     histogram_quantile,
+    range_rate,
 )
 from vector_spark.operators.traces import service_graph, trace_rollup
 
@@ -77,5 +78,5 @@ __all__ = [
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
-    "exp_histogram_quantile", "trace_rollup", "service_graph",
+    "exp_histogram_quantile", "range_rate", "trace_rollup", "service_graph",
 ]

@@ -13,6 +13,8 @@ operators close that loop the way Prometheus/OTel collectors define it:
   the previous sample is the new reading itself).
 * :func:`delta_to_cumulative` — DELTA → CUMULATIVE via a per-series
   running sum (the OTel ``deltatocumulative`` processor analog).
+* :func:`range_rate` — ``increase()``/``rate()`` over ALIGNED windows
+  (the recording-rule form: one row per series per window), reset-aware.
 * :func:`histogram_quantile` — PromQL's bucket-interpolation quantile
   over explicit-bounds histogram rows, fully in-row.
 
@@ -107,6 +109,74 @@ def delta_to_cumulative(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+
+
+def range_rate(
+    df: DataFrame,
+    series_cols: list[str],
+    window_s: int,
+    *,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    tiebreaker: str | None = None,
+    handle_resets: bool = True,
+    window_col: str = "window_start",
+    samples_col: str = "n_samples",
+    increase_col: str = "increase",
+    rate_col: str = "rate_per_s",
+) -> DataFrame:
+    """PromQL-style ``increase()``/``rate()`` over ALIGNED windows: one row
+    per (series, window) from CUMULATIVE counter samples.
+
+    ``increase`` is the sum of reset-adjusted adjacent deltas between
+    consecutive samples INSIDE the window (the recording-rule / batch
+    replication of ``increase(m[w])`` on aligned steps): a decrease means
+    the counter restarted from 0 so the increase since the previous sample
+    is the new reading itself (``handle_resets=False`` drops such pairs
+    instead — strict mode).  Deliberately NOT Prometheus's range-vector
+    extrapolation: no cross-window delta and no boundary extrapolation, so
+    the result is a total function of the in-window samples — deterministic
+    and exactly SQL-replayable.  A window with fewer than two samples has a
+    NULL increase/rate (one sample gives no delta — same convention as
+    PromQL returning no result for a 1-sample range).  ``rate_col`` is
+    ``increase / window_s``.
+
+    Plan: ONE shuffle — the per-(series, window) lag window and the
+    groupBy that follows share the same keys, so the aggregate reuses the
+    window's hash distribution (no second Exchange).  Window starts come
+    from integer epoch-second division: aligned, timezone-free.
+    """
+    if not series_cols:
+        raise ValueError("range_rate needs at least one series column")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(secs / F.lit(int(window_s) * 1_000_000)).cast("long")
+    with_bucket = df.withColumn("_wb", bucket)
+    order = [F.col(ts_col).asc()]
+    if tiebreaker is not None:
+        order.append(F.col(tiebreaker).asc())
+    w = Window.partitionBy(*(series_cols + ["_wb"])).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    prev_v = F.lag(v).over(w)
+    raw = v - prev_v
+    if handle_resets:
+        delta = F.when(raw >= 0, raw).otherwise(v)
+    else:
+        delta = F.when(raw >= 0, raw)
+    delta = F.when(prev_v.isNotNull(), delta)
+    deltas = with_bucket.select(*series_cols, "_wb", delta.alias("_d"))
+    out = deltas.groupBy(*series_cols, "_wb").agg(
+        F.count(F.lit(1)).alias(samples_col),
+        F.sum("_d").alias(increase_col),
+    )
+    return out.select(
+        *series_cols,
+        (F.col("_wb") * int(window_s)).cast("timestamp").alias(window_col),
+        samples_col,
+        increase_col,
+        (F.col(increase_col) / F.lit(float(window_s))).alias(rate_col),
+    )
 
 
 def histogram_quantile(
