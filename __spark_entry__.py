@@ -1547,6 +1547,37 @@ def q_metric_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_sum_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL sum-by over histogram points (operators/metric_rate.py
+    # sum_histograms): events become per-point explicit-bounds histograms on
+    # 40 series; the merged per-series buckets/count/sum are recomputed by
+    # the oracle directly from the source columns (bucket k's total is just
+    # SUM of its generating expression — ground truth, not operator replay).
+    # Bucket arrays stringify via concat_ws so both engines compare BIGINT
+    # text, not engine-specific array renderings.
+    from vector_spark.operators import sum_histograms
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        (F.col("user_id") % 40).alias("series"),
+        F.array(F.lit(0.5), F.lit(1.5)).alias("explicit_bounds"),
+        F.array(
+            (F.col("event_id") % 7).cast("long"),
+            F.lit(2).cast("long"),
+            (F.col("event_id") % 3).cast("long"),
+        ).alias("bucket_counts"),
+        (F.col("event_id") % 7 + 2 + F.col("event_id") % 3).cast("long").alias("count"),
+        (F.col("event_id") % 100).cast("double").alias("sum"),
+    )
+    out = sum_histograms(df, ["series"])
+    return out.select(
+        "series",
+        F.concat_ws(",", F.col("bucket_counts").cast("array<string>")).alias("buckets"),
+        F.col("count").alias("n_obs"),
+        F.col("sum").alias("sum_obs"),
+    )
+
+
 def q_metric_delta_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OTel deltatocumulative analog (operators/metric_rate.py
     # delta_to_cumulative): per-series running sum in event-time order,
@@ -2279,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_otlp_metrics": q_otlp_metrics,
         "metric_counter_rate": q_metric_counter_rate,
         "metric_range_rate": q_metric_range_rate,
+        "metric_sum_histograms": q_metric_sum_histograms,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
         "metric_exph_quantile": q_exph_quantile,
@@ -2293,7 +2325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_aggregate": q_aggregate,
         "t9_log_to_metric": q_log_to_metric,
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
-        "enrich_broadcast_join": q_enrich_join,
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
@@ -2330,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "enrich_broadcast_join": q_enrich_join,
         "t4_sample": q_sample,
         "t5_throttle": q_throttle,
         "t6_dedupe": q_dedupe,
@@ -2574,6 +2606,17 @@ def oracle_sql() -> dict[str, str]:
                    SUM(delta) / 3600.0 AS rate_per_s
             FROM d
             GROUP BY series, wb
+        """,
+        "metric_sum_histograms": """
+            SELECT user_id % 40 AS series,
+                   CAST(CAST(SUM(event_id % 7) AS BIGINT) AS VARCHAR)
+                     || ',' || CAST(CAST(SUM(2) AS BIGINT) AS VARCHAR)
+                     || ',' || CAST(CAST(SUM(event_id % 3) AS BIGINT) AS VARCHAR)
+                     AS buckets,
+                   CAST(SUM(event_id % 7 + 2 + event_id % 3) AS BIGINT) AS n_obs,
+                   SUM(CAST(event_id % 100 AS DOUBLE)) AS sum_obs
+            FROM events
+            GROUP BY 1
         """,
         "metric_delta_cum": """
             SELECT event_id,

@@ -222,3 +222,67 @@ def test_range_rate_validation(samples):
         range_rate(samples, [], 30)
     with pytest.raises(ValueError):
         range_rate(samples, ["series"], 0)
+
+
+@pytest.fixture(scope="module")
+def histo_points(spark):
+    # two services; "api" has two pods' points over the same bounds, plus
+    # one point on a DIFFERENT bounds layout that must not merge; "db" has
+    # one point and one malformed (empty buckets) that must be dropped
+    rows = [
+        ("api", [0.5, 1.5], [1, 2, 3], 6, 4.5),
+        ("api", [0.5, 1.5], [4, 0, 1], 5, 2.0),
+        ("api", [1.0], [7, 7], 14, 9.0),
+        ("db", [0.5, 1.5], [2, 2, 2], 6, 3.0),
+        ("db", [0.5, 1.5], [], 9, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "service string, explicit_bounds array<double>, "
+        "bucket_counts array<long>, count long, sum double",
+    )
+
+
+def test_sum_histograms_bucketwise_merge(histo_points):
+    from vector_spark.operators import sum_histograms
+
+    out = {
+        (r["service"], tuple(r["explicit_bounds"])): r
+        for r in sum_histograms(histo_points, ["service"]).collect()
+    }
+    a = out[("api", (0.5, 1.5))]
+    assert list(a["bucket_counts"]) == [5, 2, 4]
+    assert a["count"] == 11 and a["sum"] == 6.5
+    # the different-bounds point stays its own row, never merged
+    b = out[("api", (1.0,))]
+    assert list(b["bucket_counts"]) == [7, 7] and b["count"] == 14
+    # the empty-bucket point is dropped entirely (count/sum not billed)
+    d = out[("db", (0.5, 1.5))]
+    assert list(d["bucket_counts"]) == [2, 2, 2]
+    assert d["count"] == 6 and d["sum"] == 3.0
+    assert len(out) == 3
+
+
+def test_sum_histograms_feeds_quantile_and_is_partition_invariant(histo_points):
+    from vector_spark.operators import histogram_quantile, sum_histograms
+
+    merged = sum_histograms(histo_points, ["service"]).where(
+        F.size("explicit_bounds") == 2
+    )
+    q = {r["service"]: r["p50"] for r in
+         histogram_quantile(merged, 0.5, out_col="p50").collect()}
+    # api merged: [5, 2, 4] over bounds [0.5, 1.5]: total 11, rank 5.5,
+    # bucket 2 (0.5, 1.5]: 0.5 + (1.5-0.5) * (5.5-5)/2
+    assert q["api"] == 0.5 + 1.0 * 0.5 / 2
+    a = sorted(map(tuple, sum_histograms(
+        histo_points.repartition(1), ["service"]).collect()))
+    b = sorted(map(tuple, sum_histograms(
+        histo_points.repartition(5, "sum"), ["service"]).collect()))
+    assert a == b
+
+
+def test_sum_histograms_validation(histo_points):
+    from vector_spark.operators import sum_histograms
+
+    with pytest.raises(ValueError):
+        sum_histograms(histo_points, [])

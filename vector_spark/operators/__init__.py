@@ -61,6 +61,7 @@ from vector_spark.operators.metric_rate import (
     exp_histogram_quantile,
     histogram_quantile,
     range_rate,
+    sum_histograms,
 )
 from vector_spark.operators.traces import service_graph, trace_rollup
 
@@ -78,5 +79,6 @@ __all__ = [
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
-    "exp_histogram_quantile", "range_rate", "trace_rollup", "service_graph",
+    "exp_histogram_quantile", "range_rate", "sum_histograms",
+    "trace_rollup", "service_graph",
 ]

@@ -15,6 +15,9 @@ operators close that loop the way Prometheus/OTel collectors define it:
   running sum (the OTel ``deltatocumulative`` processor analog).
 * :func:`range_rate` — ``increase()``/``rate()`` over ALIGNED windows
   (the recording-rule form: one row per series per window), reset-aware.
+* :func:`sum_histograms` — PromQL ``sum by (...)`` over explicit-bounds
+  histogram points: element-wise bucket merge, the step that feeds
+  :func:`histogram_quantile`.
 * :func:`histogram_quantile` — PromQL's bucket-interpolation quantile
   over explicit-bounds histogram rows, fully in-row.
 
@@ -176,6 +179,64 @@ def range_rate(
         samples_col,
         increase_col,
         (F.col(increase_col) / F.lit(float(window_s))).alias(rate_col),
+    )
+
+
+def sum_histograms(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    counts_col: str = "bucket_counts",
+    bounds_col: str = "explicit_bounds",
+    count_col: str = "count",
+    sum_col: str = "sum",
+) -> DataFrame:
+    """Bucket-wise merge of explicit-bounds histogram points — PromQL's
+    ``sum by (...)`` over histogram series, the aggregation step that feeds
+    :func:`histogram_quantile` (quantiles over a merged histogram, e.g.
+    per-service latency from per-pod points).
+
+    One output row per (``group_cols``, ``bounds_col``): ``counts_col``
+    becomes the element-wise sum of the group's bucket arrays, and
+    ``count_col``/``sum_col`` the summed observation count / value sum.
+    ``bounds_col`` participates in the grouping, so points with DIFFERENT
+    bucket layouts are never merged (they surface as separate rows — the
+    caller can detect mixed layouts by key multiplicity instead of getting
+    silently wrong buckets).  Rows whose bucket array is NULL/empty are
+    dropped (malformed points); ragged arrays under one bounds value sum
+    position-wise over whatever each point has.
+
+    Plan: posexplode → two hash aggregates — (keys, bucket_pos) partial
+    sums, then re-assembly with an ``array_sort(collect_list(...))`` whose
+    sort key is the unique bucket position, so the output is a total
+    function of the data under any partitioning.  A group's points are
+    NEVER collected into one in-memory list of arrays (the explode path
+    scales to any points-per-series); the collect_list at stage 2 holds one
+    element per BUCKET, which is bounded by the histogram layout, not the
+    data.  The point's count/sum ride the explode billed exactly once (on
+    its bucket-0 row) — no second scan, no join.
+    """
+    if not group_cols:
+        raise ValueError("sum_histograms needs at least one group column")
+    keys = list(group_cols) + [bounds_col]
+    ex = df.select(
+        *keys,
+        F.posexplode(F.col(counts_col)).alias("_pos", "_c"),
+        F.col(count_col).alias("_cnt"),
+        F.col(sum_col).alias("_sum"),
+    )
+    per_bucket = ex.groupBy(*keys, "_pos").agg(
+        F.sum("_c").alias("_bc"),
+        F.sum(F.when(F.col("_pos") == 0, F.col("_cnt"))).alias("_pc"),
+        F.sum(F.when(F.col("_pos") == 0, F.col("_sum"))).alias("_ps"),
+    )
+    return per_bucket.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_bc")))),
+            lambda s: s["_bc"],
+        ).alias(counts_col),
+        F.sum("_pc").cast("long").alias(count_col),
+        F.sum("_ps").alias(sum_col),
     )
 
 
