@@ -1578,6 +1578,33 @@ def q_metric_sum_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SRE-workbook multi-window burn-rate alerting (operators/slo.py):
+    # 40 services, error = event_type 'error', 6 h short / 24 h long
+    # windows.  slo_target 0.875 is chosen so the error budget (0.125) is
+    # binary-EXACT — every burn-rate double is then bit-identical between
+    # Spark and the DuckDB replay (no decimal-vs-binary 1.0-0.9 mismatch).
+    # threshold 2 = "error ratio above 0.25 in BOTH windows" — a real subset
+    # fires (sustained breaches), blips gated by the long window.
+    from vector_spark.operators import slo_burn_alerts
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        (F.col("user_id") % 40).alias("series"),
+        "ts",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    out = slo_burn_alerts(
+        df, ["series"], ts_col="ts", error_col="is_error",
+        slo_target=0.875, short_s=21600, long_s=86400, threshold=2.0,
+    )
+    return out.select(
+        "series",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n_events", "n_errors", "burn_short", "burn_long",
+    )
+
+
 def q_metric_delta_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OTel deltatocumulative analog (operators/metric_rate.py
     # delta_to_cumulative): per-series running sum in event-time order,
@@ -2311,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_counter_rate": q_metric_counter_rate,
         "metric_range_rate": q_metric_range_rate,
         "metric_sum_histograms": q_metric_sum_histograms,
+        "slo_burn_alerts": q_slo_burn_alerts,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
         "metric_exph_quantile": q_exph_quantile,
@@ -2328,7 +2356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
-        "rollup_hypertable": q_rollup_hypertable,
         # -- dedup family (unchecked by the driver in r04 — front-loaded)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2362,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
         "enrich_broadcast_join": q_enrich_join,
+        "rollup_hypertable": q_rollup_hypertable,
         "t4_sample": q_sample,
         "t5_throttle": q_throttle,
         "t6_dedupe": q_dedupe,
@@ -2606,6 +2634,37 @@ def oracle_sql() -> dict[str, str]:
                    SUM(delta) / 3600.0 AS rate_per_s
             FROM d
             GROUP BY series, wb
+        """,
+        "slo_burn_alerts": """
+            WITH s AS (
+              SELECT user_id % 40 AS series,
+                     CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS sb,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+              FROM events
+            ), sa AS (
+              SELECT series, sb, COUNT(*) AS n_events,
+                     CAST(SUM(e) AS BIGINT) AS n_errors
+              FROM s GROUP BY 1, 2
+            ), la AS (
+              SELECT series, CAST(floor(sb / 4) AS BIGINT) AS lb,
+                     CAST(SUM(n_events) AS BIGINT) AS ne,
+                     CAST(SUM(n_errors) AS BIGINT) AS nr
+              FROM sa GROUP BY 1, 2
+            )
+            SELECT sa.series,
+                   make_timestamp(sa.sb * 21600000000) AS window_start,
+                   sa.n_events, sa.n_errors,
+                   (CAST(sa.n_errors AS DOUBLE) / CAST(sa.n_events AS DOUBLE))
+                     / 0.125 AS burn_short,
+                   (CAST(la.nr AS DOUBLE) / CAST(la.ne AS DOUBLE))
+                     / 0.125 AS burn_long
+            FROM sa JOIN la
+              ON sa.series = la.series
+             AND CAST(floor(sa.sb / 4) AS BIGINT) = la.lb
+            WHERE (CAST(sa.n_errors AS DOUBLE) / CAST(sa.n_events AS DOUBLE))
+                    / 0.125 > 2.0
+              AND (CAST(la.nr AS DOUBLE) / CAST(la.ne AS DOUBLE))
+                    / 0.125 > 2.0
         """,
         "metric_sum_histograms": """
             SELECT user_id % 40 AS series,

@@ -63,6 +63,7 @@ from vector_spark.operators.metric_rate import (
     range_rate,
     sum_histograms,
 )
+from vector_spark.operators.slo import slo_burn_alerts
 from vector_spark.operators.traces import service_graph, trace_rollup
 
 __all__ = [
@@ -79,6 +80,6 @@ __all__ = [
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
-    "exp_histogram_quantile", "range_rate", "sum_histograms",
+    "exp_histogram_quantile", "range_rate", "sum_histograms", "slo_burn_alerts",
     "trace_rollup", "service_graph",
 ]
