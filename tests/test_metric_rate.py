@@ -286,3 +286,18 @@ def test_sum_histograms_validation(histo_points):
 
     with pytest.raises(ValueError):
         sum_histograms(histo_points, [])
+
+
+def test_histogram_quantile_q0_skips_empty_leading_buckets(spark):
+    from vector_spark.operators import histogram_quantile
+
+    df = spark.createDataFrame(
+        [(1, [0, 5, 3], [1.0, 2.0]), (2, [2, 2], [1.0])],
+        "id int, bucket_counts array<long>, explicit_bounds array<double>",
+    )
+    out = {r["id"]: r["q0_0"] for r in histogram_quantile(df, 0.0).collect()}
+    # rank 0 with an EMPTY first bucket: land in the first non-empty bucket
+    # and return its lower edge — not a 0/0 NULL
+    assert out[1] == 1.0
+    # non-empty first bucket: lower edge 0 by the non-negative convention
+    assert out[2] == 0.0

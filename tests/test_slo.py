@@ -70,3 +70,15 @@ def test_slo_burn_alerts_validation(events):
         slo_burn_alerts(events, ["svc"], ts_col="ts", slo_target=1.0)
     with pytest.raises(ValueError):
         slo_burn_alerts(events, ["svc"], ts_col="ts", short_s=60, long_s=90)
+
+
+def test_slo_burn_alerts_null_series_still_alerts(spark):
+    # a NULL series key (label missing on the event) is a real group: the
+    # short<->long join is null-safe, so a sustained breach still fires
+    rows = [(None, _ts(m, s), True) for m in range(5) for s in (0, 30)]
+    ev = spark.createDataFrame(rows, "svc string, ts timestamp, is_error boolean")
+    out = slo_burn_alerts(
+        ev, ["svc"], ts_col="ts", error_col="is_error",
+        slo_target=0.9, short_s=60, long_s=300, threshold=3.0,
+    ).collect()
+    assert len(out) == 5 and all(r["svc"] is None for r in out)

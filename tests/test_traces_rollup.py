@@ -76,3 +76,15 @@ def test_service_graph_no_status(spark, spans):
 
     out = service_graph(spans.drop("status_code"), status_col=None).collect()
     assert {r["n_errors"] for r in out} == {0}
+
+
+def test_service_graph_null_status_counts_zero_errors(spark, spans):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators import service_graph
+
+    # proto3 omits STATUS_CODE_UNSET -> decoded spans carry NULL status;
+    # an all-NULL edge must report 0 errors, never a NULL sum
+    nulled = spans.withColumn("status_code", F.lit(None).cast("int"))
+    out = service_graph(nulled).collect()
+    assert out and all(r["n_errors"] == 0 for r in out)

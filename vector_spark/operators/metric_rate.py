@@ -279,11 +279,18 @@ def histogram_quantile(
         F.sequence(F.lit(1), F.size(counts)),
         lambda n: F.aggregate(F.slice(counts, F.lit(1), n), zero, lambda a, x: a + x),
     )
-    # smallest 1-based bucket index whose cumulative count reaches the rank
+    # smallest 1-based NON-EMPTY bucket whose cumulative count reaches the
+    # rank.  The non-empty condition matters only when rank lands exactly on
+    # a cumulative boundary followed by empty buckets (q=0 with an empty
+    # first bucket being the canonical case): an empty winner would divide
+    # 0/0 below and NULL the row, where PromQL returns the first non-empty
+    # bucket's lower edge.  For every other rank the first cum >= rank
+    # bucket is non-empty anyway, so semantics are unchanged.
     idx = F.element_at(
         F.filter(
             F.sequence(F.lit(1), F.size(counts)),
-            lambda i: F.element_at(cums, i).cast("double") >= rank,
+            lambda i: (F.element_at(cums, i).cast("double") >= rank)
+            & (F.element_at(counts, i) > 0),
         ),
         1,
     )
@@ -351,7 +358,8 @@ def exp_histogram_quantile(
     idx = F.element_at(
         F.filter(
             F.sequence(F.lit(1), F.size(counts)),
-            lambda i: (zero_n + F.element_at(cums, i)).cast("double") >= rank,
+            lambda i: ((zero_n + F.element_at(cums, i)).cast("double") >= rank)
+            & (F.element_at(counts, i) > 0),  # never land in an empty bucket
         ),
         1,
     )

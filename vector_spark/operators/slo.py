@@ -84,7 +84,10 @@ def slo_burn_alerts(
         )
         .select(*[F.col(c).alias(f"_r_{c}") for c in series_cols], "_lb", "_burn_l")
     )
-    cond = [F.col(c) == F.col(f"_r_{c}") for c in series_cols] + [
+    # eqNullSafe: a NULL series value (label missing on the event) is a real
+    # group in both aggregates — a plain == join would silently drop it, and
+    # a sustained 100 %-error NULL-keyed series would never alert
+    cond = [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in series_cols] + [
         F.floor(F.col("_sb") / k) == F.col("_lb")
     ]
     joined = short_agg.join(long_agg, on=cond, how="inner")

@@ -103,7 +103,9 @@ def service_graph(
         F.col(parent_col).alias("_pid"),
         F.col(service_col).alias("child_service"),
         (
-            (F.col(status_col) == error_code).cast("int")
+            # NULL status (proto3 omits STATUS_CODE_UNSET, so decoded spans
+            # commonly carry NULL) is "not an error", never a NULL sum
+            F.when(F.col(status_col) == error_code, 1).otherwise(0)
             if status_col is not None
             else F.lit(0)
         ).alias("_err"),
