@@ -773,3 +773,31 @@ def test_streaming_cdc_upsert_row_level_exactly_once(spark, doc_chunks, tmp_path
     TF.materialize_deletes(spark, base, "docs")
     t = TF.read_table(spark, base, "docs")
     assert t.count() == 600 and t.where("text = 'UPD-FRESH'").count() == 50
+
+
+def test_streaming_to_table_dead_letter_catches_unrouted(spark, doc_chunks, tmp_path):
+    """Multi-sink fan-out: rows whose route is unlisted (or NULL) land in the
+    dead-letter sink instead of being checkpoint-acknowledged and dropped."""
+    from vector_spark.plans import table_format as TF
+
+    base = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    routed = st.streaming_parse_enrich_route(
+        spark, st.document_stream(spark, doc_chunks["dir"], max_files_per_trigger=1)
+    ).drop("html")
+    # list ONE real flagship route; everything else must land in the
+    # dead letter (committed in the same snapshot)
+    q = st.streaming_to_table(
+        spark, routed, base, ckpt, sinks=("english",), route_col="route",
+        dead_letter="unrouted",
+    )
+    st.run_available_now(q)
+    n_en = TF.read_table(spark, base, "english").count()
+    n_dead = TF.read_table(spark, base, "unrouted").count()
+    assert n_en + n_dead == len(doc_chunks["a"])
+    assert n_en > 0 and n_dead > 0
+    dead_routes = {
+        r["route"]
+        for r in TF.read_table(spark, base, "unrouted").select("route").distinct().collect()
+    }
+    assert "english" not in dead_routes

@@ -1051,7 +1051,10 @@ def test_changelog_refusals(spark, tmp_path):
         )}, base2
     )
     TF.expire_snapshots(base2)
-    with pytest.raises((TF.IncrementalUnavailable, ValueError)):
+    # expired history at the window START surfaces the documented refusal
+    # type, never a bare ValueError — consumers catch ONE exception for
+    # every non-derivable window
+    with pytest.raises(TF.IncrementalUnavailable, match="expire"):
         TF.read_table_changes(spark, base2, "t", 1)
 
     with pytest.raises(ValueError, match="bad window"):

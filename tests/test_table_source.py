@@ -208,3 +208,30 @@ def test_stream_schema_pins_all_columns_nullable(spark, tmp_path):
     assert set(by_name) == set(ROW_COLS) | {"_change_type", "_commit_version"}
     assert all(by_name[c].nullable for c in ROW_COLS)
     assert not by_name["_change_type"].nullable
+
+
+def test_admission_control_never_rewinds_after_restart(spark, tmp_path):
+    """A RESTARTED reader (engine supplies the checkpointed offset;
+    initialOffset is never consulted) must not floor the cap at
+    from_version: returning latest < the engine's committed offset would
+    plan a rewound batch and re-emit delivered versions.  The first
+    post-restart batch is uncapped; later batches are bounded again."""
+    base = str(tmp_path / "t")
+    for i in range(7):
+        TF.write_multi_sink(
+            {"events": _docs(spark, i * 10, (i + 1) * 10, f"b{i}")}, base
+        )
+    schema = TableChangesDataSource({"base": base, "sink": "events"}).schema()
+    r = _TableChangesStreamReader(
+        {"base": base, "sink": "events", "max_versions_per_batch": "2"},
+        json.dumps(schema.jsonValue()),
+    )
+    # simulate restart: engine committed offset 5, initialOffset NOT called
+    assert r.latestOffset() == {"version": 7}          # uncapped, no rewind
+    r.partitions({"version": 5}, {"version": 7})       # engine-planned batch
+    # two more snapshots land; the cap applies again from the planned end
+    for i in range(7, 9):
+        TF.write_multi_sink(
+            {"events": _docs(spark, i * 10, (i + 1) * 10, f"b{i}")}, base
+        )
+    assert r.latestOffset() == {"version": 9}          # 7 + 2

@@ -904,11 +904,11 @@ def write_multi_sink(
     schema_by_sink: dict[str, str] = {}
     spec_by_sink: dict[str, tuple[list[dict], int]] = {}
     written: dict[str, dict[str, int]] = {}
-    # NULL part keys: Spark writes them under this directory name; we commit
-    # them under the same key so read_table finds the data, and the resume
-    # filter is NULL-safe (a bare `~isin(...)` is NULL for NULL keys, which
-    # would silently drop those rows from every rerun).
-    null_key = "__HIVE_DEFAULT_PARTITION__"
+    # NULL part keys: Spark writes them under NULL_PART_KEY's directory name;
+    # we commit them under the same key so read_table finds the data, and the
+    # resume filter is NULL-safe (a bare `~isin(...)` is NULL for NULL keys,
+    # which would silently drop those rows from every rerun).
+    null_key = NULL_PART_KEY
     for name, df in sinks.items():
         sp = norm_spec(spec[name]) if isinstance(spec, dict) and name in spec \
             else (norm_spec(spec) if spec is not None and not isinstance(spec, dict) else None)
@@ -1600,28 +1600,6 @@ def _pos_key_cols():
         ),
         F.col("_metadata.row_index").alias("__tf_pos"),
     ]
-
-
-def _apply_delete_vectors(
-    spark: SparkSession, df: DataFrame, base: str, sink: str, tombs: list[str]
-) -> DataFrame:
-    """Subtract pending positional deletes from a parquet scan: ONE left-anti
-    join on ``(partition-dir/file, row_index)``.  The join is NOT forced to
-    broadcast — tombstone volume is unbounded (a wide delete can tombstone
-    billions of rows), so AQE picks broadcast when the delete files are small
-    and falls back to a shuffle join when they are not; this read
-    amplification is exactly Iceberg v2's merge-on-read trade, paid until
-    :func:`materialize_deletes` folds the tombstones into a rewrite."""
-    ddir = os.path.join(base, sink, "_deletes")
-    tomb = spark.read.parquet(*[os.path.join(ddir, n) for n in tombs]).select(
-        "__tf_file", "__tf_pos"
-    )
-    cols = df.columns
-    return (
-        df.select("*", *_pos_key_cols())
-        .join(tomb, ["__tf_file", "__tf_pos"], "left_anti")
-        .select(*cols)
-    )
 
 
 def _eq_join(
@@ -2380,7 +2358,18 @@ def _plan_changes(
             f"bad window ({from_version}, {to}] with current version {cur}"
         )
     if from_version:
-        log.manifest(as_of=from_version)  # raises when pre-expiry
+        try:
+            log.manifest(as_of=from_version)
+        except ValueError as e:
+            # expired history at the window START is the same logical
+            # condition as a gap inside it — surface the documented
+            # refusal type, not a bare ValueError, so consumers'
+            # `except IncrementalUnavailable: full_refresh()` works for
+            # both (and the streaming source fails with its contract type)
+            raise IncrementalUnavailable(
+                f"window start {from_version} precedes the earliest "
+                f"readable snapshot — expired by expire_snapshots"
+            ) from e
     snaps = [s for s in log.snapshots() if from_version < s["version"] <= to]
     if [s["version"] for s in snaps] != list(range(from_version + 1, to + 1)):
         raise IncrementalUnavailable(
@@ -3105,21 +3094,30 @@ def upsert_keys(
     sdir = os.path.join(base, sink)
     ddir = os.path.join(sdir, "_deletes")
     os.makedirs(ddir, exist_ok=True)
-    # keys staged first (updates may be lazily computed; both writes must
-    # land dark before the single commit)
-    stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+    # persist: the batch is evaluated for BOTH the tombstone-key write and
+    # the data write — a nondeterministic plan (rand() sampling, AQE-bound
+    # limit) computed twice could tombstone keys it doesn't write (row loss)
+    # or write rows it doesn't tombstone (duplicates); same guard as
+    # merge_upsert
+    updates = updates.persist()
     try:
-        stage_out = os.path.join(stage, "out")
-        keys = updates.select(*key_cols).distinct()
-        keys.coalesce(1).write.parquet(stage_out)
-        names = []
-        for i, name in enumerate(_data_files(stage_out)):
-            dst = f"eq{version}-{i:05d}.parquet"
-            os.rename(os.path.join(stage_out, name), os.path.join(ddir, dst))
-            names.append(dst)
+        # keys staged first (updates may be lazily computed; both writes must
+        # land dark before the single commit)
+        stage = tempfile.mkdtemp(dir=base, prefix=f"_rowop_{sink}_")
+        try:
+            stage_out = os.path.join(stage, "out")
+            keys = updates.select(*key_cols).distinct()
+            keys.coalesce(1).write.parquet(stage_out)
+            names = []
+            for i, name in enumerate(_data_files(stage_out)):
+                dst = f"eq{version}-{i:05d}.parquet"
+                os.rename(os.path.join(stage_out, name), os.path.join(ddir, dst))
+                names.append(dst)
+        finally:
+            _rmtree(stage)
+        moved = _stage_and_move(spark, updates, base, sink, part_col, "cd", version)
     finally:
-        _rmtree(stage)
-    moved = _stage_and_move(spark, updates, base, sink, part_col, "cd", version)
+        updates.unpersist()
     rows = _count_rows_per_part(spark, sdir, part_col, moved)
     meta = {
         "operation": "cdc_upsert",

@@ -293,6 +293,7 @@ def streaming_to_table(
     checkpoint_dir: str,
     sinks: tuple[str, ...] = ("routed",),
     route_col: str = "route",
+    dead_letter: str | None = None,
 ):
     """Streaming ingest into the COMMIT-LOG table (plans/table_format.py)
     with snapshot isolation — the step past ``streaming_flagship``'s
@@ -312,16 +313,30 @@ def streaming_to_table(
 
     ``sinks`` > 1 fans the routed stream out by ``route_col`` value into
     separate table sinks (the multi-sink topology) in ONE pass per sink of
-    the already-computed batch; all sinks commit in the SAME snapshot."""
+    the already-computed batch; all sinks commit in the SAME snapshot.
+
+    Rows whose route value is NULL or not in ``sinks`` match no sink — by
+    default they are DROPPED (Vector's semantics for an unconnected
+    ``_unmatched`` output), but the checkpoint still acknowledges them, so
+    the drop is permanent.  Pass ``dead_letter="some_sink"`` to land every
+    such row in that table sink instead (committed in the same snapshot) —
+    the refusal-not-loss form."""
     from vector_spark.plans.checkpoint import PART_COL
     from vector_spark.plans.table_format import write_multi_sink
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn(PART_COL, F.lit(str(batch_id)))
-        if len(sinks) == 1:
+        if len(sinks) == 1 and dead_letter is None:
             payload = {sinks[0]: b}
         else:
             payload = {s: b.where(F.col(route_col) == s) for s in sinks}
+            if dead_letter is not None:
+                # NULL-safe: isin is NULL for NULL routes, which must land
+                # in the dead letter too, not vanish
+                matched = F.coalesce(
+                    F.col(route_col).isin(list(sinks)), F.lit(False)
+                )
+                payload[dead_letter] = b.where(~matched)
         write_multi_sink(payload, base, run_id=f"stream-batch-{batch_id}")
 
     return (

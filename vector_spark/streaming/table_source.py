@@ -153,24 +153,42 @@ class _TableChangesStreamReader(DataSourceStreamReader):
         mv = options.get("max_versions_per_batch")
         self.max_versions = int(mv) if mv is not None else None
         self._last_end: int | None = None
+        self._fresh = False  # set by initialOffset (only called w/o checkpoint)
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        # the engine consults this ONLY when no checkpoint exists — which is
+        # exactly when from_version is a safe admission-control floor
+        self._fresh = True
         return {"version": self.from_version}
 
     def latestOffset(self) -> dict:
         cur = CommitLog(self.base).current_version()
         if self.max_versions is not None:
-            floor = (
-                self._last_end if self._last_end is not None else self.from_version
+            # The floor must never sit BELOW the engine's committed offset:
+            # returning a smaller latest than the checkpoint would plan a
+            # rewound batch, re-emitting already-delivered versions and
+            # breaking exactly-once.  The full-API latestOffset takes no
+            # start, so the committed offset is unknowable here — the safe
+            # floors are (a) the last end THIS instance planned, and (b) on a
+            # FRESH stream (initialOffset was consulted ⇒ no checkpoint
+            # exists) from_version itself.  A cleanly-restarted stream's
+            # first batch is therefore uncapped (best-effort admission
+            # control, never a correctness trade); every later batch is
+            # bounded as configured.
+            floor = self._last_end if self._last_end is not None else (
+                self.from_version if self._fresh else None
             )
-            cur = min(cur, floor + self.max_versions)
+            if floor is not None:
+                cur = min(cur, floor + self.max_versions)
         return {"version": cur}
 
     # -- planning (driver) ------------------------------------------------
     def partitions(self, start: dict, end: dict):
         from_v, to_v = int(start["version"]), int(end["version"])
-        self._last_end = to_v
+        # never let the admission floor regress below the engine's own start
+        # (a rolled-back table can put to_v below from_v)
+        self._last_end = max(to_v, from_v)
         if to_v <= from_v:
             return [_ChangeSplit(None, 0, (), None)]  # empty batch marker
         log = CommitLog(self.base)
