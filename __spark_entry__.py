@@ -2295,6 +2295,56 @@ _ORACLE_WEBPAGES = r"""
 """.format(extract=_ORACLE_EXTRACT.format(col="html"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact heavy hitters ("top talkers": keys with count > 1.5 % of all
+    # events) WITHOUT the full-cardinality shuffle: per-partition Misra-Gries
+    # candidate summaries (bounded map-side state, provable superset) +
+    # broadcast-semi-join exact verify — equals GROUP BY ... HAVING exactly,
+    # which is precisely what the oracle recomputes.  The key is a
+    # deterministic skew ramp (floor(sqrt(event_id % 10000)) → count(v) ∝
+    # 2v+1, so a crisp 25-key answer at every sf).
+    from vector_spark.functions import heavy_hitters
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "key",
+        F.floor(F.sqrt((F.col("event_id") % 10000).cast("double"))).cast("long"),
+    )
+    return heavy_hitters(ev, ["key"], 0.015)
+
+
+def q_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide JSON schema inference — the reference UI's 6-kind per-batch
+    # type classification (data_view.rs:348-372) as one map-only pass + one
+    # tiny (field, kind) hash agg.  The JSON column is constructed from event
+    # columns so fields flip types across rows (status: number/string/null,
+    # user: string/number) — the case a fixed from_json schema coerces away.
+    from vector_spark.functions import infer_json_schema
+
+    ev = _ev(spark, sf_dir)
+    m = F.col("event_id") % 5
+    msg = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"status": '), F.col("value").cast("string"),
+                F.lit(', "user": "u'), F.col("user_id").cast("string"),
+                F.lit('", "tags": [1, 2]}'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('{"status": "'), F.col("event_type"),
+                F.lit('", "ok": true, "meta": {"a": 1}}'),
+            ),
+        )
+        .when(m == 2, F.lit('{"status": null, "user": 42}'))
+        .when(m == 3, F.lit('{"ok": false}'))
+        .otherwise(F.col("props"))
+    )
+    return infer_json_schema(ev.select(msg.alias("msg")), "msg")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2318,8 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     families unchecked; this order front-loads every query the r04 record
     did NOT cover (dedup, similarity, pagerank/bm25, curation/sampling,
     the new table-format + telemetry rows) plus the most-central repeats
-    (flagship, T1/T2/T3/T7/T8/T9, enrich/asof — changed in r5 — rollup),
-    so the r04 ∪ r05 driver records cover all 85 except `bpe_tokenize`
+    (flagship, T1/T2/T3/T7, enrich/asof — changed in r5 — rollup),
+    so the r04 ∪ r05 driver records cover all 89 except `bpe_tokenize`
     (rows-only by declared design — a driver check would add nothing over
     its committed local record).  The queries displaced past slot 50 were
     ALL hash-verified green in CORRECTNESS_r04 and are unchanged since, and
@@ -2345,13 +2395,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_rollup": q_trace_rollup,
         "trace_service_graph": q_service_graph,
         "log_templates": q_log_templates,
-        # -- core-transform sentinels (re-checked every round)
+        "heavy_hitters": q_heavy_hitters,
+        "infer_json_schema": q_infer_schema,
+        # -- core-transform sentinels (re-checked every round; t8/t9 — both
+        # -- r04-green and unchanged — yield their slots to the two new
+        # -- queries above and sit just below the boundary)
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
         "t7_reduce": q_reduce,
-        "t8_aggregate": q_aggregate,
-        "t9_log_to_metric": q_log_to_metric,
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2388,6 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "t8_aggregate": q_aggregate,
+        "t9_log_to_metric": q_log_to_metric,
         "enrich_broadcast_join": q_enrich_join,
         "rollup_hypertable": q_rollup_hypertable,
         "t4_sample": q_sample,
@@ -2777,6 +2831,58 @@ def oracle_sql() -> dict[str, str]:
                    MIN(message) AS example
             FROM m
             GROUP BY 1
+        """,
+        # Exactly GROUP BY ... HAVING — the Misra-Gries candidate pass is a
+        # provable superset and the verify pass recounts exactly, so the
+        # naive SQL IS the contract.
+        "heavy_hitters": """
+            SELECT key, COUNT(*) AS n
+            FROM (SELECT CAST(floor(sqrt(CAST(event_id % 10000 AS DOUBLE)))
+                              AS BIGINT) AS key
+                  FROM events)
+            GROUP BY key
+            HAVING COUNT(*) > 0.015 * (SELECT COUNT(*) FROM events)
+        """,
+        # DuckDB's json_type over the same constructed JSON column.  NOTE
+        # COALESCE: with a COMPUTED path ('$."' || field || '"') DuckDB
+        # returns SQL NULL for a JSON null value (the constant-path call
+        # returns 'NULL'), which would otherwise fall through to 'number'.
+        "infer_json_schema": """
+            WITH msg AS (
+              SELECT CASE CAST(event_id % 5 AS INT)
+                WHEN 0 THEN '{"status": ' || CAST(value AS VARCHAR)
+                         || ', "user": "u' || CAST(user_id AS VARCHAR)
+                         || '", "tags": [1, 2]}'
+                WHEN 1 THEN '{"status": "' || event_type
+                         || '", "ok": true, "meta": {"a": 1}}'
+                WHEN 2 THEN '{"status": null, "user": 42}'
+                WHEN 3 THEN '{"ok": false}'
+                ELSE props END AS m
+              FROM events
+            ), cls AS (
+              SELECT CASE WHEN m IS NOT NULL AND json_valid(m)
+                               AND json_type(json(m)) = 'OBJECT'
+                          THEN json(m) END AS j
+              FROM msg
+            ), good AS (
+              SELECT unnest(json_keys(j)) AS field, j FROM cls WHERE j IS NOT NULL
+            ), kinds AS (
+              SELECT field,
+                CASE COALESCE(json_type(j, '$."' || field || '"'), 'NULL')
+                  WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'BOOLEAN' THEN 'boolean'
+                  WHEN 'NULL'    THEN 'null'
+                  WHEN 'ARRAY'   THEN 'array'
+                  WHEN 'OBJECT'  THEN 'object'
+                  ELSE 'number' END AS kind
+              FROM good
+            )
+            SELECT field, kind, CAST(COUNT(*) AS BIGINT) AS n
+            FROM kinds GROUP BY 1, 2
+            UNION ALL
+            SELECT '<malformed>' AS field, 'invalid' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cls WHERE j IS NULL HAVING COUNT(*) > 0
         """,
         "t1_remap_parse": r"""
             SELECT event_id,

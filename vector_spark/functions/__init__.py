@@ -99,6 +99,14 @@ from vector_spark.functions.anomaly import (
 from vector_spark.functions.profile import (
     profile_corpus,
 )
+from vector_spark.functions.heavy import (
+    heavy_hitters,
+    heavy_hitter_candidates,
+)
+from vector_spark.functions.schema_infer import (
+    infer_json_schema,
+    merge_kinds,
+)
 from vector_spark.functions.search import (
     bm25_postings,
     bm25_topk,
@@ -155,4 +163,6 @@ __all__ = [
     "detect_bursts", "rate_spikes",
     "alpha_mix_rates_micro", "alpha_mix_sample",
     "mask_message", "template_extract", "template_profile",
+    "heavy_hitters", "heavy_hitter_candidates",
+    "infer_json_schema", "merge_kinds",
 ]

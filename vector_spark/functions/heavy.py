@@ -1,0 +1,149 @@
+"""Exact heavy hitters (frequent items / "top talkers") without a
+full-cardinality shuffle — the Misra-Gries two-pass scheme.
+
+The log-pipeline question "which keys account for more than ``frac`` of all
+events?" (hot hosts, chatty services, abusive clients) is classically
+answered with ``GROUP BY key HAVING count > n*frac`` — which at 10^12 rows
+shuffles ONE ROW PER DISTINCT KEY.  For web-scale keys (URLs, IPs,
+user-agents) that shuffle IS the job.  This module gets the exact same
+answer while shuffling only the rows of a provably tiny candidate set:
+
+1. **Candidate pass (map-only, bounded state).**  Each partition runs a
+   Misra-Gries summary with ``k = ceil(1/frac)`` counters (Misra & Gries
+   1982; the "frequent" algorithm).  Batched form: add the batch's value
+   counts, then while more than ``k`` counters remain subtract the
+   (size-k+1)-th largest count from every counter and drop the non-positive
+   ones.  Every decrement event removes the same amount from >= k+1
+   counters at once, so the total undercount D of any key satisfies
+   (k+1)*D <= n_p, i.e. D <= n_p/(k+1) < n_p*frac.  Hence any key with
+   partition count > n_p*frac survives its partition's summary, and — by
+   pigeonhole — any key with GLOBAL count > n*frac exceeds n_p*frac in at
+   least one partition, so the union of partition summaries is a SUPERSET
+   of the true heavy hitters.  Per-partition output is <= k+1 rows
+   regardless of input size or key cardinality.
+2. **Verify pass (exact).**  The candidate union (<= partitions * k rows —
+   driver-collectable by construction, same doctrine as the DSIR
+   histograms) is broadcast; a left-semi join keeps only candidate-key
+   rows, and the exact groupBy count over that sliver is filtered to
+   ``count > n*frac``.  No approximation survives to the output: the
+   result equals the naive GROUP BY ... HAVING exactly, which is what the
+   DuckDB oracle (`heavy_hitters` contract row) pins.
+
+Scale shape: one map-only scan (bounded per-task state), one broadcast
+semi-join + hash agg whose shuffle holds ONLY heavy-key rows (<= 1/frac
+distinct keys by definition).  The total row count ``n`` rides along in the
+candidate pass (a sentinel row per partition), so no extra scan.
+
+Reference scope: the reference's observability model is per-component
+event counters (`shared/src/messages.rs:104-122`); `tag_cardinality_limit`
+(`ui/src/components/pipeline/palette.rs:146`) caps tag explosions the same
+"protect the aggregator from high cardinality" way this operator protects
+the shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "heavy_hitter_candidates"]
+
+_EST = "_mg_est"
+
+
+def _mg_partitions(key_cols: list[str], k: int, schema):
+    """Per-partition batched Misra-Gries over the key tuple; yields the
+    surviving counters plus ONE sentinel row (all-null keys) carrying the
+    partition's row count so the caller learns ``n`` in the same scan."""
+
+    def run(iterator):
+        import pandas as pd
+
+        counters: dict[tuple, int] = {}
+        n_part = 0
+        for pdf in iterator:
+            n_part += len(pdf)
+            if len(pdf) == 0:
+                continue
+            vc = pdf.groupby(key_cols, dropna=False).size()
+            for key, cnt in vc.items():
+                raw = key if isinstance(key, tuple) else (key,)
+                # NaN normalizes to None: hash(nan) is id-dependent on
+                # modern CPythons, so two batches' NaN keys would not
+                # collapse in the dict without this
+                kt = tuple(None if pd.isna(v) else v for v in raw)
+                counters[kt] = counters.get(kt, 0) + int(cnt)
+            if len(counters) > k:
+                # batched decrement: subtract the (k+1)-th largest count so
+                # at most k survive; >= k+1 counters shrink by `dec` each
+                dec = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kt: c - dec for kt, c in counters.items() if c - dec > 0
+                }
+        rows = [kt + (cnt,) for kt, cnt in counters.items()]
+        if n_part > 0:
+            # sentinel: strictly-negative est carries this partition's row
+            # count; a real all-NULL key keeps a positive est, so the two
+            # can never be confused
+            rows.append(tuple([None] * len(key_cols)) + (-n_part,))
+        yield pd.DataFrame(rows, columns=key_cols + [_EST])
+
+    return run
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, key_cols: list[str], frac: float, k: int | None = None
+) -> DataFrame:
+    """Candidate pass only: per-partition Misra-Gries summaries (superset of
+    keys with global count > n*frac) plus negative-count sentinel rows whose
+    absolute sum is the total row count.  Exposed for tests and for callers
+    composing their own verify step."""
+    if not 0 < frac < 1:
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown key columns: {missing}")
+    kk = k if k is not None else int(math.ceil(1.0 / frac))
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {kk}")
+    keyed = df.select(*key_cols)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
+    )
+    out_schema = f"{fields}, {_EST} long"
+    return keyed.mapInPandas(_mg_partitions(key_cols, kk, out_schema), out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: list[str], frac: float, k: int | None = None
+) -> DataFrame:
+    """EXACT keys with ``count > n * frac`` (and their exact counts), equal
+    to ``GROUP BY key_cols HAVING count(*) > n*frac`` but shuffling only
+    candidate-key rows.  NULL key values group like any other value (both
+    engines' GROUP BY convention).  Output: ``key_cols + (n bigint)``,
+    one row per heavy key."""
+    cand = heavy_hitter_candidates(df, key_cols, frac, k=k).collect()
+    n = sum(-r[_EST] for r in cand if r[_EST] < 0)
+    keys = {tuple(r[c] for c in key_cols) for r in cand if r[_EST] >= 0}
+    spark = df.sparkSession
+    if n == 0 or not keys:
+        return (
+            df.select(*key_cols).limit(0).withColumn("n", F.lit(0).cast("long"))
+        )
+    kdf = spark.createDataFrame(
+        [tuple(t) for t in sorted(keys, key=lambda t: tuple(map(str, t)))],
+        df.select(*key_cols).schema,
+    )
+    # null-safe semi-join: candidate NULL keys must match NULL rows (GROUP BY
+    # treats NULL as a real group; a plain == would drop it)
+    cond = [df[c].eqNullSafe(kdf[c]) for c in key_cols]
+    return (
+        df.join(F.broadcast(kdf), cond, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > F.lit(float(n) * frac))
+    )
