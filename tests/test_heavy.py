@@ -32,7 +32,11 @@ def _hh(df, key_cols, frac, **kw):
     }
 
 
-def test_equals_naive_groupby_having(spark):
+METHODS = ["freq", "mg"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_equals_naive_groupby_having(spark, method):
     # zipf-ish skew: a few hot keys over a long uniform tail
     rng = random.Random(7)
     rows = [("hot%d" % (i % 3),) for i in range(3000)] + [
@@ -40,24 +44,26 @@ def test_equals_naive_groupby_having(spark):
     ]
     rng.shuffle(rows)
     df = spark.createDataFrame(rows, "k string")
-    assert _hh(df, ["k"], 0.05) == _naive(df, ["k"], 0.05)
+    assert _hh(df, ["k"], 0.05, method=method) == _naive(df, ["k"], 0.05)
 
 
-def test_partition_invariance(spark):
+@pytest.mark.parametrize("method", METHODS)
+def test_partition_invariance(spark, method):
     rows = [(i % 37,) for i in range(4000)] + [(999,)] * 600
     df = spark.createDataFrame(rows, "k int")
     want = _naive(df, ["k"], 0.02)
-    assert _hh(df.repartition(1), ["k"], 0.02) == want
-    assert _hh(df.repartition(16), ["k"], 0.02) == want
+    assert _hh(df.repartition(1), ["k"], 0.02, method=method) == want
+    assert _hh(df.repartition(16), ["k"], 0.02, method=method) == want
 
 
 def test_multi_column_keys_and_null_groups(spark):
     # NULL is a real group in GROUP BY; the semi-join must be null-safe
     rows = [(None, "a")] * 50 + [(1, None)] * 50 + [(2, "b")] * 5
     df = spark.createDataFrame(rows, "x int, y string").repartition(8)
-    out = _hh(df, ["x", "y"], 0.3)
-    assert out == {(None, "a", 50), (1, None, 50)}
-    assert out == _naive(df, ["x", "y"], 0.3)
+    for method in METHODS:
+        out = _hh(df, ["x", "y"], 0.3, method=method)
+        assert out == {(None, "a", 50), (1, None, 50)}
+        assert out == _naive(df, ["x", "y"], 0.3)
 
 
 def test_candidates_are_bounded_superset(spark):
@@ -77,15 +83,27 @@ def test_candidates_are_bounded_superset(spark):
     assert true_keys <= cand_keys
 
 
-def test_no_heavy_hitters_uniform(spark):
+@pytest.mark.parametrize("method", METHODS)
+def test_no_heavy_hitters_uniform(spark, method):
     df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
-    assert heavy_hitters(df, ["k"], 0.01).count() == 0
+    assert heavy_hitters(df, ["k"], 0.01, method=method).count() == 0
 
 
-def test_empty_input(spark):
+@pytest.mark.parametrize("method", METHODS)
+def test_empty_input(spark, method):
     df = spark.createDataFrame([], "k string")
-    out = heavy_hitters(df, ["k"], 0.1)
+    out = heavy_hitters(df, ["k"], 0.1, method=method)
     assert out.columns == ["k", "n"] and out.count() == 0
+
+
+def test_all_null_candidate_tuple_distinct_from_dead_bucket(spark):
+    # an (NULL, NULL) key that IS heavy must survive the freq path's
+    # null-struct "non-candidate" bucket trick
+    rows = [(None, None)] * 80 + [(1, "a")] * 10 + [(2, "b")] * 10
+    df = spark.createDataFrame(rows, "x int, y string").repartition(4)
+    for method in METHODS:
+        out = _hh(df, ["x", "y"], 0.5, method=method)
+        assert out == {(None, None, 80)}
 
 
 def test_validation(spark):
@@ -98,3 +116,8 @@ def test_validation(spark):
         heavy_hitters(df, [], 0.1)
     with pytest.raises(ValueError, match="unknown"):
         heavy_hitters(df, ["nope"], 0.1)
+    for method in METHODS:
+        with pytest.raises(ValueError, match="frac"):
+            heavy_hitters(df, ["k"], 0.0, method=method)
+    with pytest.raises(ValueError, match="method"):
+        heavy_hitters(df, ["k"], 0.1, method="nope")

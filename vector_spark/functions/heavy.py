@@ -1,5 +1,11 @@
 """Exact heavy hitters (frequent items / "top talkers") without a
-full-cardinality shuffle — the Misra-Gries two-pass scheme.
+full-cardinality shuffle — bounded candidate summaries + an exact verify
+pass.  Two interchangeable candidate engines: Spark's built-in JVM
+frequent-items aggregate (default — whole-stage codegen, no Python) and a
+pandas Misra-Gries reference with a proven per-partition output bound; both
+yield supersets, and the verify pass makes the final answer exact either
+way.  The Misra-Gries analysis below is the correctness argument for the
+whole family (freqItems implements the same counter scheme).
 
 The log-pipeline question "which keys account for more than ``frac`` of all
 events?" (hot hosts, chatty services, abusive clients) is classically
@@ -118,32 +124,106 @@ def heavy_hitter_candidates(
     return keyed.mapInPandas(_mg_partitions(key_cols, kk, out_schema), out_schema)
 
 
+def _freq_candidates(df: DataFrame, key_cols: list[str], frac: float) -> list[tuple]:
+    """Candidate keys via Spark's built-in JVM frequent-items aggregate
+    (``df.stat.freqItems`` — Karp/Shenker/Papadimitriou 2003, the streaming
+    form of the same counter scheme as Misra-Gries): per-partition bounded
+    maps of ~1/frac counters merged in one reduce, returning a SUPERSET of
+    keys with count > n*frac (false positives possible, false negatives
+    not).  Whole-stage-codegen path — no Python on the scan.  Multi-column
+    keys ride as ONE struct column so the counters track the joint tuple,
+    not per-column marginals."""
+    col = "_hh_key"
+    packed = df.select(F.struct(*key_cols).alias(col))
+    items = packed.stat.freqItems([col], max(frac, 1e-4)).collect()[0][0]
+    return [tuple(r[c] for c in key_cols) for r in items]
+
+
 def heavy_hitters(
-    df: DataFrame, key_cols: list[str], frac: float, k: int | None = None
+    df: DataFrame,
+    key_cols: list[str],
+    frac: float,
+    k: int | None = None,
+    method: str = "freq",
 ) -> DataFrame:
     """EXACT keys with ``count > n * frac`` (and their exact counts), equal
     to ``GROUP BY key_cols HAVING count(*) > n*frac`` but shuffling only
     candidate-key rows.  NULL key values group like any other value (both
     engines' GROUP BY convention).  Output: ``key_cols + (n bigint)``,
-    one row per heavy key."""
-    cand = heavy_hitter_candidates(df, key_cols, frac, k=k).collect()
-    n = sum(-r[_EST] for r in cand if r[_EST] < 0)
-    keys = {tuple(r[c] for c in key_cols) for r in cand if r[_EST] >= 0}
+    one row per heavy key.
+
+    ``method="freq"`` (default): JVM candidates (:func:`_freq_candidates`)
+    + a single-pass verify that folds the total count into the same scan —
+    rows join the broadcast candidate set (null-safe left), non-candidates
+    collapse into ONE null-struct bucket, so the exact counts AND ``n``
+    come out of one aggregate whose key space is <= candidates+1.  Two
+    scans total, both whole-stage codegen, one answer-sized shuffle.
+
+    ``method="mg"``: the pandas Misra-Gries path
+    (:func:`heavy_hitter_candidates` + broadcast semi-join recount) — the
+    deterministic-bound reference implementation; ``n`` rides with the
+    candidate sentinels so it is also two scans.  Slower locally (Arrow +
+    Python per batch) but its per-partition (k+1)-row output bound is
+    proven in the module docstring, independent of Spark internals."""
+    if method not in ("freq", "mg"):
+        raise ValueError(f"method must be 'freq' or 'mg', got {method!r}")
+    if not 0 < frac < 1:
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown key columns: {missing}")
     spark = df.sparkSession
-    if n == 0 or not keys:
-        return (
-            df.select(*key_cols).limit(0).withColumn("n", F.lit(0).cast("long"))
+    empty = df.select(*key_cols).limit(0).withColumn("n", F.lit(0).cast("long"))
+    if method == "mg":
+        cand = heavy_hitter_candidates(df, key_cols, frac, k=k).collect()
+        n = sum(-r[_EST] for r in cand if r[_EST] < 0)
+        keys = {tuple(r[c] for c in key_cols) for r in cand if r[_EST] >= 0}
+        if n == 0 or not keys:
+            return empty
+        kdf = spark.createDataFrame(
+            [tuple(t) for t in sorted(keys, key=lambda t: tuple(map(str, t)))],
+            df.select(*key_cols).schema,
         )
+        # null-safe semi-join: candidate NULL keys must match NULL rows
+        # (GROUP BY treats NULL as a real group; a plain == would drop it)
+        cond = [df[c].eqNullSafe(kdf[c]) for c in key_cols]
+        return (
+            df.join(F.broadcast(kdf), cond, "left_semi")
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > F.lit(float(n) * frac))
+        )
+
+    cand = _freq_candidates(df, key_cols, frac)
+    if not cand:
+        return empty
     kdf = spark.createDataFrame(
-        [tuple(t) for t in sorted(keys, key=lambda t: tuple(map(str, t)))],
+        [tuple(t) for t in sorted(cand, key=lambda t: tuple(map(str, t)))],
         df.select(*key_cols).schema,
-    )
-    # null-safe semi-join: candidate NULL keys must match NULL rows (GROUP BY
-    # treats NULL as a real group; a plain == would drop it)
+    ).withColumn("_hit", F.lit(True))
     cond = [df[c].eqNullSafe(kdf[c]) for c in key_cols]
-    return (
-        df.join(F.broadcast(kdf), cond, "left_semi")
-        .groupBy(*key_cols)
+    # candidate rows keep their key struct; everything else lands in ONE
+    # null-struct bucket — the aggregate's key space is <= candidates+1, so
+    # map-side partial state is bounded and the shuffle is answer-sized.
+    # An all-NULL candidate tuple is struct(null,..) — NOT a null struct —
+    # so it can never be confused with the non-candidate bucket.
+    bucket = F.when(
+        F.coalesce(kdf["_hit"], F.lit(False)), F.struct(*[df[c] for c in key_cols])
+    )
+    counts = (
+        df.join(F.broadcast(kdf), cond, "left")
+        .groupBy(bucket.alias("_k"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > F.lit(float(n) * frac))
+    )
+    # n = all rows (candidate + non-candidate buckets): a one-partition
+    # window over <= candidates+1 aggregate rows, not another scan
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.withColumn("_total", total)
+        .filter(F.col("_k").isNotNull() & (F.col("n") > F.col("_total") * frac))
+        .select(*[F.col(f"_k.{c}").alias(c) for c in key_cols], "n")
     )
