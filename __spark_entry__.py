@@ -2312,6 +2312,22 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, ["key"], 0.015)
 
 
+def q_windowed_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-hour top talkers (functions/heavy.py windowed_heavy_hitters):
+    # per-window Misra-Gries candidates (independent counter budget per
+    # window — never collected to the driver) + one verify aggregate whose
+    # window-sum supplies each window's total.  frac = 1/64 is DYADIC so
+    # the strict > threshold is bit-identical in Spark doubles and DuckDB
+    # decimals; the sqrt ramp gives keys 32..63 per uniform window.
+    from vector_spark.functions import windowed_heavy_hitters
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "key",
+        F.floor(F.sqrt((F.col("event_id") % 4096).cast("double"))).cast("long"),
+    )
+    return windowed_heavy_hitters(ev, ["key"], "ts", 3600, 1.0 / 64)
+
+
 def q_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-wide JSON schema inference — the reference UI's 6-kind per-batch
     # type classification (data_view.rs:348-372) as one map-only pass + one
@@ -2368,8 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     families unchecked; this order front-loads every query the r04 record
     did NOT cover (dedup, similarity, pagerank/bm25, curation/sampling,
     the new table-format + telemetry rows) plus the most-central repeats
-    (flagship, T1/T2/T3/T7, enrich/asof — changed in r5 — rollup),
-    so the r04 ∪ r05 driver records cover all 89 except `bpe_tokenize`
+    (flagship, T1/T2/T3, enrich/asof — changed in r5 — rollup),
+    so the r04 ∪ r05 driver records cover all 90 except `bpe_tokenize`
     (rows-only by declared design — a driver check would add nothing over
     its committed local record).  The queries displaced past slot 50 were
     ALL hash-verified green in CORRECTNESS_r04 and are unchanged since, and
@@ -2396,14 +2412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_service_graph": q_service_graph,
         "log_templates": q_log_templates,
         "heavy_hitters": q_heavy_hitters,
+        "windowed_heavy_hitters": q_windowed_heavy,
         "infer_json_schema": q_infer_schema,
-        # -- core-transform sentinels (re-checked every round; t8/t9 — both
-        # -- r04-green and unchanged — yield their slots to the two new
-        # -- queries above and sit just below the boundary)
+        # -- core-transform sentinels (re-checked every round; t7/t8/t9 —
+        # -- all r04-green and unchanged — yield their slots to the three
+        # -- new queries above and sit just below the boundary)
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
-        "t7_reduce": q_reduce,
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2440,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "t7_reduce": q_reduce,
         "t8_aggregate": q_aggregate,
         "t9_log_to_metric": q_log_to_metric,
         "enrich_broadcast_join": q_enrich_join,
@@ -2842,6 +2859,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY key
             HAVING COUNT(*) > 0.015 * (SELECT COUNT(*) FROM events)
+        """,
+        # per-window GROUP BY ... HAVING against each window's own total;
+        # frac = 1/64 is dyadic, so the strict > compares identically in
+        # double and decimal arithmetic.
+        "windowed_heavy_hitters": """
+            WITH c AS (
+              SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w,
+                     CAST(floor(sqrt(CAST(event_id % 4096 AS DOUBLE)))
+                          AS BIGINT) AS key,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ), t AS (SELECT w, SUM(n) AS nt FROM c GROUP BY w)
+            SELECT make_timestamp(w * 3600 * 1000000) AS window_start, key, n
+            FROM c JOIN t USING (w)
+            WHERE n > nt * 0.015625
         """,
         # DuckDB's json_type over the same constructed JSON column.  NOTE
         # COALESCE: with a COMPUTED path ('$."' || field || '"') DuckDB

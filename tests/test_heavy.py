@@ -121,3 +121,103 @@ def test_validation(spark):
             heavy_hitters(df, ["k"], 0.0, method=method)
     with pytest.raises(ValueError, match="method"):
         heavy_hitters(df, ["k"], 0.1, method="nope")
+
+
+# ---------------------------------------------------------------------------
+# windowed_heavy_hitters
+# ---------------------------------------------------------------------------
+from datetime import datetime, timezone
+
+from vector_spark.functions import windowed_heavy_hitters
+
+
+def _ts(m, s=0):
+    return datetime(2024, 1, 1, 0, m, s, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+def _naive_windowed(df, key_cols, ts_col, window_s, frac):
+    from pyspark.sql.window import Window as W
+
+    w = F.floor(F.col(ts_col).cast("timestamp").cast("double") / window_s)
+    c = df.groupBy(w.alias("_w"), *key_cols).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(W.partitionBy("_w"))
+    out = c.withColumn("_t", tot).filter(F.col("n") > F.col("_t") * frac)
+    return {
+        (r["_w"],) + tuple(r[k] for k in key_cols) + (r["n"],)
+        for r in out.collect()
+    }
+
+
+def _wh(df, key_cols, ts_col, window_s, frac, **kw):
+    out = windowed_heavy_hitters(df, key_cols, ts_col, window_s, frac, **kw)
+
+    def wid(r):
+        ws = r["window_start"]
+        if ws is None:
+            return None
+        epoch = ws.replace(tzinfo=timezone.utc).timestamp()
+        return int(epoch // window_s)
+
+    return {
+        (wid(r),) + tuple(r[k] for k in key_cols) + (r["n"],)
+        for r in out.collect()
+    }
+
+
+def test_windowed_equals_naive(spark):
+    # 3 one-minute windows; each window has its own hot key + uniform tail
+    rows = []
+    for w in range(3):
+        rows += [(f"hot{w}", _ts(w, s % 60)) for s in range(120)]
+        rows += [(f"cold{w}_{i}", _ts(w, i % 60)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp").repartition(8)
+    got = _wh(df, ["k"], "ts", 60, 0.25)
+    assert got == _naive_windowed(df, ["k"], "ts", 60, 0.25)
+    # each window's hot key found, cross-window keys don't leak
+    assert {t[1] for t in got} == {"hot0", "hot1", "hot2"}
+
+
+def test_windowed_key_heavy_in_one_window_only(spark):
+    # key is heavy in window 0, light in window 1 — must appear ONLY for w0
+    rows = [("x", _ts(0, s % 60)) for s in range(90)] + [
+        (f"a{i}", _ts(0, i % 60)) for i in range(30)
+    ]
+    rows += [("x", _ts(1, 0))] + [(f"b{i}", _ts(1, i % 60)) for i in range(99)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp").repartition(6)
+    got = _wh(df, ["k"], "ts", 60, 0.5)
+    naive = _naive_windowed(df, ["k"], "ts", 60, 0.5)
+    assert got == naive
+    assert [t[1] for t in got] == ["x"] and len(got) == 1
+
+
+def test_windowed_null_ts_and_null_keys(spark):
+    rows = [(None, None)] * 40 + [("k1", None)] * 5 + [(None, _ts(0))] * 30 + [
+        ("z", _ts(0))
+    ] * 5
+    df = spark.createDataFrame(rows, "k string, ts timestamp").repartition(4)
+    got = _wh(df, ["k"], "ts", 60, 0.5)
+    assert got == _naive_windowed(df, ["k"], "ts", 60, 0.5)
+    # NULL window is a real group (its heavy key is the NULL key)
+    assert (None, None, 40) in got
+
+
+def test_windowed_partition_invariance(spark):
+    rows = [(i % 11, _ts(i % 4, i % 60)) for i in range(4000)] + [
+        (99, _ts(2, 30))
+    ] * 500
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    want = _naive_windowed(df, ["k"], "ts", 60, 0.1)
+    assert _wh(df.repartition(1), ["k"], "ts", 60, 0.1) == want
+    assert _wh(df.repartition(32), ["k"], "ts", 60, 0.1) == want
+
+
+def test_windowed_validation(spark):
+    df = spark.createDataFrame([("a", _ts(0))], "k string, ts timestamp")
+    with pytest.raises(ValueError, match="frac"):
+        windowed_heavy_hitters(df, ["k"], "ts", 60, 0.0)
+    with pytest.raises(ValueError, match="window_s"):
+        windowed_heavy_hitters(df, ["k"], "ts", 0, 0.1)
+    with pytest.raises(ValueError, match="unknown ts"):
+        windowed_heavy_hitters(df, ["k"], "nope", 60, 0.1)
+    with pytest.raises(ValueError, match="unknown key"):
+        windowed_heavy_hitters(df, ["nope"], "ts", 60, 0.1)

@@ -102,6 +102,7 @@ from vector_spark.functions.profile import (
 from vector_spark.functions.heavy import (
     heavy_hitters,
     heavy_hitter_candidates,
+    windowed_heavy_hitters,
 )
 from vector_spark.functions.schema_infer import (
     infer_json_schema,
@@ -163,6 +164,6 @@ __all__ = [
     "detect_bursts", "rate_spikes",
     "alpha_mix_rates_micro", "alpha_mix_sample",
     "mask_message", "template_extract", "template_profile",
-    "heavy_hitters", "heavy_hitter_candidates",
+    "heavy_hitters", "heavy_hitter_candidates", "windowed_heavy_hitters",
     "infer_json_schema", "merge_kinds",
 ]

@@ -54,7 +54,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "heavy_hitter_candidates"]
+__all__ = ["heavy_hitters", "heavy_hitter_candidates", "windowed_heavy_hitters"]
 
 _EST = "_mg_est"
 
@@ -226,4 +226,125 @@ def heavy_hitters(
         counts.withColumn("_total", total)
         .filter(F.col("_k").isNotNull() & (F.col("n") > F.col("_total") * frac))
         .select(*[F.col(f"_k.{c}").alias(c) for c in key_cols], "n")
+    )
+
+
+def _mg_windowed(key_cols: list[str], k: int):
+    """Per-partition Misra-Gries keyed by ``(_hw_w, key tuple)`` with an
+    INDEPENDENT k-counter budget per window — the per-window analog of
+    :func:`_mg_partitions`, so the superset bound holds per window: any key
+    with count > n_pw * frac inside window w of this partition survives
+    that window's summary.  State is live-windows × (k+1) counters; no
+    sentinels (the verify pass derives window totals itself)."""
+
+    def run(iterator):
+        import pandas as pd
+
+        wins: dict[int, dict[tuple, int]] = {}
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            vc = pdf.groupby(["_hw_w"] + key_cols, dropna=False).size()
+            for key, cnt in vc.items():
+                w, raw = key[0], key[1:]
+                w = None if pd.isna(w) else int(w)
+                kt = tuple(None if pd.isna(v) else v for v in raw)
+                counters = wins.setdefault(w, {})
+                counters[kt] = counters.get(kt, 0) + int(cnt)
+            for w, counters in wins.items():
+                if len(counters) > k:
+                    dec = sorted(counters.values(), reverse=True)[k]
+                    wins[w] = {
+                        kt: c - dec for kt, c in counters.items() if c - dec > 0
+                    }
+        rows = [
+            (w,) + kt for w, counters in wins.items() for kt in counters
+        ]
+        yield pd.DataFrame(rows, columns=["_hw_w"] + key_cols)
+
+    return run
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window_s: float,
+    frac: float,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT per-window heavy hitters: for every tumbling ``window_s``
+    window, the keys with ``count > n_w * frac`` where ``n_w`` is THAT
+    window's row count — "hot hosts per hour", the windowed top-talkers
+    report.  Equals ``GROUP BY window, key HAVING count > frac *
+    (window total)`` exactly.  Output: ``window_start timestamp`` +
+    ``key_cols`` + ``n bigint``.
+
+    A NULL timestamp is a real window (NULL window_start), matching GROUP
+    BY; NULL key values group like any other value.
+
+    Scale shape: per-window Misra-Gries candidates (state = live windows ×
+    ceil(1/frac) counters per task — worst-case all windows per task on
+    time-shuffled input; time-clustered logs keep it small, or
+    pre-``repartition`` by a time bucket), then ONE verify aggregate whose
+    key space is windows × (candidates+1): candidate rows keep their key
+    struct, non-candidates collapse into one null-struct bucket per window,
+    and the per-window total comes from a window-sum over that
+    aggregate-sized table.  Candidates are NEVER collected to the driver —
+    the candidate set joins distributed (AQE picks broadcast when small),
+    so window count is unbounded.  Two scans, one candidate distinct, one
+    answer-bounded shuffle."""
+    if not 0 < frac < 1:
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown key columns: {missing}")
+    if ts_col not in df.columns:
+        raise ValueError(f"unknown ts column: {ts_col}")
+    kk = k if k is not None else int(math.ceil(1.0 / frac))
+    width = float(window_s)
+    wexpr = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(width)
+    ).cast("long")
+
+    keyed = df.select(wexpr.alias("_hw_w"), *key_cols)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
+    )
+    cand = (
+        keyed.mapInPandas(_mg_windowed(key_cols, kk), fields)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    # null-safe equi-join on (window, key...): NULL windows and NULL key
+    # values are real groups.  Not force-broadcast — the candidate table is
+    # windows × k rows, unbounded in the window dimension; AQE broadcasts
+    # it when it is small.
+    cond = [keyed["_hw_w"].eqNullSafe(cand["_hw_w"])] + [
+        keyed[c].eqNullSafe(cand[c]) for c in key_cols
+    ]
+    bucket = F.when(
+        F.coalesce(cand["_hit"], F.lit(False)),
+        F.struct(*[keyed[c] for c in key_cols]),
+    )
+    counts = (
+        keyed.join(cand, cond, "left")
+        .groupBy(keyed["_hw_w"].alias("_w"), bucket.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy("_w"))
+    return (
+        counts.withColumn("_total", total)
+        .filter(F.col("_k").isNotNull() & (F.col("n") > F.col("_total") * frac))
+        .select(
+            (F.col("_w") * width).cast("timestamp").alias("window_start"),
+            *[F.col(f"_k.{c}").alias(c) for c in key_cols],
+            "n",
+        )
     )
