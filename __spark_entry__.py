@@ -2328,14 +2328,11 @@ def q_windowed_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_heavy_hitters(ev, ["key"], "ts", 3600, 1.0 / 64)
 
 
-def q_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Corpus-wide JSON schema inference — the reference UI's 6-kind per-batch
-    # type classification (data_view.rs:348-372) as one map-only pass + one
-    # tiny (field, kind) hash agg.  The JSON column is constructed from event
-    # columns so fields flip types across rows (status: number/string/null,
-    # user: string/number) — the case a fixed from_json schema coerces away.
-    from vector_spark.functions import infer_json_schema
-
+def _infer_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The JSON column both schema-inference queries profile: constructed
+    # from event columns so fields flip types across rows (status:
+    # number/string/null, user: string/number) — the case a fixed
+    # from_json schema coerces away.
     ev = _ev(spark, sf_dir)
     m = F.col("event_id") % 5
     msg = (
@@ -2358,7 +2355,28 @@ def q_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.lit('{"ok": false}'))
         .otherwise(F.col("props"))
     )
-    return infer_json_schema(ev.select(msg.alias("msg")), "msg")
+    return ev.select(msg.alias("msg"))
+
+
+def q_infer_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide JSON schema inference — the reference UI's 6-kind
+    # per-batch type classification (data_view.rs:348-372) as one map-only
+    # pass + one tiny (field, kind) hash agg.
+    from vector_spark.functions import infer_json_schema
+
+    return infer_json_schema(_infer_msg(spark, sf_dir), "msg")
+
+
+def q_infer_schema_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The promotion fold over the same histogram: per field, the widened
+    # column kind under null < boolean < number < string, nested kinds kept
+    # only when alone (or with nulls), anything else -> mixed.  Exercises
+    # every lattice arm: status (null+number+string -> string), user
+    # (number+string -> string), ok (boolean), tags (array), meta (object),
+    # k (number).
+    from vector_spark.functions import infer_json_schema, merge_kinds
+
+    return merge_kinds(infer_json_schema(_infer_msg(spark, sf_dir), "msg"))
 
 
 # --------------------------------------------------------------------------
@@ -2414,12 +2432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "windowed_heavy_hitters": q_windowed_heavy,
         "infer_json_schema": q_infer_schema,
-        # -- core-transform sentinels (re-checked every round; t7/t8/t9 —
-        # -- all r04-green and unchanged — yield their slots to the three
+        "infer_schema_merged": q_infer_schema_merged,
+        # -- core-transform sentinels (re-checked every round; t3/t7/t8/t9 —
+        # -- all r04-green and unchanged — yield their slots to the four
         # -- new queries above and sit just below the boundary)
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
-        "t3_route": q_route,
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2456,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "t3_route": q_route,
         "t7_reduce": q_reduce,
         "t8_aggregate": q_aggregate,
         "t9_log_to_metric": q_log_to_metric,
@@ -2578,6 +2597,42 @@ def _redact_sql_expr(col: str) -> str:
     for marker, pat in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{marker}', 'g')"
     return expr
+
+
+# Shared CTE chain for the two schema-inference oracles: construct the same
+# JSON column as _infer_msg, classify every (row, field) into the six kinds
+# (+ a NULL j for malformed/non-object rows).
+_INFER_KINDS_CTE = """
+    WITH msg AS (
+      SELECT CASE CAST(event_id % 5 AS INT)
+        WHEN 0 THEN '{"status": ' || CAST(value AS VARCHAR)
+                 || ', "user": "u' || CAST(user_id AS VARCHAR)
+                 || '", "tags": [1, 2]}'
+        WHEN 1 THEN '{"status": "' || event_type
+                 || '", "ok": true, "meta": {"a": 1}}'
+        WHEN 2 THEN '{"status": null, "user": 42}'
+        WHEN 3 THEN '{"ok": false}'
+        ELSE props END AS m
+      FROM events
+    ), cls AS (
+      SELECT CASE WHEN m IS NOT NULL AND json_valid(m)
+                       AND json_type(json(m)) = 'OBJECT'
+                  THEN json(m) END AS j
+      FROM msg
+    ), good AS (
+      SELECT unnest(json_keys(j)) AS field, j FROM cls WHERE j IS NOT NULL
+    ), kinds AS (
+      SELECT field,
+        CASE COALESCE(json_type(j, '$."' || field || '"'), 'NULL')
+          WHEN 'VARCHAR' THEN 'string'
+          WHEN 'BOOLEAN' THEN 'boolean'
+          WHEN 'NULL'    THEN 'null'
+          WHEN 'ARRAY'   THEN 'array'
+          WHEN 'OBJECT'  THEN 'object'
+          ELSE 'number' END AS kind
+      FROM good
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2879,42 +2934,44 @@ def oracle_sql() -> dict[str, str]:
         # COALESCE: with a COMPUTED path ('$."' || field || '"') DuckDB
         # returns SQL NULL for a JSON null value (the constant-path call
         # returns 'NULL'), which would otherwise fall through to 'number'.
-        "infer_json_schema": """
-            WITH msg AS (
-              SELECT CASE CAST(event_id % 5 AS INT)
-                WHEN 0 THEN '{"status": ' || CAST(value AS VARCHAR)
-                         || ', "user": "u' || CAST(user_id AS VARCHAR)
-                         || '", "tags": [1, 2]}'
-                WHEN 1 THEN '{"status": "' || event_type
-                         || '", "ok": true, "meta": {"a": 1}}'
-                WHEN 2 THEN '{"status": null, "user": 42}'
-                WHEN 3 THEN '{"ok": false}'
-                ELSE props END AS m
-              FROM events
-            ), cls AS (
-              SELECT CASE WHEN m IS NOT NULL AND json_valid(m)
-                               AND json_type(json(m)) = 'OBJECT'
-                          THEN json(m) END AS j
-              FROM msg
-            ), good AS (
-              SELECT unnest(json_keys(j)) AS field, j FROM cls WHERE j IS NOT NULL
-            ), kinds AS (
-              SELECT field,
-                CASE COALESCE(json_type(j, '$."' || field || '"'), 'NULL')
-                  WHEN 'VARCHAR' THEN 'string'
-                  WHEN 'BOOLEAN' THEN 'boolean'
-                  WHEN 'NULL'    THEN 'null'
-                  WHEN 'ARRAY'   THEN 'array'
-                  WHEN 'OBJECT'  THEN 'object'
-                  ELSE 'number' END AS kind
-              FROM good
-            )
+        "infer_json_schema": _INFER_KINDS_CTE + """
             SELECT field, kind, CAST(COUNT(*) AS BIGINT) AS n
             FROM kinds GROUP BY 1, 2
             UNION ALL
             SELECT '<malformed>' AS field, 'invalid' AS kind,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM cls WHERE j IS NULL HAVING COUNT(*) > 0
+        """,
+        # the widening-lattice fold replayed relationally over the same
+        # kinds CTE (merge_kinds drops 'invalid' rows; this corpus has none)
+        "infer_schema_merged": _INFER_KINDS_CTE + """
+            , hist AS (
+              SELECT field, kind, COUNT(*) AS n
+              FROM kinds WHERE kind <> 'invalid' GROUP BY 1, 2
+            )
+            SELECT field,
+                   CASE
+                     WHEN n_nested = 0 THEN
+                       CASE max_scalar WHEN 0 THEN 'null' WHEN 1 THEN 'boolean'
+                            WHEN 2 THEN 'number' WHEN 3 THEN 'string' END
+                     WHEN n_nested = 1
+                          AND (max_scalar IS NULL OR max_scalar = 0)
+                       THEN nested_kind
+                     ELSE 'mixed'
+                   END AS kind,
+                   CAST(n AS BIGINT) AS n
+            FROM (
+              SELECT field,
+                     MAX(CASE kind WHEN 'null' THEN 0 WHEN 'boolean' THEN 1
+                          WHEN 'number' THEN 2 WHEN 'string' THEN 3 END)
+                       AS max_scalar,
+                     COUNT(DISTINCT CASE WHEN kind IN ('array', 'object')
+                                         THEN kind END) AS n_nested,
+                     MAX(CASE WHEN kind IN ('array', 'object') THEN kind END)
+                       AS nested_kind,
+                     SUM(n) AS n
+              FROM hist GROUP BY field
+            )
         """,
         "t1_remap_parse": r"""
             SELECT event_id,
