@@ -221,3 +221,38 @@ def test_windowed_validation(spark):
         windowed_heavy_hitters(df, ["k"], "nope", 60, 0.1)
     with pytest.raises(ValueError, match="unknown key"):
         windowed_heavy_hitters(df, ["nope"], "ts", 60, 0.1)
+
+
+def test_k_override_guards_superset_bound(spark):
+    df = spark.createDataFrame([("a",)] * 10, "k string")
+    # k below ceil(1/frac) voids the MG decrement proof -> rejected
+    for method in METHODS:
+        with pytest.raises(ValueError, match="superset"):
+            heavy_hitters(df, ["k"], 0.25, k=1, method=method)
+    with pytest.raises(ValueError, match="superset"):
+        heavy_hitter_candidates(df, ["k"], 0.25, k=1)
+    with pytest.raises(ValueError, match="superset"):
+        windowed_heavy_hitters(
+            spark.createDataFrame([("a", _ts(0))], "k string, ts timestamp"),
+            ["k"], "ts", 60, 0.25, k=1,
+        )
+    # a LARGER budget is fine (fewer false positives), both engines
+    rows = [("hot",)] * 50 + [(f"c{i}",) for i in range(50)]
+    big = spark.createDataFrame(rows, "k string")
+    for method in METHODS:
+        assert _hh(big, ["k"], 0.25, k=100, method=method) == {("hot", 50)}
+
+
+def test_freq_tiny_frac_falls_back_to_mg(spark):
+    # frac below freqItems' 1e-4 support floor must NOT silently clamp
+    # (clamping loses the superset guarantee) — the freq path hands off to
+    # mg, which has no floor.  500 'hot' rows in 60_000: freq share 8.3e-3,
+    # frac 5e-5 -> hot is heavy and must be found.
+    df = spark.range(60_000).select(
+        F.when(F.col("id") < 500, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("k")
+    ).repartition(8)
+    out = _hh(df, ["k"], 5e-5, method="freq")
+    assert ("hot", 500) in out
+    assert out == _naive(df, ["k"], 5e-5)

@@ -801,3 +801,11 @@ def test_streaming_to_table_dead_letter_catches_unrouted(spark, doc_chunks, tmp_
         for r in TF.read_table(spark, base, "unrouted").select("route").distinct().collect()
     }
     assert "english" not in dead_routes
+
+
+def test_streaming_to_table_dead_letter_name_collision_refused(spark):
+    with pytest.raises(ValueError, match="collides"):
+        st.streaming_to_table(
+            spark, None, "/tmp/x", "/tmp/y",
+            sinks=("english", "errors"), dead_letter="errors",
+        )

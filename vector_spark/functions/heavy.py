@@ -59,7 +59,7 @@ __all__ = ["heavy_hitters", "heavy_hitter_candidates", "windowed_heavy_hitters"]
 _EST = "_mg_est"
 
 
-def _mg_partitions(key_cols: list[str], k: int, schema):
+def _mg_partitions(key_cols: list[str], k: int):
     """Per-partition batched Misra-Gries over the key tuple; yields the
     surviving counters plus ONE sentinel row (all-null keys) carrying the
     partition's row count so the caller learns ``n`` in the same scan."""
@@ -113,29 +113,43 @@ def heavy_hitter_candidates(
     missing = [c for c in key_cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown key columns: {missing}")
-    kk = k if k is not None else int(math.ceil(1.0 / frac))
-    if kk < 1:
-        raise ValueError(f"k must be >= 1, got {kk}")
+    k_min = int(math.ceil(1.0 / frac))
+    kk = k if k is not None else k_min
+    if kk < k_min:
+        raise ValueError(
+            f"k={kk} breaks the candidate superset bound: need k >= "
+            f"ceil(1/frac) = {k_min} (a smaller budget can decrement away "
+            "true heavy hitters)"
+        )
     keyed = df.select(*key_cols)
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
     )
     out_schema = f"{fields}, {_EST} long"
-    return keyed.mapInPandas(_mg_partitions(key_cols, kk, out_schema), out_schema)
+    return keyed.mapInPandas(_mg_partitions(key_cols, kk), out_schema)
 
 
-def _freq_candidates(df: DataFrame, key_cols: list[str], frac: float) -> list[tuple]:
+# freqItems refuses support below this; a smaller requested support must
+# fall back to the mg path or the superset guarantee is silently void
+_FREQ_MIN_SUPPORT = 1e-4
+
+
+def _freq_candidates(
+    df: DataFrame, key_cols: list[str], support: float
+) -> list[tuple]:
     """Candidate keys via Spark's built-in JVM frequent-items aggregate
     (``df.stat.freqItems`` — Karp/Shenker/Papadimitriou 2003, the streaming
     form of the same counter scheme as Misra-Gries): per-partition bounded
-    maps of ~1/frac counters merged in one reduce, returning a SUPERSET of
-    keys with count > n*frac (false positives possible, false negatives
-    not).  Whole-stage-codegen path — no Python on the scan.  Multi-column
-    keys ride as ONE struct column so the counters track the joint tuple,
-    not per-column marginals."""
+    maps of ~1/support counters merged in one reduce, returning a SUPERSET
+    of keys with count > n*support (false positives possible, false
+    negatives not).  Whole-stage-codegen path — no Python on the scan.
+    Multi-column keys ride as ONE struct column so the counters track the
+    joint tuple, not per-column marginals.  Caller must ensure
+    ``support >= _FREQ_MIN_SUPPORT`` — clamping here would silently break
+    the superset guarantee."""
     col = "_hh_key"
     packed = df.select(F.struct(*key_cols).alias(col))
-    items = packed.stat.freqItems([col], max(frac, 1e-4)).collect()[0][0]
+    items = packed.stat.freqItems([col], support).collect()[0][0]
     return [tuple(r[c] for c in key_cols) for r in items]
 
 
@@ -164,7 +178,13 @@ def heavy_hitters(
     deterministic-bound reference implementation; ``n`` rides with the
     candidate sentinels so it is also two scans.  Slower locally (Arrow +
     Python per batch) but its per-partition (k+1)-row output bound is
-    proven in the module docstring, independent of Spark internals."""
+    proven in the module docstring, independent of Spark internals.
+
+    ``k`` widens the candidate budget beyond the default ``ceil(1/frac)``
+    (more counters → fewer false positives → a smaller verify join); a
+    ``k`` below ``ceil(1/frac)`` voids the superset proof and is rejected.
+    A ``frac`` below freqItems' minimum support (1e-4) automatically falls
+    back to the mg path, which has no such floor."""
     if method not in ("freq", "mg"):
         raise ValueError(f"method must be 'freq' or 'mg', got {method!r}")
     if not 0 < frac < 1:
@@ -174,6 +194,19 @@ def heavy_hitters(
     missing = [c for c in key_cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown key columns: {missing}")
+    k_min = int(math.ceil(1.0 / frac))
+    if k is not None and k < k_min:
+        raise ValueError(
+            f"k={k} breaks the candidate superset bound: need k >= "
+            f"ceil(1/frac) = {k_min} (a smaller budget can decrement away "
+            "true heavy hitters)"
+        )
+    # the freq engine sizes its counter maps from the support value 1/k;
+    # below freqItems' hard floor the guarantee cannot hold — use mg, which
+    # has no floor
+    support = 1.0 / k if k is not None else frac
+    if method == "freq" and support < _FREQ_MIN_SUPPORT:
+        method = "mg"
     spark = df.sparkSession
     empty = df.select(*key_cols).limit(0).withColumn("n", F.lit(0).cast("long"))
     if method == "mg":
@@ -196,7 +229,7 @@ def heavy_hitters(
             .filter(F.col("n") > F.lit(float(n) * frac))
         )
 
-    cand = _freq_candidates(df, key_cols, frac)
+    cand = _freq_candidates(df, key_cols, support)
     if not cand:
         return empty
     kdf = spark.createDataFrame(
@@ -305,7 +338,13 @@ def windowed_heavy_hitters(
         raise ValueError(f"unknown key columns: {missing}")
     if ts_col not in df.columns:
         raise ValueError(f"unknown ts column: {ts_col}")
-    kk = k if k is not None else int(math.ceil(1.0 / frac))
+    k_min = int(math.ceil(1.0 / frac))
+    kk = k if k is not None else k_min
+    if kk < k_min:
+        raise ValueError(
+            f"k={kk} breaks the per-window candidate superset bound: need "
+            f"k >= ceil(1/frac) = {k_min}"
+        )
     width = float(window_s)
     wexpr = F.floor(
         F.col(ts_col).cast("timestamp").cast("double") / F.lit(width)

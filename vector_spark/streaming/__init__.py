@@ -315,14 +315,26 @@ def streaming_to_table(
     separate table sinks (the multi-sink topology) in ONE pass per sink of
     the already-computed batch; all sinks commit in the SAME snapshot.
 
-    Rows whose route value is NULL or not in ``sinks`` match no sink — by
-    default they are DROPPED (Vector's semantics for an unconnected
-    ``_unmatched`` output), but the checkpoint still acknowledges them, so
-    the drop is permanent.  Pass ``dead_letter="some_sink"`` to land every
-    such row in that table sink instead (committed in the same snapshot) —
-    the refusal-not-loss form."""
+    Route semantics: with ONE sink and no ``dead_letter`` the whole batch
+    lands in that sink unfiltered (the single-sink fan-in form — no route
+    predicate is applied at all).  With MULTIPLE sinks, rows whose route
+    value is NULL or not in ``sinks`` match no sink and are DROPPED
+    (Vector's semantics for an unconnected ``_unmatched`` output) — the
+    checkpoint still acknowledges them, so the drop is permanent.  Pass
+    ``dead_letter="some_name"`` to land every such row in that extra table
+    sink instead (committed in the same snapshot) — the refusal-not-loss
+    form; setting it also switches a single-sink call into filtered
+    (fan-out) mode, since an unfiltered sink would leave the dead letter
+    nothing to catch.  ``dead_letter`` must not name one of ``sinks`` —
+    the unmatched rows would overwrite that sink's own routed rows."""
     from vector_spark.plans.checkpoint import PART_COL
     from vector_spark.plans.table_format import write_multi_sink
+
+    if dead_letter is not None and dead_letter in sinks:
+        raise ValueError(
+            f"dead_letter {dead_letter!r} collides with a routed sink name — "
+            "its unmatched rows would replace that sink's routed rows"
+        )
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn(PART_COL, F.lit(str(batch_id)))
