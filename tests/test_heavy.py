@@ -256,3 +256,28 @@ def test_freq_tiny_frac_falls_back_to_mg(spark):
     out = _hh(df, ["k"], 5e-5, method="freq")
     assert ("hot", 500) in out
     assert out == _naive(df, ["k"], 5e-5)
+
+
+# ---------------------------------------------------------------------------
+# property: both engines == naive GROUP BY ... HAVING on arbitrary corpora
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    weights=hst.lists(hst.integers(1, 40), min_size=1, max_size=12),
+    frac=hst.sampled_from([0.05, 0.1, 0.25, 0.5]),
+    parts=hst.sampled_from([1, 3, 8]),
+    data=hst.data(),
+)
+def test_property_equals_naive(spark, weights, frac, parts, data):
+    keys = [None if i == 0 else f"k{i}" for i in range(len(weights))]
+    rows = [(k,) for k, w in zip(keys, weights) for _ in range(w)]
+    rng = random.Random(data.draw(hst.integers(0, 2**31)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(parts)
+    want = _naive(df, ["k"], frac)
+    for method in METHODS:
+        assert _hh(df, ["k"], frac, method=method) == want
