@@ -2328,6 +2328,37 @@ def q_windowed_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_heavy_hitters(ev, ["key"], "ts", 3600, 1.0 / 64)
 
 
+def q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tail-based trace sampling (operators/traces.py tail_sample): 20-span
+    # traces built from consecutive event ids; error spans thinned to
+    # event_id % 211 == 0 so error-free traces exist (48 error / 83 slow /
+    # 18 probabilistic / 351 dropped at sf0.01 — all three policy arms
+    # non-vacuous).  Point spans (end == start) make trace wall = the ts
+    # spread; md5 hash twin so the probabilistic arm is SQL-replayable.
+    from vector_spark.operators import tail_sample
+
+    ev = _ev(spark, sf_dir)
+    spans = ev.select(
+        "event_id",
+        F.floor(F.col("event_id") / 20).cast("long").cast("string").alias("trace_id"),
+        F.col("event_id").cast("string").alias("span_id"),
+        F.when(F.col("event_id") % 211 == 0, 2).otherwise(1).alias("status_code"),
+        F.col("ts").alias("start_timestamp"),
+        F.col("ts").alias("end_timestamp"),
+    )
+    out = tail_sample(
+        spans,
+        keep_fraction=0.05,
+        slow_threshold_us=6_000_000_000,
+        seed="ts1",
+        method="md5",
+        with_decision=True,
+    )
+    return out.select(
+        "event_id", "trace_id", "span_id", "status_code", "sample_decision"
+    )
+
+
 def _infer_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The JSON column both schema-inference queries profile: constructed
     # from event columns so fields flip types across rows (status:
@@ -2433,11 +2464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_heavy_hitters": q_windowed_heavy,
         "infer_json_schema": q_infer_schema,
         "infer_schema_merged": q_infer_schema_merged,
-        # -- core-transform sentinels (re-checked every round; t3/t7/t8/t9 —
-        # -- all r04-green and unchanged — yield their slots to the four
-        # -- new queries above and sit just below the boundary)
+        "trace_tail_sample": q_tail_sample,
+        # -- core-transform sentinels (re-checked every round; t2/t3/t7/t8/
+        # -- t9 — all r04-green and unchanged — yield their slots to the
+        # -- five new queries above and sit just below the boundary)
         "t1_remap_parse": q_remap_parse,
-        "t2_filter": q_filter,
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2474,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "t2_filter": q_filter,
         "t3_route": q_route,
         "t7_reduce": q_reduce,
         "t8_aggregate": q_aggregate,
@@ -2914,6 +2946,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY key
             HAVING COUNT(*) > 0.015 * (SELECT COUNT(*) FROM events)
+        """,
+        # the three tail-sampling policies replayed relationally: per-trace
+        # error/wall aggregate -> decision CASE (md5 micro-bucket for the
+        # probabilistic arm) -> join back to spans
+        "trace_tail_sample": """
+            WITH sp AS (
+              SELECT event_id,
+                     CAST(event_id // 20 AS VARCHAR) AS trace_id,
+                     CAST(event_id AS VARCHAR) AS span_id,
+                     CASE WHEN event_id % 211 = 0 THEN 2 ELSE 1 END
+                       AS status_code,
+                     ts
+              FROM events
+            ), t AS (
+              SELECT trace_id,
+                     MAX(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS err,
+                     epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS wall
+              FROM sp GROUP BY 1
+            ), d AS (
+              SELECT trace_id,
+                     CASE WHEN err = 1 THEN 'error'
+                          WHEN wall >= 6000000000 THEN 'slow'
+                          WHEN ('0x' || substr(md5(trace_id || 'ts1'), 1, 7))
+                               ::BIGINT % 1000000 < 50000
+                            THEN 'probabilistic' END AS sample_decision
+              FROM t
+            )
+            SELECT s.event_id, s.trace_id, s.span_id, s.status_code,
+                   d.sample_decision
+            FROM sp s JOIN d USING (trace_id)
+            WHERE d.sample_decision IS NOT NULL
         """,
         # per-window GROUP BY ... HAVING against each window's own total;
         # frac = 1/64 is dyadic, so the strict > compares identically in

@@ -88,3 +88,97 @@ def test_service_graph_null_status_counts_zero_errors(spark, spans):
     nulled = spans.withColumn("status_code", F.lit(None).cast("int"))
     out = service_graph(nulled).collect()
     assert out and all(r["n_errors"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# tail_sample — tail-based trace sampling
+# ---------------------------------------------------------------------------
+from vector_spark.operators import tail_sample
+
+
+def test_tail_sample_error_policy_keeps_whole_trace(spark, spans):
+    # keep_fraction=0: only policy hits survive.  T1 and T3 each contain an
+    # error span -> ALL their spans kept; T2 (no errors) dropped entirely
+    out = tail_sample(spans, keep_fraction=0.0, with_decision=True)
+    rows = out.collect()
+    by_trace = {}
+    for r in rows:
+        by_trace.setdefault(r["trace_id"], set()).add(r["sample_decision"])
+    assert set(by_trace) == {"T1", "T3"}
+    assert by_trace["T1"] == {"error"} and by_trace["T3"] == {"error"}
+    # trace-complete: every span of T1 survives
+    assert sum(1 for r in rows if r["trace_id"] == "T1") == 3
+
+
+def test_tail_sample_latency_policy(spark, spans):
+    # no errors considered (status_col=None); T1 wall = 300ms, T2 = 30ms,
+    # T3 = 10ms -> threshold 100ms keeps only T1, tagged 'slow'
+    out = tail_sample(
+        spans, keep_fraction=0.0, status_col=None,
+        slow_threshold_us=100_000, with_decision=True,
+    ).collect()
+    assert {r["trace_id"] for r in out} == {"T1"}
+    assert {r["sample_decision"] for r in out} == {"slow"}
+
+
+def test_tail_sample_probabilistic_deterministic_and_whole(spark):
+    rows = [(f"T{i}", f"s{i}{j}") for i in range(200) for j in range(3)]
+    spans = spark.createDataFrame(rows, "trace_id string, span_id string")
+    out1 = tail_sample(
+        spans, keep_fraction=0.3, status_col=None, seed="x"
+    ).collect()
+    out2 = tail_sample(
+        spans.repartition(16), keep_fraction=0.3, status_col=None, seed="x"
+    ).collect()
+    # deterministic under partitioning
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # traces kept whole: every surviving trace has all 3 spans
+    from collections import Counter
+
+    c = Counter(r["trace_id"] for r in out1)
+    assert c and set(c.values()) == {3}
+    # rate in the right ballpark
+    assert 0.15 < len(c) / 200 < 0.45
+
+
+def test_tail_sample_md5_twin_matches_convention(spark):
+    rows = [(f"T{i}", "s") for i in range(500)]
+    spans = spark.createDataFrame(rows, "trace_id string, span_id string")
+    kept = {
+        r["trace_id"]
+        for r in tail_sample(
+            spans, keep_fraction=0.2, status_col=None, method="md5", seed="z"
+        ).collect()
+    }
+    import hashlib
+
+    want = {
+        f"T{i}"
+        for i in range(500)
+        if int(hashlib.md5(f"T{i}z".encode()).hexdigest()[:7], 16) % 1_000_000
+        < 200_000
+    }
+    assert kept == want
+
+
+def test_tail_sample_null_trace_handling(spark):
+    rows = [("T1", "a", 2), (None, "b", 1), (None, "c", 2)]
+    spans = spark.createDataFrame(rows, "trace_id string, span_id string, status_code int")
+    # default: untraced spans dropped
+    out = tail_sample(spans, keep_fraction=0.0)
+    assert {r["span_id"] for r in out.collect()} == {"a"}
+    # opt-in: retained, tagged
+    out2 = tail_sample(spans, keep_fraction=0.0, keep_untraced=True, with_decision=True)
+    got = {r["span_id"]: r["sample_decision"] for r in out2.collect()}
+    assert got == {"a": "error", "b": "untraced", "c": "untraced"}
+
+
+def test_tail_sample_validation(spark, spans):
+    with pytest.raises(ValueError, match="keep_fraction"):
+        tail_sample(spans, keep_fraction=1.5)
+    with pytest.raises(ValueError, match="slow_threshold"):
+        tail_sample(spans, slow_threshold_us=-1)
+    with pytest.raises(ValueError, match="hash method"):
+        tail_sample(spans, method="sha1")
+    with pytest.raises(ValueError, match="unknown columns"):
+        tail_sample(spans.drop("status_code"))

@@ -120,3 +120,120 @@ def service_graph(
         F.count(F.lit(1)).alias("n_calls"),
         F.sum("_err").alias("n_errors"),
     )
+
+
+def tail_sample(
+    spans: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    keep_fraction: float = 0.1,
+    status_col: str | None = "status_code",
+    error_code: int = 2,
+    start_col: str = "start_timestamp",
+    end_col: str = "end_timestamp",
+    slow_threshold_us: int | None = None,
+    seed: str = "",
+    method: str = "xxhash64",
+    with_decision: bool = False,
+    keep_untraced: bool = False,
+) -> DataFrame:
+    """Tail-based trace sampling (the OTel ``tailsampling`` processor
+    analog — the decision is made per COMPLETE trace, after all its spans
+    are seen, which is exactly what a batch/window over ingested spans
+    gives you):
+
+    * **error policy** — any span with ``status_col == error_code`` keeps
+      the whole trace;
+    * **latency policy** — trace wall duration (max end − min start) ≥
+      ``slow_threshold_us`` keeps it (only when a threshold is given);
+    * **probabilistic policy** — otherwise keep iff
+      ``hash(trace_id) < keep_fraction``: a deterministic per-TRACE hash
+      (``functions/sampling.py`` bucket convention — ``xxhash64``
+      throughput path, ``md5`` SQL-recomputable twin), so two runs, a
+      retried stage, or the two halves of a split window agree trace-for-
+      trace, and a trace is always kept or dropped WHOLE.
+
+    Output: the surviving spans, unchanged (every span of a kept trace);
+    ``with_decision=True`` adds ``sample_decision``
+    ('error' > 'slow' > 'probabilistic' priority).  Spans with a NULL
+    ``trace_col`` have no trace to decide — they are DROPPED by default
+    (they would otherwise pool into one false mega-trace); pass
+    ``keep_untraced=True`` to retain them all (decision 'untraced').
+
+    Plan: ONE hash aggregate on ``trace_col`` (map-side partials; the same
+    bounded spans-per-trace argument as :func:`trace_rollup` — no hot
+    keys) folds all three policies, then ONE equi-join of spans against
+    the per-trace decisions on the same high-cardinality key.  The
+    decision table is one row per kept trace — AQE broadcasts it when the
+    sample is small, shuffles on ``trace_col`` when it is not.  Never a
+    driver-side collect.
+    """
+    if not (0.0 <= keep_fraction <= 1.0):
+        raise ValueError(f"keep_fraction must be in [0, 1], got {keep_fraction}")
+    if slow_threshold_us is not None and slow_threshold_us < 0:
+        raise ValueError(f"slow_threshold_us must be >= 0, got {slow_threshold_us}")
+    if method not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash method {method!r} (expected xxhash64|md5)")
+    missing = [
+        c
+        for c in [trace_col]
+        + ([status_col] if status_col is not None else [])
+        + ([start_col, end_col] if slow_threshold_us is not None else [])
+        if c not in spans.columns
+    ]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    traced = spans.where(F.col(trace_col).isNotNull())
+    aggs = [
+        (
+            F.max(F.when(F.col(status_col) == error_code, 1).otherwise(0))
+            if status_col is not None
+            else F.lit(0)
+        ).alias("_err"),
+    ]
+    if slow_threshold_us is not None:
+        aggs.append(
+            (
+                F.unix_micros(F.max(end_col).cast("timestamp"))
+                - F.unix_micros(F.min(start_col).cast("timestamp"))
+            ).alias("_wall_us")
+        )
+    per_trace = traced.groupBy(F.col(trace_col).alias("_tid")).agg(*aggs)
+
+    # sampling.py's micro-bucket convention: [0, 1e6) from the salted key
+    salted = F.concat(F.col("_tid").cast("string"), F.lit(seed))
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(salted), F.lit(1_000_000))
+    else:
+        bucket = (
+            F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long")
+            % 1_000_000
+        )
+    keep_micro = int(round(keep_fraction * 1_000_000))
+    decision = F.when(F.col("_err") == 1, F.lit("error"))
+    if slow_threshold_us is not None:
+        decision = decision.when(
+            F.col("_wall_us") >= int(slow_threshold_us), F.lit("slow")
+        )
+    decision = decision.when(bucket < keep_micro, F.lit("probabilistic"))
+    kept = (
+        per_trace.withColumn("_decision", decision)
+        .where(F.col("_decision").isNotNull())
+        .select("_tid", "_decision")
+    )
+
+    cols = spans.columns
+    out = traced.join(kept, traced[trace_col] == kept["_tid"], "inner")
+    if with_decision:
+        out = out.select(*cols, F.col("_decision").alias("sample_decision"))
+    else:
+        out = out.select(*cols)
+    if keep_untraced:
+        untraced = spans.where(F.col(trace_col).isNull())
+        if with_decision:
+            untraced = untraced.select(
+                *cols, F.lit("untraced").alias("sample_decision")
+            )
+        out = out.unionByName(untraced)
+    return out
