@@ -809,3 +809,125 @@ def test_streaming_to_table_dead_letter_name_collision_refused(spark):
             spark, None, "/tmp/x", "/tmp/y",
             sinks=("english", "errors"), dead_letter="errors",
         )
+
+
+def test_streaming_tail_sample_buffers_until_trace_complete(spark, tmp_path):
+    """Tail sampling with EventTimeTimeout: a trace emits (whole, with its
+    decision) only once the watermark passes its last span end + gap;
+    decisions match the batch operator's md5 twin; still-open traces stay
+    buffered."""
+    from datetime import datetime
+
+    from vector_spark.streaming import run_available_now, streaming_tail_sample
+
+    def t(minute, sec=0):
+        return datetime(2024, 1, 1, 0, minute, sec)
+
+    schema = (
+        "trace_id string, span_id string, status_code int, "
+        "start_timestamp timestamp, end_timestamp timestamp"
+    )
+    d = tmp_path / "spans"
+    d.mkdir()
+    # file1: trace A (has an error span) + trace B (clean), both ~minute 0
+    spark.createDataFrame(
+        [
+            ("A", "a1", 1, t(0, 0), t(0, 1)),
+            ("A", "a2", 2, t(0, 2), t(0, 3)),
+            ("B", "b1", 1, t(0, 0), t(0, 2)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    # file2: trace C at minute 10 — its max event time advances the
+    # watermark (delay 1m) to 0:09, past A/B end+gap (0:01 + 60s) -> A and
+    # B decide in this batch
+    spark.createDataFrame([("C", "c1", 1, t(10, 0), t(10, 1))], schema) \
+        .coalesce(1).write.parquet(str(d / "f2"))
+    # file3: trace D at minute 30 -> watermark 0:29 passes C's 0:11 -> C
+    # decides; D itself stays open forever (refusal, not a guess)
+    spark.createDataFrame([("D", "d1", 1, t(30, 0), t(30, 1))], schema) \
+        .coalesce(1).write.parquet(str(d / "f3"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = streaming_tail_sample(
+        src, keep_fraction=1.0, gap_s=60, watermark="1 minute", seed="st"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tail_sampled")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tail_sampled").collect()
+    got = {(r["trace_id"], r["span_id"], r["sample_decision"]) for r in rows}
+    # keep_fraction=1.0: every decided trace survives; A via the error
+    # policy (BOTH its spans, including the clean one), B and C
+    # probabilistic; D never decided
+    assert got == {
+        ("A", "a1", "error"),
+        ("A", "a2", "error"),
+        ("B", "b1", "probabilistic"),
+        ("C", "c1", "probabilistic"),
+    }
+
+
+def test_streaming_tail_sample_drop_and_batch_parity(spark, tmp_path):
+    """keep_fraction=0: only error traces survive; the per-trace md5
+    decision matches the batch operator exactly."""
+    from datetime import datetime
+
+    from vector_spark.operators import tail_sample
+    from vector_spark.streaming import streaming_tail_sample
+
+    def t(minute, sec=0):
+        return datetime(2024, 1, 1, 0, minute, sec)
+
+    schema = (
+        "trace_id string, span_id string, status_code int, "
+        "start_timestamp timestamp, end_timestamp timestamp"
+    )
+    rows = [
+        (f"T{i}", f"s{i}", 2 if i % 5 == 0 else 1, t(0, i), t(0, i + 1))
+        for i in range(20)
+    ]
+    d = tmp_path / "spans2"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame([("LATE", "x", 1, t(30), t(30, 1))], schema) \
+        .coalesce(1).write.parquet(str(d / "f2"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = streaming_tail_sample(
+        src, keep_fraction=0.4, gap_s=60, watermark="1 minute", seed="p"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tail_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_got = {
+        (r["trace_id"], r["sample_decision"])
+        for r in spark.sql("SELECT * FROM tail_parity").collect()
+    }
+    batch = tail_sample(
+        spark.createDataFrame(rows, schema),
+        keep_fraction=0.4,
+        seed="p",
+        method="md5",
+        with_decision=True,
+    ).collect()
+    batch_got = {(r["trace_id"], r["sample_decision"]) for r in batch}
+    assert stream_got == batch_got and stream_got

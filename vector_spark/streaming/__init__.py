@@ -55,6 +55,7 @@ __all__ = [
     "streaming_rollup_fine",
     "streaming_to_table",
     "streaming_cdc_upsert",
+    "streaming_tail_sample",
     "run_available_now",
     "TableChangesDataSource",
 ]
@@ -728,4 +729,128 @@ def streaming_rate_spikes(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_tail_sample(
+    stream: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    keep_fraction: float = 0.1,
+    status_col: str | None = "status_code",
+    error_code: int = 2,
+    ts_col: str = "start_timestamp",
+    end_col: str | None = "end_timestamp",
+    gap_s: float = 30.0,
+    watermark: str = "1 minute",
+    seed: str = "",
+) -> DataFrame:
+    """Streaming twin of :func:`vector_spark.operators.traces.tail_sample`
+    — the OTel collector's ``tailsampling`` buffer-then-decide loop:
+    spans buffer in per-trace state until the trace is COMPLETE (no new
+    span for ``gap_s`` of EVENT time, judged by the watermark — the same
+    completion heuristic the collector's ``decision_wait`` implements),
+    then the whole trace is kept or dropped atomically under the same
+    three policies as the batch operator (error > slow-by-wall > per-trace
+    per-trace md5 hash — the latency policy is intentionally NOT repeated
+    here: wall duration is known only at decision time, so callers filter
+    the emitted spans on their own threshold downstream, keeping this
+    operator's state machine to the two policies that must be decided
+    before anything can be emitted).  The hash decision is always the md5
+    micro-bucket (Python-side; batch ``method="md5"`` is its exact twin).
+
+    Mechanics: ``applyInPandasWithState`` with **EventTimeTimeout** — each
+    batch appends its spans to the trace's buffered state (pickled rows +
+    running error flag + max end-ts) and re-arms the timeout at
+    ``max(end) + gap_s``; when the WATERMARK passes that point Spark fires
+    the timed-out group with no new rows, the decision is made, and the
+    kept spans are emitted with a ``sample_decision`` column.  State is
+    O(buffered spans of open traces) — exactly the memory the collector's
+    decision buffer pays; the watermark bounds how long a trace can stay
+    open.  Traces still open when input ends remain in state (the
+    streaming_reduce_sessions convention): they emit on a later batch once
+    the watermark passes, or never if the stream stops — refusal-shape,
+    not silent sampling of an incomplete trace.
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not (0.0 <= keep_fraction <= 1.0):
+        raise ValueError(f"keep_fraction must be in [0, 1], got {keep_fraction}")
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    cols = stream.columns
+    out_schema = T.StructType(
+        [*stream.schema.fields, T.StructField("sample_decision", T.StringType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("err", T.IntegerType()),
+            T.StructField("max_end", T.DoubleType()),
+        ]
+    )
+    keep_micro = int(round(keep_fraction * 1_000_000))
+    end_field = end_col or ts_col
+
+    def decide(key) -> str | None:
+        # the md5 micro-bucket convention from the batch operator — the
+        # decision runs Python-side here, where stdlib has no xxhash64, so
+        # the streaming twin always uses the md5 form; a batch
+        # tail_sample(method="md5", seed=...) run over the same spans makes
+        # identical per-trace decisions, which is what the parity test pins
+        import hashlib
+
+        tid = key[0]
+        if tid is None:
+            return None
+        h = int(
+            hashlib.md5(f"{tid}{seed}".encode()).hexdigest()[:7], 16
+        ) % 1_000_000
+        return "probabilistic" if h < keep_micro else None
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            blob, err, _max_end = state.get
+            state.remove()
+            spans = pickle.loads(blob) if blob else []
+            if spans:
+                decision = "error" if err == 1 else decide(key)
+                if decision is not None:
+                    out = pd.DataFrame(spans, columns=cols)
+                    out["sample_decision"] = decision
+                    yield out
+            return
+        blob, err, max_end = state.get if state.exists else (None, 0, None)
+        spans = pickle.loads(blob) if blob else []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if status_col is not None:
+                if (pdf[status_col] == error_code).any():
+                    err = 1
+            ends = pd.to_datetime(pdf[end_field]).astype("int64").to_numpy() / 1e9
+            m = float(ends.max())
+            max_end = m if max_end is None else max(max_end, m)
+            spans.extend([tuple(r) for r in pdf[cols].itertuples(index=False)])
+        state.update((pickle.dumps(spans), int(err), float(max_end or 0.0)))
+        # complete when the WATERMARK passes last-span-end + gap.  A late
+        # straggler can arrive with the watermark already past that point —
+        # Spark rejects a timeout at/behind the watermark, so floor it one
+        # second ahead (the trace then decides at the next watermark bump,
+        # late spans included rather than crashed on).
+        to = int((float(max_end or 0.0) + gap_s) * 1000)
+        state.setTimeoutTimestamp(max(to, state.getCurrentWatermarkMs() + 1000))
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(trace_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
