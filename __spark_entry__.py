@@ -2359,6 +2359,39 @@ def q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RED metrics (operators/traces.py span_metrics — the OTel spanmetrics
+    # connector): per (service, operation, hour) call/error counts +
+    # explicit-bounds duration histogram.  Durations are integer-valued
+    # doubles (< 2^53), so the sums are order-exact; bucket arrays
+    # stringify via concat_ws (the sum_histograms convention) so both
+    # engines compare BIGINT text.
+    from vector_spark.operators import span_metrics
+
+    ev = _ev(spark, sf_dir)
+    spans = ev.select(
+        F.col("event_type").alias("service"),
+        F.concat(F.lit("op"), (F.col("event_id") % 5).cast("string")).alias("name"),
+        F.when(F.col("event_id") % 211 == 0, 2).otherwise(1).alias("status_code"),
+        F.col("ts").alias("start_timestamp"),
+        (F.col("event_id") % 1_000_000).alias("duration_us"),
+    )
+    out = span_metrics(
+        spans, window_s=3600, bounds=(10_000.0, 100_000.0, 500_000.0)
+    )
+    return out.select(
+        "service",
+        "name",
+        "window_start",
+        "n_calls",
+        "n_errors",
+        "duration_sum",
+        F.concat_ws(",", F.col("bucket_counts").cast("array<string>")).alias(
+            "buckets"
+        ),
+    )
+
+
 def _infer_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The JSON column both schema-inference queries profile: constructed
     # from event columns so fields flip types across rows (status:
@@ -2465,10 +2498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_json_schema": q_infer_schema,
         "infer_schema_merged": q_infer_schema_merged,
         "trace_tail_sample": q_tail_sample,
-        # -- core-transform sentinels (re-checked every round; t2/t3/t7/t8/
-        # -- t9 — all r04-green and unchanged — yield their slots to the
-        # -- five new queries above and sit just below the boundary)
-        "t1_remap_parse": q_remap_parse,
+        "trace_span_metrics": q_span_metrics,
+        # -- the core-transform sentinels (t1/t2/t3/t7/t8/t9 — all
+        # -- r04-green and unchanged) yield their slots to the six new
+        # -- queries above and sit just below the boundary
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2505,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
         "t7_reduce": q_reduce,
@@ -2946,6 +2980,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY key
             HAVING COUNT(*) > 0.015 * (SELECT COUNT(*) FROM events)
+        """,
+        # the RED aggregate recomputed from the source columns: every
+        # bucket is SUM of its generating CASE, durations are
+        # integer-valued doubles so sums are order-exact
+        "trace_span_metrics": """
+            WITH sp AS (
+              SELECT event_type AS service,
+                     'op' || CAST(event_id % 5 AS VARCHAR) AS name,
+                     CASE WHEN event_id % 211 = 0 THEN 2 ELSE 1 END AS status,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w,
+                     CAST(event_id % 1000000 AS DOUBLE) AS dur
+              FROM events
+            )
+            SELECT service, name,
+                   make_timestamp(w * 3600 * 1000000) AS window_start,
+                   COUNT(*) AS n_calls,
+                   CAST(SUM(CASE WHEN status = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_errors,
+                   SUM(dur) AS duration_sum,
+                   CAST(SUM(CASE WHEN dur <= 10000 THEN 1 ELSE 0 END) AS VARCHAR)
+                   || ',' ||
+                   CAST(SUM(CASE WHEN dur > 10000 AND dur <= 100000
+                                 THEN 1 ELSE 0 END) AS VARCHAR)
+                   || ',' ||
+                   CAST(SUM(CASE WHEN dur > 100000 AND dur <= 500000
+                                 THEN 1 ELSE 0 END) AS VARCHAR)
+                   || ',' ||
+                   CAST(SUM(CASE WHEN dur > 500000 THEN 1 ELSE 0 END) AS VARCHAR)
+                     AS buckets
+            FROM sp GROUP BY 1, 2, 3
         """,
         # the three tail-sampling policies replayed relationally: per-trace
         # error/wall aggregate -> decision CASE (md5 micro-bucket for the

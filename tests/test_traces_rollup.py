@@ -182,3 +182,70 @@ def test_tail_sample_validation(spark, spans):
         tail_sample(spans, method="sha1")
     with pytest.raises(ValueError, match="unknown columns"):
         tail_sample(spans.drop("status_code"))
+
+
+# ---------------------------------------------------------------------------
+# span_metrics — the spanmetrics RED connector
+# ---------------------------------------------------------------------------
+from vector_spark.operators import span_metrics
+
+
+@pytest.fixture(scope="module")
+def red_spans(spark):
+    rows = [
+        # window 0 (minute 0): api/GET 3 calls (1 error), durations
+        # 500 / 5_000 / 2_000_000 us -> buckets [1,1,0,0,1]
+        ("api", "GET", 1, _ts(0), 500),
+        ("api", "GET", 2, _ts(1), 5_000),
+        ("api", "GET", 1, _ts(2), 2_000_000),
+        # window 0: db/SELECT 1 call, NULL duration (counts, no bucket)
+        ("db", "SELECT", 1, _ts(3), None),
+        # window 1 (minute 1): api/GET 1 call at a bucket EDGE (1000 ->
+        # upper-inclusive bucket 0)
+        ("api", "GET", 1, datetime(2024, 1, 1, 0, 1, 0), 1_000),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "service string, name string, status_code int, "
+        "start_timestamp timestamp, duration_us long",
+    )
+
+
+def test_span_metrics_red_histogram(spark, red_spans):
+    out = {
+        (r["service"], r["name"], r["window_start"].minute): r
+        for r in span_metrics(red_spans, window_s=60).collect()
+    }
+    g0 = out[("api", "GET", 0)]
+    assert g0["n_calls"] == 3 and g0["n_errors"] == 1
+    assert g0["duration_sum"] == 2_005_500.0
+    assert g0["bucket_counts"] == [1, 1, 0, 0, 1]
+    assert g0["explicit_bounds"] == [1_000.0, 10_000.0, 100_000.0, 1_000_000.0]
+    d0 = out[("db", "SELECT", 0)]
+    # NULL duration: counted as a call, absent from buckets and sum
+    assert d0["n_calls"] == 1 and d0["duration_sum"] is None
+    assert d0["bucket_counts"] == [0, 0, 0, 0, 0]
+    # upper-inclusive edge: exactly 1000us lands in bucket 0
+    assert out[("api", "GET", 1)]["bucket_counts"] == [1, 0, 0, 0, 0]
+
+
+def test_span_metrics_feeds_histogram_quantile(spark, red_spans):
+    from vector_spark.operators import histogram_quantile
+
+    red = span_metrics(red_spans, window_s=60)
+    out = histogram_quantile(red.where("n_calls = 3"), 0.5).collect()
+    # p50 of [1,1,0,0,1]: rank 1.5 -> second bucket (1000, 10000],
+    # interpolated at (1.5-1)/1 through it
+    assert len(out) == 1
+    assert out[0]["q0_5"] == pytest.approx(1000 + 0.5 * 9000)
+
+
+def test_span_metrics_validation(spark, red_spans):
+    with pytest.raises(ValueError, match="window_s"):
+        span_metrics(red_spans, window_s=0)
+    with pytest.raises(ValueError, match="increasing"):
+        span_metrics(red_spans, bounds=(10.0, 5.0))
+    with pytest.raises(ValueError, match="increasing"):
+        span_metrics(red_spans, bounds=())
+    with pytest.raises(ValueError, match="unknown columns"):
+        span_metrics(red_spans.drop("duration_us"))

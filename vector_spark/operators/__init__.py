@@ -64,7 +64,7 @@ from vector_spark.operators.metric_rate import (
     sum_histograms,
 )
 from vector_spark.operators.slo import slo_burn_alerts
-from vector_spark.operators.traces import service_graph, tail_sample, trace_rollup
+from vector_spark.operators.traces import service_graph, span_metrics, tail_sample, trace_rollup
 
 __all__ = [
     "remap", "parse_url", "parse_grok", "parse_apache_common",
@@ -81,5 +81,5 @@ __all__ = [
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
     "exp_histogram_quantile", "range_rate", "sum_histograms", "slo_burn_alerts",
-    "trace_rollup", "service_graph", "tail_sample",
+    "trace_rollup", "service_graph", "tail_sample", "span_metrics",
 ]

@@ -237,3 +237,92 @@ def tail_sample(
             )
         out = out.unionByName(untraced)
     return out
+
+
+def span_metrics(
+    spans: DataFrame,
+    *,
+    service_col: str = "service",
+    name_col: str = "name",
+    ts_col: str = "start_timestamp",
+    window_s: float = 60.0,
+    duration_col: str = "duration_us",
+    bounds: tuple[float, ...] = (1_000.0, 10_000.0, 100_000.0, 1_000_000.0),
+    status_col: str | None = "status_code",
+    error_code: int = 2,
+) -> DataFrame:
+    """RED metrics from spans — the OTel ``spanmetrics`` connector analog:
+    per ``(service, span name, tumbling window)``, request count, error
+    count, and an OTLP explicit-bounds duration histogram whose output
+    shape (``bucket_counts``/``explicit_bounds``) feeds
+    :func:`histogram_quantile` directly — spans in, dashboards'
+    p50/p95/p99 out, no metrics backend in between.
+
+    Bucket semantics are OTLP's (non-cumulative, upper-inclusive): bucket
+    0 counts ``duration <= bounds[0]``, bucket i counts ``bounds[i-1] <
+    duration <= bounds[i]``, the last bucket ``> bounds[-1]``.  Spans with
+    a NULL duration count toward ``n_calls``/``n_errors`` but no bucket
+    (their latency is unknown — inventing a bucket would skew quantiles);
+    ``duration_sum`` likewise skips them.
+
+    Plan: ONE hash aggregate on ``(service, name, window)`` — every bucket
+    is a conditional sum riding the same aggregate (map-side partials), so
+    a 10^12-span scan shuffles one row per (service, operation, window),
+    the cardinality of the DASHBOARD, not of the traffic.  Pure JVM
+    expressions end to end.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    if not bounds or list(bounds) != sorted(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"bounds must be non-empty and strictly increasing, got {bounds}")
+    missing = [
+        c
+        for c in [service_col, name_col, ts_col, duration_col]
+        + ([status_col] if status_col is not None else [])
+        if c not in spans.columns
+    ]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    width = float(window_s)
+    w = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(width)
+    ).cast("long")
+    dur = F.col(duration_col).cast("double")
+    conds = []
+    for i in range(len(bounds)):
+        c = dur <= F.lit(float(bounds[i]))
+        if i > 0:
+            c = c & (dur > F.lit(float(bounds[i - 1])))
+        conds.append(c)
+    conds.append(dur > F.lit(float(bounds[-1])))
+    bucket_aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"_b{i}") for i, c in enumerate(conds)
+    ]
+    err = (
+        F.sum(F.when(F.col(status_col) == error_code, 1).otherwise(0))
+        if status_col is not None
+        else F.lit(0).cast("long")
+    )
+    agg = (
+        spans.groupBy(
+            F.col(service_col).alias("service"),
+            F.col(name_col).alias("name"),
+            w.alias("_w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            err.alias("n_errors"),
+            F.sum(dur).alias("duration_sum"),
+            *bucket_aggs,
+        )
+    )
+    return agg.select(
+        "service",
+        "name",
+        (F.col("_w") * width).cast("timestamp").alias("window_start"),
+        "n_calls",
+        "n_errors",
+        "duration_sum",
+        F.array(*[F.col(f"_b{i}") for i in range(len(conds))]).alias("bucket_counts"),
+        F.array(*[F.lit(float(b)) for b in bounds]).alias("explicit_bounds"),
+    )
