@@ -2375,9 +2375,13 @@ def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 211 == 0, 2).otherwise(1).alias("status_code"),
         F.col("ts").alias("start_timestamp"),
         (F.col("event_id") % 1_000_000).alias("duration_us"),
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("span_id"),
     )
     out = span_metrics(
-        spans, window_s=3600, bounds=(10_000.0, 100_000.0, 500_000.0)
+        spans,
+        window_s=3600,
+        bounds=(10_000.0, 100_000.0, 500_000.0),
+        exemplar_col="span_id",
     )
     return out.select(
         "service",
@@ -2389,6 +2393,9 @@ def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("bucket_counts").cast("array<string>")).alias(
             "buckets"
         ),
+        # array_join with a null marker: empty buckets keep their slot (a
+        # bare concat_ws would silently drop NULLs and shift positions)
+        F.array_join(F.col("exemplars"), ",", "-").alias("exemplar_ids"),
     )
 
 
@@ -2990,7 +2997,8 @@ def oracle_sql() -> dict[str, str]:
                      'op' || CAST(event_id % 5 AS VARCHAR) AS name,
                      CASE WHEN event_id % 211 = 0 THEN 2 ELSE 1 END AS status,
                      CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w,
-                     CAST(event_id % 1000000 AS DOUBLE) AS dur
+                     CAST(event_id % 1000000 AS DOUBLE) AS dur,
+                     's' || CAST(event_id AS VARCHAR) AS span_id
               FROM events
             )
             SELECT service, name,
@@ -3008,7 +3016,17 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS VARCHAR)
                    || ',' ||
                    CAST(SUM(CASE WHEN dur > 500000 THEN 1 ELSE 0 END) AS VARCHAR)
-                     AS buckets
+                     AS buckets,
+                   COALESCE(MIN(CASE WHEN dur <= 10000 THEN span_id END), '-')
+                   || ',' ||
+                   COALESCE(MIN(CASE WHEN dur > 10000 AND dur <= 100000
+                                     THEN span_id END), '-')
+                   || ',' ||
+                   COALESCE(MIN(CASE WHEN dur > 100000 AND dur <= 500000
+                                     THEN span_id END), '-')
+                   || ',' ||
+                   COALESCE(MIN(CASE WHEN dur > 500000 THEN span_id END), '-')
+                     AS exemplar_ids
             FROM sp GROUP BY 1, 2, 3
         """,
         # the three tail-sampling policies replayed relationally: per-trace

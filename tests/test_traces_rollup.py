@@ -249,3 +249,20 @@ def test_span_metrics_validation(spark, red_spans):
         span_metrics(red_spans, bounds=())
     with pytest.raises(ValueError, match="unknown columns"):
         span_metrics(red_spans.drop("duration_us"))
+
+
+def test_span_metrics_exemplars(spark, red_spans):
+    spans = red_spans.withColumn(
+        "span_id", F.concat(F.lit("s"), F.col("duration_us").cast("string"))
+    )
+    out = {
+        (r["service"], r["name"], r["window_start"].minute): r
+        for r in span_metrics(spans, window_s=60, exemplar_col="span_id").collect()
+    }
+    g0 = out[("api", "GET", 0)]
+    # each populated bucket carries the MIN exemplar of its spans; empty
+    # buckets (and the NULL-duration-only group) hold NULL
+    assert g0["exemplars"] == ["s500", "s5000", None, None, "s2000000"]
+    assert out[("db", "SELECT", 0)]["exemplars"] == [None] * 5
+    with pytest.raises(ValueError, match="unknown columns"):
+        span_metrics(spans, exemplar_col="nope")

@@ -250,6 +250,7 @@ def span_metrics(
     bounds: tuple[float, ...] = (1_000.0, 10_000.0, 100_000.0, 1_000_000.0),
     status_col: str | None = "status_code",
     error_code: int = 2,
+    exemplar_col: str | None = None,
 ) -> DataFrame:
     """RED metrics from spans — the OTel ``spanmetrics`` connector analog:
     per ``(service, span name, tumbling window)``, request count, error
@@ -265,11 +266,17 @@ def span_metrics(
     (their latency is unknown — inventing a bucket would skew quantiles);
     ``duration_sum`` likewise skips them.
 
+    ``exemplar_col`` (e.g. ``"span_id"`` or ``"trace_id"``) adds
+    ``exemplars`` — per bucket, the MINIMUM exemplar value among that
+    bucket's spans (OTel exemplars: "click the p99 spike, open a real
+    trace").  The min pick is deterministic under any partitioning and
+    ANSI-replayable; a bucket with no spans holds NULL.
+
     Plan: ONE hash aggregate on ``(service, name, window)`` — every bucket
-    is a conditional sum riding the same aggregate (map-side partials), so
-    a 10^12-span scan shuffles one row per (service, operation, window),
-    the cardinality of the DASHBOARD, not of the traffic.  Pure JVM
-    expressions end to end.
+    is a conditional sum (and optionally a conditional min) riding the
+    same aggregate (map-side partials), so a 10^12-span scan shuffles one
+    row per (service, operation, window), the cardinality of the
+    DASHBOARD, not of the traffic.  Pure JVM expressions end to end.
     """
     if window_s <= 0:
         raise ValueError(f"window_s must be > 0, got {window_s}")
@@ -279,6 +286,7 @@ def span_metrics(
         c
         for c in [service_col, name_col, ts_col, duration_col]
         + ([status_col] if status_col is not None else [])
+        + ([exemplar_col] if exemplar_col is not None else [])
         if c not in spans.columns
     ]
     if missing:
@@ -298,6 +306,11 @@ def span_metrics(
     bucket_aggs = [
         F.sum(F.when(c, 1).otherwise(0)).alias(f"_b{i}") for i, c in enumerate(conds)
     ]
+    if exemplar_col is not None:
+        bucket_aggs += [
+            F.min(F.when(c, F.col(exemplar_col))).alias(f"_x{i}")
+            for i, c in enumerate(conds)
+        ]
     err = (
         F.sum(F.when(F.col(status_col) == error_code, 1).otherwise(0))
         if status_col is not None
@@ -325,4 +338,9 @@ def span_metrics(
         "duration_sum",
         F.array(*[F.col(f"_b{i}") for i in range(len(conds))]).alias("bucket_counts"),
         F.array(*[F.lit(float(b)) for b in bounds]).alias("explicit_bounds"),
+        *(
+            [F.array(*[F.col(f"_x{i}") for i in range(len(conds))]).alias("exemplars")]
+            if exemplar_col is not None
+            else []
+        ),
     )
