@@ -2474,7 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     did NOT cover (dedup, similarity, pagerank/bm25, curation/sampling,
     the new table-format + telemetry rows) plus the most-central repeats
     (flagship, T1/T2/T3, enrich/asof — changed in r5 — rollup),
-    so the r04 ∪ r05 driver records cover all 92 except `bpe_tokenize`
+    so the r04 ∪ r05 driver records cover all 93 except `bpe_tokenize`
     (rows-only by declared design — a driver check would add nothing over
     its committed local record).  The queries displaced past slot 50 were
     ALL hash-verified green in CORRECTNESS_r04 and are unchanged since, and
