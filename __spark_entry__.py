@@ -2399,6 +2399,55 @@ def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end to end
+    (plans/matview.py): events land in the table shim in THREE append
+    snapshots; the view is built after the first and incrementally
+    refreshed over the other two (each refresh reads ONLY that window's
+    changelog, never rescans the table).  The returned view rows must
+    equal the oracle's from-scratch GROUP BY over ALL events — pinning
+    "O(delta) refresh ≡ full recompute", the whole point of the module."""
+    import shutil
+    import tempfile
+
+    from vector_spark.plans import matview as MV
+    from vector_spark.plans import table_format as TF
+    from vector_spark.plans.checkpoint import PART_COL
+
+    # integer micro-units (the house doctrine): BIGINT sums are exact under
+    # any partial-merge order, where double sums drift by ulps
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_id") % 3).cast("string").alias(PART_COL),
+    )
+    aggs = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    base = tempfile.mkdtemp(prefix="vs_matview_")
+    try:
+        TF.write_multi_sink({"facts": ev.where(F.col("event_id") % 3 == 0)}, base)
+        MV.matview_build(spark, base, "facts", "mv", ["event_type"], aggs)
+        TF.write_multi_sink({"facts": ev.where(F.col("event_id") % 3 == 1)}, base)
+        MV.matview_refresh(spark, base, "facts", "mv", ["event_type"], aggs)
+        TF.write_multi_sink({"facts": ev.where(F.col("event_id") % 3 == 2)}, base)
+        MV.matview_refresh(spark, base, "facts", "mv", ["event_type"], aggs)
+        out = (
+            TF.read_table(spark, base, "mv")
+            .select("event_type", "n", "total", "lo", "hi")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "event_type string, n long, total long, lo long, hi long"
+    )
+
+
 def _infer_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The JSON column both schema-inference queries profile: constructed
     # from event columns so fields flip types across rows (status:
@@ -2506,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_schema_merged": q_infer_schema_merged,
         "trace_tail_sample": q_tail_sample,
         "trace_span_metrics": q_span_metrics,
+        "table_matview_incremental": q_matview_incremental,
         # -- the core-transform sentinels (t1/t2/t3/t7/t8/t9 — all
         # -- r04-green and unchanged) yield their slots to the six new
         # -- queries above and sit just below the boundary
@@ -2987,6 +3037,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY key
             HAVING COUNT(*) > 0.015 * (SELECT COUNT(*) FROM events)
+        """,
+        # the from-scratch aggregate the O(delta) refresh chain must equal
+        "table_matview_incremental": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS total,
+                   MIN(CAST(floor(value * 100) AS BIGINT)) AS lo,
+                   MAX(CAST(floor(value * 100) AS BIGINT)) AS hi
+            FROM events GROUP BY 1
         """,
         # the RED aggregate recomputed from the source columns: every
         # bucket is SUM of its generating CASE, durations are
