@@ -2523,7 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     did NOT cover (dedup, similarity, pagerank/bm25, curation/sampling,
     the new table-format + telemetry rows) plus the most-central repeats
     (flagship, T1/T2/T3, enrich/asof — changed in r5 — rollup),
-    so the r04 ∪ r05 driver records cover all 93 except `bpe_tokenize`
+    so the r04 ∪ r05 driver records cover all 94 except `bpe_tokenize`
     (rows-only by declared design — a driver check would add nothing over
     its committed local record).  The queries displaced past slot 50 were
     ALL hash-verified green in CORRECTNESS_r04 and are unchanged since, and
@@ -2534,7 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- flagship + the rows new or changed in r5 (never driver-checked)
         "flagship_routed": q_flagship_routed,
-        "flagship_agg": q_flagship_agg,
         "flagship_iceberg": q_flagship_iceberg,
         "table_count_pushdown": q_table_count_pushdown,
         "src_otlp_traces": q_otlp_traces,
@@ -2557,8 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_span_metrics": q_span_metrics,
         "table_matview_incremental": q_matview_incremental,
         # -- the core-transform sentinels (t1/t2/t3/t7/t8/t9 — all
-        # -- r04-green and unchanged) yield their slots to the six new
-        # -- queries above and sit just below the boundary
+        # -- r04-green and unchanged) yield their slots to the new queries
+        # -- above and sit just below the boundary
         # -- joins/enrichment (asof + ip-range changed in r5: re-verify)
         "enrich_ip_ranges": q_ip_range_enrich,
         "asof_join_state": q_asof_join,
@@ -2595,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round
+        "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
         "t3_route": q_route,
