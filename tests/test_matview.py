@@ -137,3 +137,22 @@ def test_validation_and_state_guards(spark, tmp_path):
         MV.matview_build(spark, base, "facts", "mv", ["svc"], AGGS)
     with pytest.raises(ValueError, match="tracks source"):
         MV.matview_refresh(spark, base, "other", "mv", ["svc"], AGGS)
+
+
+def test_matview_over_hidden_partitioned_source(spark, tmp_path):
+    # the changelog reader works per-spec; the view must not care how the
+    # source is laid out
+    base = str(tmp_path / "t")
+    # a spec'd sink's partitions derive from the data, so a second batch
+    # hits ALREADY-COMMITTED partitions — write_multi_sink's partition-
+    # level exactly-once model deliberately skips those; add_files is the
+    # file-level append for that case, and the changelog reports it
+    TF.write_multi_sink(
+        {"facts": _events(spark, 0, 300, "p0")}, base,
+        spec=[("bucket", "svc", 4)], run_id="w1",
+    )
+    MV.matview_build(spark, base, "facts", "mv", ["svc"], AGGS)
+    TF.add_files(spark, base, "facts", _events(spark, 300, 600, "p1"))
+    out = MV.matview_refresh(spark, base, "facts", "mv", ["svc"], AGGS)
+    assert out["mode"] == "incremental"
+    assert _view(spark, base) == _expected(spark, base)
