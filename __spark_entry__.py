@@ -1097,6 +1097,81 @@ def q_vrl_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vrl_parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VRL parse_logfmt (r5) over logfmt lines synthesized closed-form from
+    # event_id: a plain-quoted value, a value with ESCAPED quotes (every
+    # 7th), a bare flag token (every 5th), and a duration suffix.  The
+    # oracle re-derives every parsed field arithmetically from the same
+    # residues — ground truth by construction, not the parser checking
+    # itself.
+    from vector_spark.vrl import compile_condition
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    lvl = F.element_at(
+        F.array(F.lit("info"), F.lit("warn"), F.lit("error")),
+        (eid % 3 + 1).cast("int"),
+    )
+    msg_val = F.when(
+        eid % 7 == 0,
+        F.concat(F.lit('"he said \\"ok\\" '), (eid % 100).cast("string"), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit('"request '), (eid % 100).cast("string"), F.lit(' done"'))
+    )
+    line = F.concat_ws(
+        " ",
+        F.concat(F.lit("level="), lvl),
+        F.concat(F.lit("msg="), msg_val),
+        F.concat(F.lit("host=h"), (eid % 20).cast("string")),
+        F.concat(F.lit("dur="), (eid % 500).cast("string"), F.lit("ms")),
+        F.when(eid % 5 == 0, F.lit("cached")),
+    )
+    lines = ev.select("event_id", line.alias("line"))
+    m = compile_condition("parse_logfmt(.line)", columns=["event_id", "line"])
+    return lines.select(
+        "event_id",
+        F.element_at(m, "level").alias("level"),
+        F.element_at(m, "msg").alias("msg"),
+        F.element_at(m, "host").alias("host"),
+        F.replace(F.element_at(m, "dur"), F.lit("ms"), F.lit(""))
+        .cast("int")
+        .alias("dur_ms"),
+        F.coalesce(F.element_at(m, "cached") == "", F.lit(False)).alias("cached"),
+    )
+
+
+def q_vrl_redact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VRL r5 scalar surface with a DuckDB twin: redact (multi-filter regex
+    # chain over a synthesized email+digits string), snakecase (over a
+    # synthesized CamelCase title), and md5/sha256/base64 over the REAL
+    # document text (both engines hash the same UTF-8 bytes; base64
+    # truncated to 16 chars — before any historical 76-char MIME wrap
+    # could differ).  sha1/crc32 have no DuckDB twin and are pinned by
+    # unit tests instead.
+    from vector_spark.vrl import compile_condition
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.lit("u"), did.cast("string"),
+        F.lit("@x"), (did % 10).cast("string"),
+        F.lit(".com tag-"), F.char(did % 26 + 97),
+        F.lit(" n="), (did % 100).cast("string"),
+    )
+    title = F.concat(F.lit("DocTitle"), (did % 37).cast("string"))
+    src = docs.select("doc_id", "text", pii.alias("pii"), title.alias("title"))
+    cols = ["doc_id", "text", "pii", "title"]
+    cc = lambda expr: compile_condition(expr, columns=cols)
+    return src.select(
+        "doc_id",
+        cc(r"redact(.pii, [r'[\w.]+@[\w.]+', r'\d+'])").alias("redacted"),
+        cc("snakecase(.title)").alias("snake"),
+        F.substring(cc("md5(.text)"), 1, 8).alias("md5_8"),
+        F.substring(cc("sha2(.text)"), 1, 8).alias("sha256_8"),
+        F.substring(cc("encode_base64(.text)"), 1, 16).alias("b64_16"),
+    )
+
+
 def q_vrl_parse_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VRL parse_user_agent over five canonical UA shapes selected by
     # doc_id % 5 (Chrome/Windows, Safari/macOS, Safari/iPhone,
@@ -2555,6 +2630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_tail_sample": q_tail_sample,
         "trace_span_metrics": q_span_metrics,
         "table_matview_incremental": q_matview_incremental,
+        "vrl_parse_logfmt": q_vrl_parse_logfmt,
+        "vrl_redact_hash": q_vrl_redact_hash,
         # -- the core-transform sentinels (t1/t2/t3/t7/t8/t9 — all
         # -- r04-green and unchanged) yield their slots to the new queries
         # -- above and sit just below the boundary
@@ -2570,7 +2647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_neardup_filter": q_dedup_neardup_filter,
         "dedup_incremental": q_dedup_incremental,
         "dedup_cc_components": q_dedup_cc,
-        "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
         "dedup_paragraph": q_dedup_paragraph,
         "dedup_spans": q_dedup_spans,
         "dedup_semdedup": q_dedup_semdedup,
@@ -2578,7 +2654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search (unchecked by the driver in r04)
         "sim_bruteforce_topk": q_sim_bruteforce,
         "sim_pq_topk": q_sim_pq,
-        "sim_ivf_topk": q_sim_ivf,
         # -- analytics/curation (unchecked by the driver in r04)
         "host_pagerank": q_host_pagerank,
         "search_bm25_topk": q_bm25_topk,
@@ -2593,7 +2668,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         # ---- slot 50 boundary: everything below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
-        # ---- via check_oracles.py each round
+        # ---- via check_oracles.py each round.  Two exceptions displaced
+        # ---- by the r5 vrl_parse_logfmt/vrl_redact_hash rows:
+        # ---- sim_ivf_topk (rows-only by declared design — a driver check
+        # ---- adds nothing beyond its committed local record + pinned
+        # ---- recall tests) and dedup_neardup_filter_cc (a composition of
+        # ---- dedup_cc_components + dedup_neardup_filter, both still
+        # ---- inside the window)
+        "sim_ivf_topk": q_sim_ivf,
+        "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
         "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -3819,6 +3902,41 @@ def oracle_sql() -> dict[str, str]:
                    WHEN 2 THEN 60.0 ELSE 3600.0 END), 6) AS seconds
           FROM events
           ORDER BY event_id
+        """,
+        # parse_logfmt oracle: every field re-derived arithmetically from
+        # the event_id residues the Spark side synthesized the line from —
+        # ground truth by construction (the escaped-quote arm included).
+        "vrl_parse_logfmt": """
+          SELECT event_id,
+                 CASE CAST(event_id % 3 AS INT)
+                   WHEN 0 THEN 'info' WHEN 1 THEN 'warn' ELSE 'error'
+                 END AS level,
+                 CASE WHEN event_id % 7 = 0
+                   THEN 'he said "ok" ' || (event_id % 100)
+                   ELSE 'request ' || (event_id % 100) || ' done'
+                 END AS msg,
+                 'h' || (event_id % 20) AS host,
+                 CAST(event_id % 500 AS INT) AS dur_ms,
+                 (event_id % 5 = 0) AS cached
+          FROM events
+        """,
+        # redact/snakecase re-derived from the same residues; md5/sha256/
+        # base64 computed by DuckDB over the SAME real text bytes (b64
+        # truncated to 16 chars — inside the first wrap line of any MIME
+        # encoder, so wrapping conventions cannot differ).
+        "vrl_redact_hash": r"""
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                     'u' || doc_id || '@x' || (doc_id % 10) || '.com tag-'
+                         || chr(CAST(doc_id % 26 + 97 AS INT))
+                         || ' n=' || (doc_id % 100),
+                     '[\w.]+@[\w.]+', '[REDACTED]', 'g'),
+                   '\d+', '[REDACTED]', 'g') AS redacted,
+                 'doc_title' || (doc_id % 37) AS snake,
+                 substr(md5(text), 1, 8) AS md5_8,
+                 substr(sha256(text), 1, 8) AS sha256_8,
+                 substr(base64(CAST(text AS BLOB)), 1, 16) AS b64_16
+          FROM documents
         """,
         "vrl_parse_url": """
           SELECT doc_id,

@@ -391,3 +391,191 @@ def test_syslog_level_and_array_helpers(spark):
     assert rows[0].fl == ["a", "b", "c", "d"]
     assert [r.inc for r in rows] == [True, True, False]
     assert [r.empty for r in rows] == [False, False, False]
+
+
+def test_multiplicative_arithmetic(spark):
+    """Round-5 grammar widening: * / % bind tighter than +/-."""
+    df = spark.createDataFrame([(7, 2.0)], "i long, f double")
+    row = df.select(
+        compile_condition(".i * 3").alias("mul"),
+        compile_condition(".i % 4").alias("mod_op"),
+        compile_condition("mod(.i, 4)").alias("mod_fn"),
+        compile_condition(".f / 4").alias("div"),
+        compile_condition(".i + 2 * 3").alias("prec"),
+        compile_condition("(.i + 2) * 3").alias("paren"),
+        compile_condition("-.i * 2").alias("neg"),
+    ).collect()[0]
+    assert row.mul == 21 and row.mod_op == 3 and row.mod_fn == 3
+    assert row.div == 0.5
+    assert row.prec == 13 and row.paren == 27 and row.neg == -14
+
+
+def test_hash_and_json_functions(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    row = df.select(
+        compile_condition("sha1(.s)").alias("sha1"),
+        compile_condition("crc32(.s)").alias("crc"),
+        compile_condition('encode_json(parse_key_value("a=1", "=", " "))').alias("ej"),
+        compile_condition("is_empty(.s)").alias("ne"),
+        compile_condition('is_empty("")').alias("e"),
+    ).collect()[0]
+    assert row.sha1 == "a9993e364706816aba3e25717850c26c9cd0d89d"  # known sha1("abc")
+    assert row.crc == 891568578  # known crc32("abc")
+    assert row.ej == '{"a":"1"}'
+    assert not row.ne and row.e
+
+
+def test_redact(spark):
+    df = spark.createDataFrame(
+        [("card 4111-1111-1111-1111 from bob@example.com",)], "s string"
+    )
+    single = df.select(
+        compile_condition(r"redact(.s, r'\d{4}(?:-\d{4}){3}')").alias("v")
+    ).collect()[0].v
+    assert single == "card [REDACTED] from bob@example.com"
+    multi = df.select(
+        compile_condition(
+            r"redact(.s, [r'\d{4}(?:-\d{4}){3}', r'[\w.]+@[\w.]+'])"
+        ).alias("v")
+    ).collect()[0].v
+    assert multi == "card [REDACTED] from [REDACTED]"
+    with pytest.raises(VRLError, match="literal regex"):
+        compile_condition("redact(.s, .s)")
+
+
+def test_case_conversions(spark):
+    df = spark.createDataFrame([("my_snake-case exampleValue",)], "s string")
+    row = df.select(
+        compile_condition("camelcase(.s)").alias("c"),
+        compile_condition("pascalcase(.s)").alias("p"),
+        compile_condition("snakecase(.s)").alias("sn"),
+        compile_condition("kebabcase(.s)").alias("k"),
+        compile_condition("screamingsnakecase(.s)").alias("sc"),
+    ).collect()[0]
+    assert row.c == "mySnakeCaseExampleValue"
+    assert row.p == "MySnakeCaseExampleValue"
+    assert row.sn == "my_snake_case_example_value"
+    assert row.k == "my-snake-case-example-value"
+    assert row.sc == "MY_SNAKE_CASE_EXAMPLE_VALUE"
+
+
+def test_strip_ansi_escape_codes(spark):
+    df = spark.createDataFrame(
+        [("\x1b[31;1mred\x1b[0m plain \x1b]0;title\x07after \x1bMup",)], "s string"
+    )
+    got = df.select(
+        compile_condition("strip_ansi_escape_codes(.s)").alias("v")
+    ).collect()[0].v
+    assert got == "red plain after up"
+
+
+def test_parse_logfmt_round_trip(spark):
+    """parse_logfmt inverts the sink logfmt encoder (quotes, escapes,
+    newline folds) — checked against logfmt_expr output, not hand-written
+    strings, so the two paths cannot drift."""
+    from vector_spark.plans.sinks import logfmt_expr
+
+    df = spark.createDataFrame(
+        [("plain", 'sp ace', 'q"uote', "back\\slash", "line\nbreak", None)],
+        "a string, b string, c string, d string, e string, f string",
+    )
+    line = df.select(logfmt_expr(df).alias("line"))
+    m = line.select(
+        compile_condition("parse_logfmt(.line)", columns=["line"]).alias("m")
+    ).collect()[0].m
+    assert m == {
+        "a": "plain", "b": "sp ace", "c": 'q"uote',
+        "d": "back\\slash", "e": "line\nbreak",
+    }  # NULL f omitted by the encoder
+    # bare token → "" value; blank line → NULL map (recoverable)
+    df2 = spark.createDataFrame([("x=1 flag", "  ")], "s string, blank string")
+    row = df2.select(
+        compile_condition("parse_logfmt(.s)").alias("m"),
+        compile_condition("parse_logfmt(.blank)").alias("b"),
+    ).collect()[0]
+    assert row.m == {"x": "1", "flag": ""} and row.b is None
+
+
+def test_parse_nginx_log(spark):
+    combined = (
+        '203.0.113.9 - alice [12/Mar/2024:09:30:01 +0000] '
+        '"POST /api/v1 HTTP/1.1" 201 512 "https://ref.example/" "curl/8.0"'
+    )
+    err_line = "2024/03/12 09:30:02 [warn] 77#3: *9 upstream timed out"
+    df = spark.createDataFrame([(combined, err_line)], "c string, e string")
+    row = df.select(
+        compile_condition('parse_nginx_log(.c, "combined")').alias("c"),
+        compile_condition('parse_nginx_log(.e, "error")').alias("e"),
+        compile_condition('parse_nginx_log(.e, "combined")').alias("miss"),
+    ).collect()[0]
+    assert row.c["client"] == "203.0.113.9" and row.c["user"] == "alice"
+    assert row.c["method"] == "POST" and row.c["status"] == "201"
+    assert row.c["size"] == "512" and row.c["agent"] == "curl/8.0"
+    assert row.e == {
+        "timestamp": "2024/03/12 09:30:02", "severity": "warn",
+        "pid": "77", "tid": "3", "cid": "9", "message": "upstream timed out",
+    }
+    assert row.miss is None
+    with pytest.raises(VRLError, match="combined.*or.*error"):
+        compile_condition('parse_nginx_log(.c, "main")')
+
+
+def test_parse_glog(spark):
+    df = spark.createDataFrame(
+        [("W0102 03:04:05.000001  9 server.cc:123] slow request",)], "s string"
+    )
+    m = df.select(compile_condition("parse_glog(.s)").alias("m")).collect()[0].m
+    assert m == {
+        "level": "warning", "timestamp": "0102 03:04:05.000001", "id": "9",
+        "file": "server.cc", "line": "123", "message": "slow request",
+    }
+
+
+def test_parse_cef(spark):
+    line = (
+        "CEF:1|Sec\\|Vendor|tm|2.0|100|detected \\\\ thing|7|"
+        "src=10.0.0.1 msg=two words dst=10.0.0.2"
+    )
+    bare = "CEF:0|v|p|1|id|n|3|"
+    df = spark.createDataFrame([(line, bare, "not cef")], "a string, b string, c string")
+    row = df.select(
+        compile_condition("parse_cef(.a)").alias("a"),
+        compile_condition("parse_cef(.b)").alias("b"),
+        compile_condition("parse_cef(.c)").alias("c"),
+    ).collect()[0]
+    assert row.a["cefVersion"] == "1"
+    assert row.a["deviceVendor"] == "Sec|Vendor"  # \| unescaped
+    assert row.a["name"] == "detected \\ thing"  # \\ unescaped
+    assert row.a["severity"] == "7"
+    assert row.a["src"] == "10.0.0.1" and row.a["dst"] == "10.0.0.2"
+    assert row.a["msg"] == "two words"  # value spaces kept until next key=
+    assert row.b["deviceEventClassId"] == "id" and "src" not in row.b
+    assert row.c is None
+
+
+def test_to_syslog_facility(spark):
+    df = spark.createDataFrame([(0,), (4,), (16,), (23,), (24,)], "f int")
+    got = [
+        r.v
+        for r in df.select(
+            compile_condition("to_syslog_facility(.f)").alias("v")
+        ).collect()
+    ]
+    assert got == ["kern", "auth", "local0", "local7", None]
+
+
+def test_round5_functions_stay_jvm(spark):
+    """Every round-5 addition compiles to pure Column expressions — no
+    Python UDF anywhere in the optimized plan."""
+    df = spark.createDataFrame([("x",)], "s string")
+    plan = df.select(
+        compile_condition("sha1(.s)").alias("a"),
+        compile_condition("crc32(.s)").alias("b"),
+        compile_condition("redact(.s, r'x')").alias("c"),
+        compile_condition("snakecase(.s)").alias("d"),
+        compile_condition("parse_logfmt(.s)").alias("e"),
+        compile_condition('parse_nginx_log(.s, "combined")').alias("f"),
+        compile_condition("parse_cef(.s)").alias("g"),
+        compile_condition("strip_ansi_escape_codes(.s)").alias("h"),
+    )
+    assert "pythonudf" not in plan._jdf.queryExecution().optimizedPlan().toString().lower()

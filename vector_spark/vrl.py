@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<number>\d+\.\d+|\d+)
   | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\|\||&&|\?\?|==|!=|>=|<=|[<>!()+,=\[\]-])
+  | (?P<op>\|\||&&|\?\?|==|!=|>=|<=|[<>!()+,=\[\]*/%-])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
     """,
     re.VERBOSE,
@@ -194,13 +194,31 @@ class _Parser:
         return left
 
     def add(self) -> Column:
-        left = self.primary()
+        left = self.mul()
         while True:
             t = self.peek()
             if t and t.kind == "op" and t.value in ("+", "-"):
                 op = self.next().value
-                right = self.primary()
+                right = self.mul()
                 left = (left + right) if op == "+" else (left - right)
+            else:
+                return left
+
+    def mul(self) -> Column:
+        # multiplicative level binds tighter than +/- (standard VRL
+        # arithmetic); % is integer/float modulo as in VRL's `mod`.
+        left = self.primary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.value in ("*", "/", "%"):
+                op = self.next().value
+                right = self.primary()
+                if op == "*":
+                    left = left * right
+                elif op == "/":
+                    left = left / right
+                else:
+                    left = left % right
             else:
                 return left
 
@@ -269,7 +287,10 @@ class _Parser:
                         elif self.i - start == 1 and self.toks[start].kind == "rawstr":
                             raws.append(self.toks[start].value[2:-1])
                         else:
-                            raws.append(None)
+                            # array-of-literals capture ([r'a', "b"]) — some
+                            # functions (redact filters) need the PATTERN
+                            # STRINGS of a whole literal list, not Columns
+                            raws.append(self._literal_list(start, self.i))
                         if self.accept("op", ")"):
                             break
                         if not self.accept("op", ","):
@@ -280,10 +301,38 @@ class _Parser:
             raise VRLError(f"unknown identifier {name!r}")
         raise VRLError(f"unexpected token {t!r}")
 
+    def _literal_list(self, start: int, end: int) -> list[str] | None:
+        """If tokens [start, end) form a pure literal array `[lit, lit, …]`,
+        return the unescaped literal strings; else None."""
+        toks = self.toks[start:end]
+        if (
+            len(toks) < 3
+            or toks[0].kind != "op" or toks[0].value != "["
+            or toks[-1].kind != "op" or toks[-1].value != "]"
+        ):
+            return None
+        out: list[str] = []
+        expect_lit = True
+        for t in toks[1:-1]:
+            if expect_lit:
+                if t.kind == "string":
+                    out.append(_unescape(t.value[1:-1]))
+                elif t.kind == "rawstr":
+                    out.append(t.value[2:-1])
+                else:
+                    return None
+            else:
+                if t.kind != "op" or t.value != ",":
+                    return None
+            expect_lit = not expect_lit
+        return out if out else None
+
     def _call(
         self, name: str, args: list[Column], raws: list[str | None] | None = None
     ) -> Column:
         base = name.rstrip("!")  # `f!` = fallible-abort; NULL-on-error in Column form
+        # upstream-VRL aliases that share an implementation 1:1
+        base = {"parse_common_log": "parse_apache_log"}.get(base, base)
         if base == "exists":
             return args[0].isNotNull()
         if base == "contains":
@@ -652,6 +701,214 @@ class _Parser:
                 for x in (F.lit(nm), F.regexp_extract(s, java_rx, idx))
             ]
             return F.when(s.rlike(java_rx), F.create_map(*entries))
+        if base == "sha1":
+            return F.sha1(args[0].cast("string").cast("binary"))
+        if base == "crc32":
+            return F.crc32(args[0].cast("string").cast("binary"))
+        if base == "mod":
+            return args[0] % args[1]
+        if base == "is_empty":
+            # strings (and anything string-renderable): true iff length 0.
+            # Our typed build has no dynamically-typed arrays/maps flowing
+            # through conditions, so the string form covers the observed use.
+            return F.length(args[0].cast("string")) == 0
+        if base == "encode_json":
+            # VRL encode_json(value) → JSON text; map/struct/array columns
+            # serialize via the JVM to_json, scalars via JSON-style quoting.
+            return F.to_json(args[0])
+        if base == "strip_ansi_escape_codes":
+            # CSI sequences (colors, cursor), OSC titles, and bare 2-char
+            # escapes — one compiled regex, pure codegen.
+            return F.regexp_replace(
+                args[0].cast("string"),
+                "(?:\\[[0-?]*[ -/]*[@-~]|\\][^]*(?:|\\\\)|[@-Z\\\\^_-])",
+                "",
+            )
+        if base == "redact":
+            # VRL redact(value, filters: [r'…', …]) — every match of every
+            # literal regex filter replaced by [REDACTED].  Patterns must be
+            # literals (single or an array of them) so they compile ONCE at
+            # plan time; applied left-to-right as regexp_replace chain.
+            pats = raws[1] if raws and len(raws) > 1 else None
+            if isinstance(pats, str):
+                pats = [pats]
+            if not pats or not isinstance(pats, list):
+                raise VRLError(
+                    "redact needs literal regex filter(s): "
+                    "redact(.field, r'…') or redact(.field, [r'…', r'…'])"
+                )
+            out = args[0].cast("string")
+            for p in pats:
+                out = F.regexp_replace(out, p, "[REDACTED]")
+            return out
+        if base in ("camelcase", "pascalcase", "snakecase", "kebabcase",
+                    "screamingsnakecase"):
+            # VRL case conversions.  Word split: lower→upper boundaries plus
+            # any run of '-', '_' or whitespace (documented delta vs upstream:
+            # no acronym lookahead — "HTTPServer" is one word).
+            s = args[0].cast("string")
+            spaced = F.regexp_replace(s, r"([a-z0-9])([A-Z])", r"$1 $2")
+            words = F.trim(F.regexp_replace(spaced, r"[-_\s]+", " "))
+            if base == "snakecase":
+                return F.lower(F.regexp_replace(words, " ", "_"))
+            if base == "screamingsnakecase":
+                return F.upper(F.regexp_replace(words, " ", "_"))
+            if base == "kebabcase":
+                return F.lower(F.regexp_replace(words, " ", "-"))
+            pascal = F.regexp_replace(F.initcap(F.lower(words)), " ", "")
+            if base == "pascalcase":
+                return pascal
+            return F.concat(
+                F.lower(F.substring(pascal, 1, 1)),
+                F.substring(pascal, F.lit(2), F.length(pascal)),
+            )
+        if base == "parse_logfmt":
+            # VRL parse_logfmt(value) → map<string,string>.  Inverse of the
+            # sink encoder (plans/sinks.py logfmt_expr): tokens split on
+            # whitespace OUTSIDE double quotes (even-remaining-quotes
+            # lookahead, as parse_csv), `k="…"` values unquoted with the
+            # encoder's escapes reversed (\\ via a private-use sentinel so
+            # `\\n` stays a literal backslash-n), bare `k` → value "".
+            s = F.trim(args[0].cast("string"))
+            # token = `key="quoted, \-escapes allowed"` | plain run of
+            # non-space.  Matching tokens (not splitting on spaces) keeps
+            # escaped quotes inside quoted values intact.
+            toks = F.regexp_extract_all(
+                s, F.lit(r'[^\s"]+="(?:[^"\\]|\\.)*"|\S+'), 0
+            )
+            SENT = ""
+
+            def unq(x: Column) -> Column:
+                inner = F.substring(x, F.lit(2), F.length(x) - 2)
+                inner = F.replace(inner, F.lit("\\\\"), F.lit(SENT))
+                inner = F.replace(inner, F.lit('\\"'), F.lit('"'))
+                inner = F.replace(inner, F.lit("\\n"), F.lit("\n"))
+                inner = F.replace(inner, F.lit("\\r"), F.lit("\r"))
+                inner = F.replace(inner, F.lit("\\t"), F.lit("\t"))
+                return F.replace(inner, F.lit(SENT), F.lit("\\"))
+
+            def entry(t: Column) -> Column:
+                eq = F.instr(t, "=")
+                key = F.substring_index(t, "=", 1)
+                val = F.substring(t, eq + 1, F.length(t))
+                val = F.when(val.rlike('^".*"$'), unq(val)).otherwise(val)
+                return F.struct(
+                    key.alias("key"),
+                    F.when(eq > 0, val).otherwise(F.lit("")).alias("value"),
+                )
+
+            return F.when(
+                s != "",
+                F.map_from_entries(F.transform(toks, entry)),
+            )
+        if base == "parse_nginx_log":
+            # VRL parse_nginx_log(value, format) — format ∈
+            # {combined, error}, literal (regex chosen at compile time).
+            fmt = (raws[1] if raws and len(raws) > 1 else "combined") or "combined"
+            if len(args) > 1 and (not raws or not isinstance(raws[1], str)):
+                raise VRLError("parse_nginx_log: format must be a string literal")
+            msg = args[0].cast("string")
+            if fmt == "combined":
+                rx = (
+                    r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" '
+                    r'(\d+) (\d+) "([^"]*)" "([^"]*)"'
+                )
+                names = ["client", "user", "timestamp", "method", "path",
+                         "protocol", "status", "size", "referer", "agent"]
+            elif fmt == "error":
+                rx = (
+                    r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] "
+                    r"(\d+)#(\d+): (?:\*(\d+) )?(.*)$"
+                )
+                names = ["timestamp", "severity", "pid", "tid", "cid", "message"]
+            else:
+                raise VRLError(
+                    f"parse_nginx_log: format must be 'combined' or 'error', got {fmt!r}"
+                )
+            entries = [
+                x
+                for i, n in enumerate(names, start=1)
+                for x in (F.lit(n), F.regexp_extract(msg, rx, i))
+            ]
+            return F.when(msg.rlike(rx), F.create_map(*entries))
+        if base == "parse_glog":
+            # VRL parse_glog(value) — google log lines
+            # `I0920 15:09:48.577 12345 file.go:42] msg`.  Delta vs upstream:
+            # `timestamp` is the raw MMDD+time portion (upstream injects the
+            # CURRENT year, which is nondeterministic in a batch replay).
+            rx = (
+                r"^([IWEF])(\d{4} \d{2}:\d{2}:\d{2}(?:\.\d+)?)\s+(\d+) "
+                r"([^\]:]+):(\d+)\] (.*)$"
+            )
+            msg = args[0].cast("string")
+            level = F.element_at(
+                F.create_map(
+                    F.lit("I"), F.lit("info"), F.lit("W"), F.lit("warning"),
+                    F.lit("E"), F.lit("error"), F.lit("F"), F.lit("fatal"),
+                ),
+                F.regexp_extract(msg, rx, 1),
+            )
+            entries = [
+                F.lit("level"), level,
+                F.lit("timestamp"), F.regexp_extract(msg, rx, 2),
+                F.lit("id"), F.regexp_extract(msg, rx, 3),
+                F.lit("file"), F.regexp_extract(msg, rx, 4),
+                F.lit("line"), F.regexp_extract(msg, rx, 5),
+                F.lit("message"), F.regexp_extract(msg, rx, 6),
+            ]
+            return F.when(msg.rlike(rx), F.create_map(*entries))
+        if base == "parse_cef":
+            # VRL parse_cef(value) → flat map: the 7 CEF headers (split on
+            # unescaped '|', `\|`/`\\` unescaped) + the extension key=value
+            # pairs (keys are \w+, values run to the next `key=` token).
+            s = args[0].cast("string")
+            body = F.regexp_extract(s, r"(CEF:.*)$", 1)
+            parts = F.split(body, r"(?<!\\)\|", 8)
+            unesc = lambda c: F.replace(
+                F.replace(c, F.lit(r"\|"), F.lit("|")), F.lit("\\\\"), F.lit("\\")
+            )
+            hdr = ["deviceVendor", "deviceProduct", "deviceVersion",
+                   "deviceEventClassId", "name", "severity"]
+            entries = [
+                F.lit("cefVersion"),
+                F.regexp_extract(F.element_at(parts, 1), r"CEF:(\d+)", 1),
+            ]
+            for i, n in enumerate(hdr, start=2):
+                entries += [F.lit(n), unesc(F.element_at(parts, i))]
+            ext = F.element_at(parts, 8)
+            # keep only real `key=…` tokens: an empty/blank extension block
+            # (a trailing '|') must yield an EMPTY map, not a ""→"" entry
+            ext_toks = F.filter(
+                F.split(F.trim(ext), r"\s+(?=\w+=)"),
+                lambda t: F.instr(t, "=") > 0,
+            )
+            ext_map = F.map_from_entries(
+                F.transform(
+                    ext_toks,
+                    lambda t: F.struct(
+                        F.substring_index(t, "=", 1).alias("key"),
+                        F.substring(t, F.instr(t, "=") + 1, F.length(t)).alias("value"),
+                    ),
+                )
+            )
+            header_map = F.create_map(*entries)
+            return F.when(
+                body.rlike(r"^CEF:\d+(\|(?:[^|\\]|\\.)*){7}"),
+                F.map_concat(header_map, ext_map),
+            ).when(
+                body.rlike(r"^CEF:\d+(\|(?:[^|\\]|\\.)*){6}\|?$"), header_map
+            )
+        if base == "to_syslog_facility":
+            # RFC 5424 facility code → keyword (VRL table).
+            fac = ["kern", "user", "mail", "daemon", "auth", "syslog", "lpr",
+                   "news", "uucp", "cron", "authpriv", "ftp", "ntp",
+                   "security", "console", "solaris-cron"] + [
+                       f"local{i}" for i in range(8)]
+            code = args[0].try_cast("int")
+            return F.when(
+                code.isNotNull() & (code >= 0) & (code <= 23),
+                F.element_at(F.array(*[F.lit(n) for n in fac]), code + 1),
+            )
         raise VRLError(f"unsupported VRL function {name!r}")
 
 
