@@ -949,6 +949,43 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def q_src_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiline log assembly (operators/multiline.py): each event explodes
+    # into a timestamped head line plus event_id%4 indented stack-frame
+    # continuation lines (line numbers and text closed-form from event_id),
+    # then assemble_multiline folds them back per host stream.  The oracle
+    # rebuilds every assembled event directly from the events table (list
+    # comprehension over the same residues + ROW_NUMBER for the per-stream
+    # event counter) — ground truth by construction.
+    from vector_spark.operators import assemble_multiline
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("eid")
+    lines = (
+        ev.select(F.col("event_id").alias("eid"))
+        .select(
+            F.concat(F.lit("h"), (eid % 10).cast("string")).alias("host"),
+            eid,
+            F.explode(F.sequence(F.lit(0), (eid % 4).cast("int"))).alias("j"),
+        )
+        .select(
+            "host",
+            (eid * 10 + F.col("j")).alias("line_no"),
+            F.when(
+                F.col("j") == 0,
+                F.concat(F.lit("2024-01-01 ERROR boom "), eid.cast("string")),
+            )
+            .otherwise(F.concat(F.lit("  at f"), F.col("j").cast("string")))
+            .alias("message"),
+        )
+    )
+    out = assemble_multiline(lines, r"^\d{4}-", stream_by=["host"])
+    return out.select(
+        "host", "event_id", "first_line", "message",
+        F.col("n_lines").cast("long").alias("n_lines"), "orphan",
+    )
+
+
 def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WARC ingest: binaryFile scan (one task per segment) → record walk →
     # JVM-side HTTP head/body split.  The oracle recomputes every field
@@ -2626,12 +2663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "windowed_heavy_hitters": q_windowed_heavy,
         "infer_json_schema": q_infer_schema,
-        "infer_schema_merged": q_infer_schema_merged,
         "trace_tail_sample": q_tail_sample,
         "trace_span_metrics": q_span_metrics,
         "table_matview_incremental": q_matview_incremental,
         "vrl_parse_logfmt": q_vrl_parse_logfmt,
         "vrl_redact_hash": q_vrl_redact_hash,
+        "src_multiline": q_src_multiline,
         # -- the core-transform sentinels (t1/t2/t3/t7/t8/t9 — all
         # -- r04-green and unchanged) yield their slots to the new queries
         # -- above and sit just below the boundary
@@ -2677,6 +2714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- inside the window)
         "sim_ivf_topk": q_sim_ivf,
         "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
+        # ---- infer_schema_merged displaced by src_multiline: it shares its
+        # ---- oracle's kinds CTE with infer_json_schema (still windowed)
+        "infer_schema_merged": q_infer_schema_merged,
         "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -3902,6 +3942,24 @@ def oracle_sql() -> dict[str, str]:
                    WHEN 2 THEN 60.0 ELSE 3600.0 END), 6) AS seconds
           FROM events
           ORDER BY event_id
+        """,
+        # multiline assembly oracle: every assembled event rebuilt directly
+        # from the events table — head + list-comprehension frames over the
+        # same residues, ROW_NUMBER as the per-stream event counter.
+        "src_multiline": """
+          SELECT 'h' || (event_id % 10) AS host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_id % 10 ORDER BY event_id
+                 ) AS event_id,
+                 event_id * 10 AS first_line,
+                 array_to_string(
+                   list_prepend('2024-01-01 ERROR boom ' || event_id,
+                     ['  at f' || j
+                      FOR j IN range(1, CAST(event_id % 4 AS INT) + 1)]),
+                   chr(10)) AS message,
+                 CAST(event_id % 4 + 1 AS BIGINT) AS n_lines,
+                 FALSE AS orphan
+          FROM events
         """,
         # parse_logfmt oracle: every field re-derived arithmetically from
         # the event_id residues the Spark side synthesized the line from —

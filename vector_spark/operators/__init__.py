@@ -63,6 +63,7 @@ from vector_spark.operators.metric_rate import (
     range_rate,
     sum_histograms,
 )
+from vector_spark.operators.multiline import assemble_multiline
 from vector_spark.operators.slo import slo_burn_alerts
 from vector_spark.operators.traces import service_graph, span_metrics, tail_sample, trace_rollup
 
@@ -82,4 +83,5 @@ __all__ = [
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
     "exp_histogram_quantile", "range_rate", "sum_histograms", "slo_burn_alerts",
     "trace_rollup", "service_graph", "tail_sample", "span_metrics",
+    "assemble_multiline",
 ]
