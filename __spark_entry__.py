@@ -1659,6 +1659,38 @@ def q_metric_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL *_over_time gauge rollup (operators/metric_rate.py over_time):
+    # the same 40 series as the counter queries read as GAUGE samples, one
+    # row per (series, aligned hour) carrying avg/min/max/sum/count/last +
+    # q50/q90.  Values are integer-valued doubles so sums are
+    # order-independent; avg/quantiles rounded to 6 on both engines (the
+    # two interpolation forms agree exactly on integer inputs, rounding
+    # just guards the last ulp).  last_v is max_by(value, (ts, event_id)) —
+    # the oracle replays it with a ROW_NUMBER window.
+    from vector_spark.operators import over_time
+
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 40).alias("series"),
+        (F.col("event_id") % 1000).cast("double").alias("value"),
+    )
+    out = over_time(
+        df, ["series"], 3600, ts_col="ts", value_col="value",
+        quantiles=(0.5, 0.9), tiebreaker="event_id",
+    )
+    return out.select(
+        "series",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.round("avg_v", 6).alias("avg_v"),
+        "min_v", "max_v", "sum_v", "n_samples", "last_v",
+        F.round("q5", 6).alias("q5"),
+        F.round("q9", 6).alias("q9"),
+    )
+
+
 def q_metric_sum_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PromQL sum-by over histogram points (operators/metric_rate.py
     # sum_histograms): events become per-point explicit-bounds histograms on
@@ -2653,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_counter_rate": q_metric_counter_rate,
         "metric_range_rate": q_metric_range_rate,
         "metric_sum_histograms": q_metric_sum_histograms,
+        "metric_over_time": q_metric_over_time,
         "slo_burn_alerts": q_slo_burn_alerts,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
@@ -2697,7 +2730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corpus": q_profile_corpus,
         "sample_alpha_mix": q_alpha_mix,
         "anomaly_bursts": q_anomaly_bursts,
-        "anomaly_rate_spikes": q_anomaly_rate_spikes,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "url_blocklist": q_url_blocklist,
@@ -2715,8 +2747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf,
         "dedup_neardup_filter_cc": q_dedup_neardup_filter_cc,
         # ---- infer_schema_merged displaced by src_multiline: it shares its
-        # ---- oracle's kinds CTE with infer_json_schema (still windowed)
+        # ---- oracle's kinds CTE with infer_json_schema (still windowed);
+        # ---- anomaly_rate_spikes displaced by metric_over_time: sibling of
+        # ---- the still-windowed anomaly_bursts, locally hash-verified
+        # ---- every round
         "infer_schema_merged": q_infer_schema_merged,
+        "anomaly_rate_spikes": q_anomaly_rate_spikes,
         "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -3006,6 +3042,33 @@ def oracle_sql() -> dict[str, str]:
                    SUM(delta) / 3600.0 AS rate_per_s
             FROM d
             GROUP BY series, wb
+        """,
+        "metric_over_time": """
+            WITH s AS (
+              SELECT user_id % 40 AS series,
+                     CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS wb,
+                     CAST(event_id % 1000 AS DOUBLE) AS v,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id % 40,
+                                    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ), agg AS (
+              SELECT series, wb,
+                     ROUND(AVG(v), 6) AS avg_v,
+                     MIN(v) AS min_v, MAX(v) AS max_v, SUM(v) AS sum_v,
+                     COUNT(v) AS n_samples,
+                     ROUND(quantile_cont(v, 0.5), 6) AS q5,
+                     ROUND(quantile_cont(v, 0.9), 6) AS q9
+              FROM s GROUP BY series, wb
+            )
+            SELECT a.series,
+                   make_timestamp(a.wb * 3600000000) AS window_start,
+                   a.avg_v, a.min_v, a.max_v, a.sum_v, a.n_samples,
+                   l.v AS last_v, a.q5, a.q9
+            FROM agg a
+            JOIN (SELECT series, wb, v FROM s WHERE rn = 1) l
+              ON a.series = l.series AND a.wb = l.wb
         """,
         "slo_burn_alerts": """
             WITH s AS (

@@ -301,3 +301,55 @@ def test_histogram_quantile_q0_skips_empty_leading_buckets(spark):
     assert out[1] == 1.0
     # non-empty first bucket: lower edge 0 by the non-negative convention
     assert out[2] == 0.0
+
+
+def test_over_time_gauge_aggregates(spark):
+    from vector_spark.operators import over_time
+
+    rows = [
+        ("g", _ts(1), 1.0, 1),
+        ("g", _ts(5), 3.0, 2),
+        ("g", _ts(9), 2.0, 3),
+        ("g", _ts(12), 7.0, 4),   # second 10 s window
+        ("h", _ts(2), 5.0, 5),
+        ("h", _ts(2), 6.0, 6),    # same ts — tiebreaker decides last_v
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, i int")
+    out = over_time(
+        df, ["series"], 10, ts_col="ts", value_col="value",
+        quantiles=(0.5,), tiebreaker="i",
+    ).orderBy("series", "window_start")
+    got = [
+        (r.series, r.avg_v, r.min_v, r.max_v, r.sum_v, r.n_samples, r.last_v, r.q5)
+        for r in out.collect()
+    ]
+    assert got == [
+        ("g", 2.0, 1.0, 3.0, 6.0, 3, 2.0, 2.0),
+        ("g", 7.0, 7.0, 7.0, 7.0, 1, 7.0, 7.0),
+        ("h", 5.5, 5.0, 6.0, 11.0, 2, 6.0, 5.5),
+    ]
+
+
+def test_over_time_partition_invariance(spark):
+    from vector_spark.operators import over_time
+
+    rows = [("s", _ts(i % 50), float(i % 13), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double, i int")
+    a = over_time(df, ["series"], 15, ts_col="ts", quantiles=(0.9,), tiebreaker="i")
+    b = over_time(
+        df.repartition(11, "i"), ["series"], 15, ts_col="ts",
+        quantiles=(0.9,), tiebreaker="i",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_over_time_validation(spark):
+    from vector_spark.operators import over_time
+
+    df = spark.createDataFrame([("s", _ts(0), 1.0)], "series string, ts timestamp, value double")
+    with pytest.raises(ValueError, match="series"):
+        over_time(df, [], 10)
+    with pytest.raises(ValueError, match="window_s"):
+        over_time(df, ["series"], 0)
+    with pytest.raises(ValueError, match="quantile"):
+        over_time(df, ["series"], 10, quantiles=(1.5,))

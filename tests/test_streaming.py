@@ -931,3 +931,60 @@ def test_streaming_tail_sample_drop_and_batch_parity(spark, tmp_path):
     ).collect()
     batch_got = {(r["trace_id"], r["sample_decision"]) for r in batch}
     assert stream_got == batch_got and stream_got
+
+
+def test_streaming_multiline_spans_batches(spark, tmp_path):
+    """A stack trace whose continuation lines span micro-batches assembles
+    into ONE event, emitted when the next start line arrives; an orphan
+    continuation (no start yet) flushes alone, flagged; the event left
+    open at end of input flushes via the processing-time timeout
+    (availableNow keeps ticking empty batches until pending timers fire,
+    so the flush happens BEFORE termination — Vector's timeout_ms)."""
+    in_dir = tmp_path / "ml_in"
+    in_dir.mkdir()
+    schema = "host string, line_no long, message string"
+
+    def write_chunk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    write_chunk(
+        [("a", 1, "2024-01-01 ERROR boom"), ("a", 2, "  at f1"),
+         ("b", 1, "  orphan tail")],
+        "a",
+    )
+    write_chunk([("a", 3, "  at f2"), ("a", 4, "2024-01-01 INFO next")], "b")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        out = st.streaming_multiline(
+            stream, r"^\d{4}-", stream_by=["host"], timeout_ms=3_000
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ml")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ml_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(
+            spark.sql("select * from ml").collect(), key=lambda r: (r.host, r.first_line)
+        )
+        assert [
+            (r.host, r.first_line, r.message, r.n_lines, r.timed_out) for r in rows
+        ] == [
+            ("a", 1, "2024-01-01 ERROR boom\n  at f1\n  at f2", 3, False),
+            ("a", 4, "2024-01-01 INFO next", 1, True),  # timeout flush
+            ("b", 1, "  orphan tail", 1, True),
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

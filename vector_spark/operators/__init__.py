@@ -60,6 +60,7 @@ from vector_spark.operators.metric_rate import (
     delta_to_cumulative,
     exp_histogram_quantile,
     histogram_quantile,
+    over_time,
     range_rate,
     sum_histograms,
 )
@@ -81,7 +82,8 @@ __all__ = [
     "tag_cardinality_limit", "enrich", "salted_join", "salted_repartition",
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
-    "exp_histogram_quantile", "range_rate", "sum_histograms", "slo_burn_alerts",
+    "exp_histogram_quantile", "range_rate", "sum_histograms", "over_time",
+    "slo_burn_alerts",
     "trace_rollup", "service_graph", "tail_sample", "span_metrics",
     "assemble_multiline",
 ]

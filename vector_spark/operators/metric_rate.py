@@ -182,6 +182,68 @@ def range_rate(
     )
 
 
+def over_time(
+    df: DataFrame,
+    series_cols: list[str],
+    window_s: int,
+    *,
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (),
+    tiebreaker: str | None = None,
+    window_col: str = "window_start",
+) -> DataFrame:
+    """PromQL ``avg/min/max/sum/count/last/quantile_over_time`` on ALIGNED
+    windows — the gauge-series companion of :func:`range_rate` (which
+    handles cumulative counters).  One row per (series, window) with
+    ``avg_v``/``min_v``/``max_v``/``sum_v``/``n_samples``/``last_v`` and a
+    ``q<NN>`` column per requested quantile.
+
+    ``last_v`` uses ``max_by(value, (ts, tiebreaker))`` — deterministic
+    under any partitioning (module doctrine: never ``F.last``); pass
+    ``tiebreaker`` when one series can carry equal timestamps.  Quantiles are exact
+    ``F.percentile`` per group; for unbounded-cardinality audits switch to
+    ``percentile_approx`` upstream (same trade the summary metric
+    documents).  Like range_rate, this is deliberately step-aligned (no
+    sliding lookback): the recording-rule batch replication, a total
+    function of in-window samples.
+
+    Plan: ONE map-side-combined hash aggregate — a single shuffle keyed by
+    (series, window); at 10^12 samples the shuffle carries only partial
+    aggregate states per series-window, not samples.
+    """
+    if not series_cols:
+        raise ValueError("over_time needs at least one series column")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(secs / F.lit(int(window_s) * 1_000_000)).cast("long")
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("timestamp")
+    if tiebreaker is not None:
+        ts = F.struct(ts, F.col(tiebreaker))
+    aggs = [
+        F.avg(v).alias("avg_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.count(v).alias("n_samples"),
+        F.max_by(v, ts).alias("last_v"),
+    ]
+    for q in quantiles:
+        name = f"q{str(q).replace('0.', '')}"
+        aggs.append(F.percentile(v, F.lit(q)).alias(name))
+    out = df.withColumn("_wb", bucket).groupBy(*series_cols, "_wb").agg(*aggs)
+    return out.select(
+        *series_cols,
+        (F.col("_wb") * int(window_s)).cast("timestamp").alias(window_col),
+        *[c for c in out.columns if c not in series_cols and c != "_wb"],
+    )
+
+
 def sum_histograms(
     df: DataFrame,
     group_cols: list[str],

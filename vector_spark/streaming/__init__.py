@@ -51,6 +51,7 @@ __all__ = [
     "streaming_throttle",
     "streaming_reduce_sessions",
     "streaming_reduce_ends_when",
+    "streaming_multiline",
     "streaming_rate_spikes",
     "streaming_rollup_fine",
     "streaming_to_table",
@@ -653,6 +654,112 @@ def streaming_reduce_ends_when(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_multiline(
+    stream: DataFrame,
+    pattern: str,
+    stream_by: list[str],
+    *,
+    mode: str = "start_pattern",
+    order_col: str = "line_no",
+    text_col: str = "message",
+    joiner: str = "\n",
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """Cross-batch multiline assembly — the streaming twin of
+    ``operators.multiline.assemble_multiline`` with upstream Vector's
+    ``multiline.timeout_ms`` semantics: an event whose continuation lines
+    span micro-batches stays buffered in state until either its closing
+    boundary arrives (a new start line) or the processing-time timeout
+    fires, which flushes the partial event (flagged ``timed_out`` — a
+    stack trace cut by a crashed writer still surfaces).
+
+    State per key is ONE open event (first_line, buffered text, count) —
+    bounded regardless of stream length.  Lines inside each batch chunk
+    are sorted by ``order_col``; cross-batch order relies on the source's
+    per-stream monotonicity (file offsets / tailer sequence), same as
+    Vector's file source.
+
+    Drain semantics: with ``trigger(availableNow=True)`` a pending
+    processing-time timer keeps the query ticking empty batches until it
+    fires, so events still open at end of input DO flush (``timed_out``
+    true) before termination — budget ~``timeout_ms`` of extra wall time
+    in batch-drain jobs, or keep it small there.
+    """
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if mode not in ("start_pattern", "continuation"):
+        raise ValueError(
+            f"mode must be 'start_pattern' or 'continuation', got {mode!r}"
+        )
+    key_fields = [stream.schema[k] for k in stream_by]
+    out_schema = T.StructType(
+        [*key_fields,
+         T.StructField("first_line", T.LongType()),
+         T.StructField("message", T.StringType()),
+         T.StructField("n_lines", T.LongType()),
+         T.StructField("timed_out", T.BooleanType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("first_line", T.LongType()),
+         T.StructField("buf", T.StringType()),
+         T.StructField("n", T.LongType())]
+    )
+    rx = _re.compile(pattern)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            first, buf, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(*key, first, buf, n, True)],
+                columns=[*stream_by, "first_line", "message", "n_lines", "timed_out"],
+            )
+            return
+        open_ev = state.get if state.exists else None
+        chunks = list(pdf_iter)
+        closed: list[tuple] = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
+            texts = pdf[text_col].astype(str)
+            starts = texts.str.match(rx).to_numpy()
+            if mode == "continuation":
+                starts = ~starts
+            for ln, txt, is_start in zip(
+                pdf[order_col].to_numpy(), texts.to_numpy(), starts
+            ):
+                if is_start:
+                    if open_ev is not None:
+                        closed.append((*key, *open_ev, False))
+                    open_ev = (int(ln), txt, 1)
+                elif open_ev is None:
+                    # orphan continuation before any start: emit alone,
+                    # flagged like a timeout flush (it is a fragment)
+                    closed.append((*key, int(ln), txt, 1, True))
+                else:
+                    first, buf, n = open_ev
+                    open_ev = (first, buf + joiner + txt, n + 1)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[*stream_by, "first_line", "message", "n_lines", "timed_out"],
+            )
+        if open_ev is not None:
+            state.update(open_ev)
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+
+    return stream.groupBy(*[F.col(k) for k in stream_by]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
