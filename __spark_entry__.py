@@ -1691,6 +1691,28 @@ def q_metric_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL absent_over_time / dead-man alerting (operators/metric_rate.py
+    # absent_windows): the 40 series with samples REMOVED wherever
+    # (series + hour-window) % 7 == 0 — those windows go dark by
+    # construction and must come back as absent rows.  The oracle replays
+    # the same filter, distinct-observed set, bounds, and grid anti-join.
+    from vector_spark.operators import absent_windows
+
+    ev = _ev(spark, sf_dir)
+    wb = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast("long")
+    series = (F.col("user_id") % 40).alias("series")
+    df = (
+        ev.select("ts", series, wb.alias("wb"))
+        .filter((F.col("series") + F.col("wb")) % 7 != 0)
+        .select("series", "ts")
+    )
+    out = absent_windows(df, ["series"], 3600, ts_col="ts")
+    return out.select(
+        "series", F.col("window_start").cast("timestamp_ntz").alias("window_start")
+    )
+
+
 def q_metric_sum_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PromQL sum-by over histogram points (operators/metric_rate.py
     # sum_histograms): events become per-point explicit-bounds histograms on
@@ -2686,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_range_rate": q_metric_range_rate,
         "metric_sum_histograms": q_metric_sum_histograms,
         "metric_over_time": q_metric_over_time,
+        "metric_absent": q_metric_absent,
         "slo_burn_alerts": q_slo_burn_alerts,
         "metric_delta_cum": q_metric_delta_cum,
         "metric_histo_quantile": q_histogram_quantile,
@@ -2732,7 +2755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_bursts": q_anomaly_bursts,
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
-        "url_blocklist": q_url_blocklist,
         "train_shards": q_train_shards,
         "bpe_tokenize": q_bpe_tokenize,
         # ---- slot 50 boundary: everything below was hash-verified green in
@@ -2751,8 +2773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- anomaly_rate_spikes displaced by metric_over_time: sibling of
         # ---- the still-windowed anomaly_bursts, locally hash-verified
         # ---- every round
+        # ---- url_blocklist displaced by metric_absent: a closed-form
+        # ---- blocklist filter, locally hash-verified every round
         "infer_schema_merged": q_infer_schema_merged,
         "anomaly_rate_spikes": q_anomaly_rate_spikes,
+        "url_blocklist": q_url_blocklist,
         "flagship_agg": q_flagship_agg,
         "t1_remap_parse": q_remap_parse,
         "t2_filter": q_filter,
@@ -3042,6 +3067,25 @@ def oracle_sql() -> dict[str, str]:
                    SUM(delta) / 3600.0 AS rate_per_s
             FROM d
             GROUP BY series, wb
+        """,
+        "metric_absent": """
+            WITH f AS (
+              SELECT user_id % 40 AS series,
+                     CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS wb
+              FROM events
+              WHERE ((user_id % 40)
+                     + CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)) % 7 <> 0
+            ), obs AS (SELECT DISTINCT series, wb FROM f),
+            b AS (SELECT min(wb) AS lo, max(wb) AS hi FROM f),
+            grid AS (
+              SELECT s.series, g.wb
+              FROM (SELECT DISTINCT series FROM f) s
+              CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS wb FROM b) g
+            )
+            SELECT grid.series,
+                   make_timestamp(grid.wb * 3600000000) AS window_start
+            FROM grid ANTI JOIN obs
+              ON grid.series = obs.series AND grid.wb = obs.wb
         """,
         "metric_over_time": """
             WITH s AS (

@@ -353,3 +353,29 @@ def test_over_time_validation(spark):
         over_time(df, ["series"], 0)
     with pytest.raises(ValueError, match="quantile"):
         over_time(df, ["series"], 10, quantiles=(1.5,))
+
+
+def test_absent_windows_dead_man(spark):
+    from vector_spark.operators import absent_windows
+
+    # series "a" reports in windows 0,1,3 (gap at 2); "b" only in window 0
+    rows = [
+        ("a", _ts(1)), ("a", _ts(12)), ("a", _ts(31)),
+        ("b", _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp")
+    out = absent_windows(df, ["series"], 10, ts_col="ts").orderBy("series", "window_start")
+    got = [(r.series, r.window_start.second) for r in out.collect()]
+    # domain = windows 0..3; absent: a@2, b@1, b@2, b@3
+    assert got == [("a", 20), ("b", 10), ("b", 20), ("b", 30)]
+
+
+def test_absent_windows_none_absent(spark):
+    from vector_spark.operators import absent_windows
+
+    df = spark.createDataFrame(
+        [("s", _ts(1)), ("s", _ts(11))], "series string, ts timestamp"
+    )
+    assert absent_windows(df, ["series"], 10, ts_col="ts").count() == 0
+    with pytest.raises(ValueError, match="series"):
+        absent_windows(df, [], 10)

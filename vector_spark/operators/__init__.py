@@ -59,6 +59,7 @@ from vector_spark.operators.metric_rate import (
     counter_rate,
     delta_to_cumulative,
     exp_histogram_quantile,
+    absent_windows,
     histogram_quantile,
     over_time,
     range_rate,
@@ -83,7 +84,7 @@ __all__ = [
     "ip_range_enrich", "validate_ip_ranges", "asof_join",
     "counter_rate", "delta_to_cumulative", "histogram_quantile",
     "exp_histogram_quantile", "range_rate", "sum_histograms", "over_time",
-    "slo_burn_alerts",
+    "absent_windows", "slo_burn_alerts",
     "trace_rollup", "service_graph", "tail_sample", "span_metrics",
     "assemble_multiline",
 ]

@@ -244,6 +244,58 @@ def over_time(
     )
 
 
+def absent_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    window_s: int,
+    *,
+    ts_col: str = "timestamp",
+    window_col: str = "window_start",
+) -> DataFrame:
+    """PromQL ``absent_over_time`` / dead-man alerting: one row per
+    (series, aligned window) in which a KNOWN series reported NO samples —
+    the signal a scrape target went dark, which no per-sample operator can
+    produce (the defect is the rows that aren't there).
+
+    The evaluation domain is every series ever observed × every aligned
+    window between the input's first and last sample (the batch analog of
+    "since the series appeared"); trim with a filter on ``window_col`` for
+    a narrower audit.  Wholly declarative — bounds come from a 1-row
+    global aggregate cross-joined back, never a driver collect.
+
+    Plan: observed = one answer-sized hash agg on (series, window);
+    distinct series = one answer-sized agg; the grid is
+    series × sequence(min_wb, max_wb) exploded, LEFT ANTI joined against
+    observed.  Every exchange is bounded by series-cardinality × window
+    count — the alert-evaluation domain itself — never by sample volume.
+    """
+    if not series_cols:
+        raise ValueError("absent_windows needs at least one series column")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(secs / F.lit(int(window_s) * 1_000_000)).cast("long")
+    with_bucket = df.select(*series_cols, bucket.alias("_wb"))
+    observed = with_bucket.groupBy(*series_cols, "_wb").agg(F.count(F.lit(1)))
+    bounds = with_bucket.agg(
+        F.min("_wb").alias("_lo"), F.max("_wb").alias("_hi")
+    )
+    grid = (
+        with_bucket.select(*series_cols)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *series_cols,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_wb"),
+        )
+    )
+    absent = grid.join(observed, [*series_cols, "_wb"], "left_anti")
+    return absent.select(
+        *series_cols,
+        (F.col("_wb") * int(window_s)).cast("timestamp").alias(window_col),
+    )
+
+
 def sum_histograms(
     df: DataFrame,
     group_cols: list[str],
