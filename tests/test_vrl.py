@@ -579,3 +579,39 @@ def test_round5_functions_stay_jvm(spark):
         compile_condition("strip_ansi_escape_codes(.s)").alias("h"),
     )
     assert "pythonudf" not in plan._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_parse_aws_vpc_flow_log(spark):
+    line = "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    df = spark.createDataFrame([(line, "2 short")], "a string, b string")
+    row = df.select(
+        compile_condition("parse_aws_vpc_flow_log(.a)").alias("m"),
+        compile_condition("parse_aws_vpc_flow_log(.b)").alias("bad"),
+    ).collect()[0]
+    assert row.m["srcaddr"] == "172.31.16.139" and row.m["dstport"] == "22"
+    assert row.m["action"] == "ACCEPT" and row.m["log_status"] == "OK"
+    assert row.m["bytes"] == "4249" and row.m["version"] == "2"
+    assert row.bad is None
+
+
+def test_parse_aws_alb_log(spark):
+    line = (
+        'https 2024-03-12T09:30:01.123456Z app/my-lb/50dc6c495c0c9188 '
+        '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+        '"GET https://www.example.com:443/path?q=1 HTTP/1.1" '
+        '"Mozilla/5.0 (compatible)" ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 '
+        'arn:aws:elasticloadbalancing:us-east-1:123:targetgroup/tg/6d0ecf83 '
+        '"Root=1-58337262-36d228ad5d99923122bbe354" extra trailing'
+    )
+    df = spark.createDataFrame([(line,)], "s string")
+    m = df.select(
+        compile_condition("parse_aws_alb_log(.s)").alias("m")
+    ).collect()[0].m
+    assert m["type"] == "https" and m["elb"] == "app/my-lb/50dc6c495c0c9188"
+    assert m["client_ip"] == "192.168.131.39" and m["client_port"] == "2817"
+    assert m["target_ip"] == "10.0.0.1" and m["target_port"] == "80"
+    assert m["elb_status_code"] == "200" and m["sent_bytes"] == "366"
+    assert m["request"] == "GET https://www.example.com:443/path?q=1 HTTP/1.1"
+    assert m["user_agent"] == "Mozilla/5.0 (compatible)"
+    assert m["ssl_protocol"] == "TLSv1.2"
+    assert m["trace_id"] == "Root=1-58337262-36d228ad5d99923122bbe354"

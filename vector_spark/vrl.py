@@ -898,6 +898,50 @@ class _Parser:
             ).when(
                 body.rlike(r"^CEF:\d+(\|(?:[^|\\]|\\.)*){6}\|?$"), header_map
             )
+        if base == "parse_aws_vpc_flow_log":
+            # VRL parse_aws_vpc_flow_log(value) — the 14-field v2 default
+            # format, space-separated.  Values stay strings ('-' markers
+            # included verbatim — the caller decides nullability), NULL map
+            # when the field count is wrong (recoverable).
+            names = ["version", "account_id", "interface_id", "srcaddr",
+                     "dstaddr", "srcport", "dstport", "protocol", "packets",
+                     "bytes", "start", "end", "action", "log_status"]
+            s = F.trim(args[0].cast("string"))
+            toks = F.regexp_extract_all(s, F.lit(r"\S+"), 0)
+            entries = [
+                x
+                for i, n in enumerate(names, start=1)
+                for x in (F.lit(n), F.element_at(toks, i))
+            ]
+            return F.when(F.size(toks) == len(names), F.create_map(*entries))
+        if base == "parse_aws_alb_log":
+            # VRL parse_aws_alb_log(value) — the ALB access-log grammar:
+            # space-separated tokens where some fields are double-quoted
+            # (request line, user agent, trace id…).  Token-matching split
+            # (quoted-or-bare, as parse_logfmt), positional field names per
+            # the AWS spec (first 18 canonical fields; ALB appends new
+            # trailing fields over time, so extra tokens are tolerated),
+            # client/target `ip:port` pairs split out.
+            names = ["type", "time", "elb", "client", "target",
+                     "request_processing_time", "target_processing_time",
+                     "response_processing_time", "elb_status_code",
+                     "target_status_code", "received_bytes", "sent_bytes",
+                     "request", "user_agent", "ssl_cipher", "ssl_protocol",
+                     "target_group_arn", "trace_id"]
+            s = F.trim(args[0].cast("string"))
+            toks = F.regexp_extract_all(s, F.lit(r'"[^"]*"|\S+'), 0)
+            unq = lambda x: F.regexp_replace(x, r'^"|"$', "")
+            cols: dict[str, Column] = {
+                n: unq(F.element_at(toks, i)) for i, n in enumerate(names, start=1)
+            }
+            for side in ("client", "target"):
+                pair = cols.pop(side)
+                cols[f"{side}_ip"] = F.substring_index(pair, ":", 1)
+                cols[f"{side}_port"] = F.when(
+                    pair.contains(":"), F.substring_index(pair, ":", -1)
+                ).otherwise(F.lit(""))
+            entries = [x for n, c in cols.items() for x in (F.lit(n), c)]
+            return F.when(F.size(toks) >= len(names), F.create_map(*entries))
         if base == "to_syslog_facility":
             # RFC 5424 facility code → keyword (VRL table).
             fac = ["kern", "user", "mail", "daemon", "auth", "syslog", "lpr",
