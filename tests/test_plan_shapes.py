@@ -221,3 +221,42 @@ def test_read_table_clean_path_has_no_join(spark, tmp_path):
     again = TF.read_table(spark, base, "logs")
     assert "Join" not in _plan(again)
     assert _exchanges(again) == 0
+
+
+def test_r5_vrl_queries_are_map_only(spark):
+    """vrl_parse_logfmt / vrl_redact_hash: zero exchanges, no Python —
+    the r5 palette stays inside one codegen projection (PLANS.md r5)."""
+    import __spark_entry__ as entry
+
+    for name in ("vrl_parse_logfmt", "vrl_redact_hash"):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        assert _exchanges(df) == 0, name
+        assert "Python" not in _plan(df), name
+
+
+def test_multiline_single_shuffle(spark):
+    """assemble_multiline: the Window's host partitioning satisfies the
+    fold's (host, event_id) clustering — ONE exchange total, no Python."""
+    from vector_spark.operators import assemble_multiline
+
+    lines = spark.createDataFrame(
+        [("a", 1, "2024-01-01 x"), ("a", 2, "  y")],
+        "host string, line_no long, message string",
+    )
+    out = assemble_multiline(lines, r"^\d{4}-", stream_by=["host"])
+    assert _exchanges(out) == 1
+    assert "Python" not in _plan(out)
+
+
+def test_over_time_single_shuffle(spark):
+    """over_time: one map-side-combined aggregate — a single exchange on
+    (series, window), no Python."""
+    from vector_spark.operators import over_time
+
+    df = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:01", 1.0, 1)],
+        "series string, ts string, value double, i int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = over_time(df, ["series"], 60, ts_col="ts", quantiles=(0.5,), tiebreaker="i")
+    assert _exchanges(out) == 1
+    assert "Python" not in _plan(out)
