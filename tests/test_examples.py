@@ -70,3 +70,17 @@ def test_webcorpus_curation_example_runs(spark):
     assert n0 == 400 and 0 < nq <= n0 and 0 < nf <= nq
     cols = set(stages["final"].columns)
     assert {"doc_id", "url", "lang", "lang_pred", "n_tokens", "dup_line_frac"} <= cols
+
+
+def test_multiline_example_runs(spark):
+    """Round-5 multiline transform as config: demo_logs line pool →
+    assemble → whole-event filter → logfmt console."""
+    p = Pipeline.from_toml(open("examples/multiline_logs.toml").read())
+    assert [i for i in p.validate() if i.severity == "error"] == []
+    out = p.run(spark)["out"]
+    assert out, "no assembled events"
+    # logfmt lines carry the assembled whole-event message: every emitted
+    # event is headed by an ERROR line, and any continuation frames rode
+    # along inside the same event (newline-folded by the logfmt encoder)
+    assert all("ERROR" in line for line in out)
+    assert any(r"\n  at frame." in line for line in out)

@@ -489,6 +489,33 @@ class Pipeline:
                 return map_events(df, spec, schema=o.get("schema"))
             except ValueError as e:
                 raise PipelineError([ValidationIssue("BAD_HOOK", str(e), st.name)]) from e
+        if t == "multiline":
+            # upstream Vector exposes multiline on the file source
+            # (start_pattern / condition_pattern / mode); as a transform
+            # stage ANY line-bearing input assembles.  Default order column
+            # is the sources' deterministic `id`.
+            from vector_spark.operators import assemble_multiline
+
+            pattern = o.get("start_pattern") or o.get("condition_pattern")
+            if not pattern:
+                raise PipelineError([ValidationIssue(
+                    "INVALID_INPUT",
+                    f"multiline stage '{st.name}' needs start_pattern or "
+                    "condition_pattern",
+                    st.name,
+                )])
+            mode = o.get("mode") or (
+                "continuation" if o.get("condition_pattern") else "start_pattern"
+            )
+            stream_by = o.get("stream_by") or []
+            if isinstance(stream_by, str):
+                stream_by = [stream_by]
+            return assemble_multiline(
+                df, pattern, mode=mode, stream_by=stream_by,
+                order_by=o.get("order_by", "id"),
+                text_col=o.get("text_col", "message"),
+                joiner=o.get("joiner", "\n"),
+            )
         if t == "test_basic":
             return df
         raise PipelineError([ValidationIssue("MISSING_TYPE", f"unsupported transform type {t!r}", st.name)])
