@@ -615,3 +615,31 @@ def test_parse_aws_alb_log(spark):
     assert m["user_agent"] == "Mozilla/5.0 (compatible)"
     assert m["ssl_protocol"] == "TLSv1.2"
     assert m["trace_id"] == "Root=1-58337262-36d228ad5d99923122bbe354"
+
+
+def test_encode_logfmt_round_trip(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    enc = df.select(
+        compile_condition(
+            'encode_logfmt(parse_logfmt("b=2 a=\\"one two\\" c=plain"))'
+        ).alias("v")
+    ).collect()[0].v
+    assert enc == 'a="one two" b=2 c=plain'  # keys sorted, quoting kept
+    # full round trip: encode(parse(encode(parse(x)))) is stable
+    again = df.select(
+        compile_condition(
+            'encode_logfmt(parse_logfmt(encode_logfmt(parse_logfmt('
+            '"b=2 a=\\"one two\\" c=plain"))))'
+        ).alias("v")
+    ).collect()[0].v
+    assert again == enc
+
+
+def test_encode_csv(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    got = df.select(
+        compile_condition(
+            'encode_csv(["plain", "with,comma", "with\\"quote", ""])'
+        ).alias("v")
+    ).collect()[0].v
+    assert got == 'plain,"with,comma","with""quote",'

@@ -898,6 +898,40 @@ class _Parser:
             ).when(
                 body.rlike(r"^CEF:\d+(\|(?:[^|\\]|\\.)*){6}\|?$"), header_map
             )
+        if base == "encode_logfmt":
+            # VRL encode_logfmt(map) → `k=v` pairs, KEYS SORTED (upstream
+            # contract), values with whitespace/quotes/'='/backslashes
+            # double-quoted with the sink encoder's escape order — the
+            # inverse of parse_logfmt by construction.
+            entries = F.sort_array(F.map_entries(args[0]))
+
+            def fmt(e: Column) -> Column:
+                v = e["value"].cast("string")
+                needs_quote = v.rlike('[\\s"=\\\\]') | (v == "")
+                esc = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+                esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+                esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+                esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+                esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+                quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+                return F.concat(
+                    e["key"].cast("string"), F.lit("="),
+                    F.when(needs_quote, quoted).otherwise(v),
+                )
+
+            return F.array_join(F.transform(entries, fmt), " ")
+        if base == "encode_csv":
+            # VRL encode_csv(array) → one RFC-4180 line: fields containing
+            # delimiter/quote/newline double-quoted, inner quotes doubled.
+            def csvq(x: Column) -> Column:
+                s = x.cast("string")
+                needs = s.rlike('[",\n\r]')
+                doubled = F.replace(s, F.lit('"'), F.lit('""'))
+                return F.when(
+                    needs, F.concat(F.lit('"'), doubled, F.lit('"'))
+                ).otherwise(s)
+
+            return F.array_join(F.transform(args[0], csvq), ",", "")
         if base == "parse_aws_vpc_flow_log":
             # VRL parse_aws_vpc_flow_log(value) — the 14-field v2 default
             # format, space-separated.  Values stay strings ('-' markers
