@@ -643,3 +643,31 @@ def test_encode_csv(spark):
         ).alias("v")
     ).collect()[0].v
     assert got == 'plain,"with,comma","with""quote",'
+
+
+def test_parse_xml(spark):
+    df = spark.createDataFrame(
+        [("<doc><title>hi</title><n>7</n></doc>", "not xml")], "x string, bad string"
+    )
+    row = df.select(
+        compile_condition('parse_xml(.x, "title STRING, n INT")').alias("m"),
+        compile_condition('parse_xml(.bad, "title STRING")').alias("b"),
+    ).collect()[0]
+    assert row.m.title == "hi" and row.m.n == 7
+    assert row.b.title is None  # malformed -> null fields, recoverable
+    with pytest.raises(VRLError, match="literal DDL schema"):
+        compile_condition("parse_xml(.x, .bad)")
+
+
+def test_parse_int_with_base(spark):
+    df = spark.createDataFrame([("ff", "777", "42")], "h string, o string, d string")
+    row = df.select(
+        compile_condition("parse_int(.h, 16)").alias("hx"),
+        compile_condition("parse_int(.o, 8)").alias("oc"),
+        compile_condition("parse_int(.d)").alias("dec"),
+        compile_condition("parse_int(.d, 10)").alias("dec10"),
+    ).collect()[0]
+    assert row.hx == 255 and row.oc == 511
+    assert row.dec == 42 and row.dec10 == 42
+    with pytest.raises(VRLError, match="base"):
+        compile_condition("parse_int(.h, 99)")

@@ -286,6 +286,11 @@ class _Parser:
                             raws.append(_unescape(self.toks[start].value[1:-1]))
                         elif self.i - start == 1 and self.toks[start].kind == "rawstr":
                             raws.append(self.toks[start].value[2:-1])
+                        elif self.i - start == 1 and self.toks[start].kind == "number":
+                            # numeric literal capture — functions needing a
+                            # compile-time constant (parse_int base)
+                            nv = self.toks[start].value
+                            raws.append(float(nv) if "." in nv else int(nv))
                         else:
                             # array-of-literals capture ([r'a', "b"]) — some
                             # functions (redact filters) need the PATTERN
@@ -398,6 +403,19 @@ class _Parser:
             s = args[0].cast("string")
             return args[0].isNull() | (F.trim(s) == "") | (F.trim(s) == "-")
         if base == "parse_int":
+            # VRL parse_int(value, base: int) — base must be a literal so
+            # the conversion compiles to the JVM conv(); base 10 (or
+            # omitted) is a plain try_cast.  conv() is Java-side and
+            # returns the decimal rendering; NULL on non-numeric input.
+            if len(args) > 1:
+                b = raws[1] if raws and len(raws) > 1 else None
+                if not isinstance(b, int) or not 2 <= b <= 36:
+                    raise VRLError(
+                        "parse_int: base must be an integer literal in [2, 36]"
+                    )
+                if b == 10:
+                    return args[0].try_cast("long")
+                return F.conv(args[0].cast("string"), b, 10).try_cast("long")
             return args[0].try_cast("long")
         if base == "to_timestamp":
             return args[0].try_cast("timestamp")
@@ -898,6 +916,20 @@ class _Parser:
             ).when(
                 body.rlike(r"^CEF:\d+(\|(?:[^|\\]|\\.)*){6}\|?$"), header_map
             )
+        if base == "parse_xml":
+            # VRL parse_xml(value) is dynamically typed; the typed-DataFrame
+            # analog takes an explicit literal DDL schema for the document
+            # root — parse_xml(.field, "a STRING, b STRUCT<c: INT>") — and
+            # compiles to the JVM from_xml (codegen, NULL on malformed
+            # input).  Requiring the schema up front is the same trade the
+            # remap stage's parse_json makes: no per-row type inference at
+            # 10^12 rows.
+            if len(args) < 2 or not raws or not isinstance(raws[1], str):
+                raise VRLError(
+                    "parse_xml needs a literal DDL schema: "
+                    'parse_xml(.field, "a STRING, b INT")'
+                )
+            return F.from_xml(args[0].cast("string"), raws[1])
         if base == "encode_logfmt":
             # VRL encode_logfmt(map) → `k=v` pairs, KEYS SORTED (upstream
             # contract), values with whitespace/quotes/'='/backslashes
