@@ -671,3 +671,35 @@ def test_parse_int_with_base(spark):
     assert row.dec == 42 and row.dec10 == 42
     with pytest.raises(VRLError, match="base"):
         compile_condition("parse_int(.h, 99)")
+
+
+def test_logfmt_round_trip_randomized(spark):
+    """encode_logfmt ∘ parse_logfmt is identity over 300 adversarial value
+    pairs (quotes, backslashes, newlines, tabs, '=', unicode) — seeded
+    random, one DataFrame, no per-example Spark round trips."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260821)
+    alphabet = 'ab "\\\n\t=寿 x'
+    rows = [
+        (
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "v1 string, v2 string")
+    m = F.create_map(F.lit("k1"), F.col("v1"), F.lit("k2"), F.col("v2"))
+    stage = df.select("v1", "v2", m.alias("m")).select(
+        "v1", "v2",
+        compile_condition("encode_logfmt(.m)", columns=["v1", "v2", "m"]).alias("line"),
+    )
+    back = stage.select(
+        "v1", "v2",
+        compile_condition("parse_logfmt(.line)", columns=["v1", "v2", "line"]).alias("rt"),
+    ).collect()
+    for r in back:
+        assert r.rt["k1"] == r.v1, (r.v1, r.rt)
+        assert r.rt["k2"] == r.v2, (r.v2, r.rt)
