@@ -703,3 +703,16 @@ def test_logfmt_round_trip_randomized(spark):
     for r in back:
         assert r.rt["k1"] == r.v1, (r.v1, r.rt)
         assert r.rt["k2"] == r.v2, (r.v2, r.rt)
+
+
+def test_parse_logfmt_duplicate_keys_last_wins(spark):
+    """A repeated key must not abort the job (mapKeyDedupPolicy=EXCEPTION
+    default) — upstream kv semantics: the LAST occurrence wins."""
+    df = spark.createDataFrame([("a=1 b=2 a=3",)], "s string")
+    m = df.select(compile_condition("parse_logfmt(.s)").alias("m")).collect()[0].m
+    assert m == {"a": "3", "b": "2"}
+    cef = spark.createDataFrame(
+        [("CEF:0|v|p|1|id|n|3|src=1.1.1.1 src=2.2.2.2 dst=3.3.3.3",)], "s string"
+    )
+    mc = cef.select(compile_condition("parse_cef(.s)").alias("m")).collect()[0].m
+    assert mc["src"] == "2.2.2.2" and mc["dst"] == "3.3.3.3"

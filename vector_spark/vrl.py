@@ -332,6 +332,25 @@ class _Parser:
             expect_lit = not expect_lit
         return out if out else None
 
+    @staticmethod
+    def _map_last_win(ents: Column) -> Column:
+        """map_from_entries with LAST-occurrence-wins key dedup (upstream
+        logfmt/kv semantics).  The default mapKeyDedupPolicy=EXCEPTION
+        would abort the whole job on one `k=1 k=2` log line — never
+        acceptable at 10^12 rows.  O(n²) per row via a lookahead filter,
+        fine for the ≤ dozens of pairs a log line carries."""
+        return F.map_from_entries(
+            F.filter(
+                ents,
+                lambda e, i: ~F.exists(
+                    F.slice(
+                        ents, i + 2, F.greatest(F.size(ents) - i - 1, F.lit(0))
+                    ),
+                    lambda y: y["key"] == e["key"],
+                ),
+            )
+        )
+
     def _call(
         self, name: str, args: list[Column], raws: list[str | None] | None = None
     ) -> Column:
@@ -817,7 +836,7 @@ class _Parser:
 
             return F.when(
                 s != "",
-                F.map_from_entries(F.transform(toks, entry)),
+                self._map_last_win(F.transform(toks, entry)),
             )
         if base == "parse_nginx_log":
             # VRL parse_nginx_log(value, format) — format ∈
@@ -900,7 +919,7 @@ class _Parser:
                 F.split(F.trim(ext), r"\s+(?=\w+=)"),
                 lambda t: F.instr(t, "=") > 0,
             )
-            ext_map = F.map_from_entries(
+            ext_map = self._map_last_win(
                 F.transform(
                     ext_toks,
                     lambda t: F.struct(
