@@ -2760,8 +2760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "train_shards": q_train_shards,
+        # ---- slot 50 boundary (train_shards is slot 50): everything below
+        # ---- is outside the driver's window.  bpe_tokenize sits first
+        # ---- below it (rows-only by design — a driver check adds nothing).
         "bpe_tokenize": q_bpe_tokenize,
-        # ---- slot 50 boundary: everything below was hash-verified green in
+        # ---- the rest below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round.  Two exceptions displaced
         # ---- by the r5 vrl_parse_logfmt/vrl_redact_hash rows:

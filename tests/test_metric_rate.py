@@ -379,3 +379,18 @@ def test_absent_windows_none_absent(spark):
     assert absent_windows(df, ["series"], 10, ts_col="ts").count() == 0
     with pytest.raises(ValueError, match="series"):
         absent_windows(df, [], 10)
+
+
+def test_over_time_quantile_naming_edges(spark):
+    from vector_spark.operators import over_time
+
+    df = spark.createDataFrame(
+        [("s", _ts(1), 1.0, 1), ("s", _ts(2), 3.0, 2)],
+        "series string, ts timestamp, value double, i int",
+    )
+    out = over_time(df, ["series"], 10, ts_col="ts",
+                    quantiles=(0.0, 0.5, 1.0), tiebreaker="i")
+    row = out.collect()[0]
+    assert row.q0 == 1.0 and row.q5 == 2.0 and row.q1_0 == 3.0
+    with pytest.raises(ValueError, match="duplicate quantile"):
+        over_time(df, ["series"], 10, ts_col="ts", quantiles=(0.5, 0.5))

@@ -471,3 +471,37 @@ def test_console_csv_codec(spark):
     )
     lines = console_sink(df.orderBy("id"), codec="csv")
     assert lines == ['1,"say \\"hi\\", ok"', "2,plain"]
+
+
+def test_multiline_stage_rejects_ambiguous_patterns(spark):
+    """Both start_pattern and condition_pattern without an explicit mode is
+    ambiguous — refused, never guessed (guessing inverts segmentation)."""
+    import pytest
+
+    from vector_spark.plans.pipeline import Pipeline, PipelineError
+
+    toml = """
+[sources.s]
+type = "demo_logs"
+format = "shuffle"
+lines = ["2024-01-01 head", "  tail"]
+count = 10
+
+[transforms.m]
+type = "multiline"
+inputs = ["s"]
+start_pattern = '^\\d{4}-'
+condition_pattern = '^\\s'
+
+[sinks.out]
+type = "console"
+inputs = ["m"]
+"""
+    p = Pipeline.from_toml(toml)
+    with pytest.raises(PipelineError, match="mode"):
+        p.run(spark)
+    # explicit mode resolves it — and picks the MATCHING pattern
+    ok = Pipeline.from_toml(toml.replace(
+        "condition_pattern = '^\\s'", "condition_pattern = '^\\s'\nmode = 'start_pattern'"
+    ))
+    assert ok.run(spark)["out"]

@@ -951,7 +951,7 @@ def test_streaming_multiline_spans_batches(spark, tmp_path):
 
     write_chunk(
         [("a", 1, "2024-01-01 ERROR boom"), ("a", 2, "  at f1"),
-         ("b", 1, "  orphan tail")],
+         ("b", 1, "  orphan tail"), ("b", 2, "  orphan more")],
         "a",
     )
     write_chunk([("a", 3, "  at f2"), ("a", 4, "2024-01-01 INFO next")], "b")
@@ -984,7 +984,9 @@ def test_streaming_multiline_spans_batches(spark, tmp_path):
         ] == [
             ("a", 1, "2024-01-01 ERROR boom\n  at f1\n  at f2", 3, False),
             ("a", 4, "2024-01-01 INFO next", 1, True),  # timeout flush
-            ("b", 1, "  orphan tail", 1, True),
+            # BOTH leading orphan lines fold into ONE flagged fragment —
+            # same event the batch twin would build
+            ("b", 1, "  orphan tail\n  orphan more", 2, True),
         ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -716,3 +716,18 @@ def test_parse_logfmt_duplicate_keys_last_wins(spark):
     )
     mc = cef.select(compile_condition("parse_cef(.s)").alias("m")).collect()[0].m
     assert mc["src"] == "2.2.2.2" and mc["dst"] == "3.3.3.3"
+
+
+def test_parse_int_base_rejects_garbage_and_negatives(spark):
+    """conv() would return 0 for garbage and wrap negatives unsigned —
+    both must surface as NULL (recoverable), never as a valid 0."""
+    df = spark.createDataFrame([("zz", "-ff", " ff ", "")],
+                               "g string, n string, pad string, e string")
+    row = df.select(
+        compile_condition("parse_int(.g, 16)").alias("g"),
+        compile_condition("parse_int(.n, 16)").alias("n"),
+        compile_condition("parse_int(.pad, 16)").alias("pad"),
+        compile_condition("parse_int(.e, 16)").alias("e"),
+    ).collect()[0]
+    assert row.g is None and row.n is None and row.e is None
+    assert row.pad == 255  # whitespace trimmed, then valid

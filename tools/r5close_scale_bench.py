@@ -2,8 +2,9 @@
 """Scale measurements for the round-5-close operators, each on synthesized
 inputs big enough to exercise the shuffle paths (not the sf0.1 fixtures):
 
-* ``assemble_multiline`` — 10M log lines over 100k streams (avg 5 lines
-  per event: head + 0-8 stack frames), the gaps-and-islands Window + fold.
+* ``assemble_multiline`` — 10M log lines over 100k streams (exactly 5
+  lines per event: head + 4 stack frames), the gaps-and-islands Window +
+  fold.
 * ``over_time`` — 50M gauge samples over 100k series × 50 windows, the
   one-shuffle aligned rollup incl. two exact quantiles.
 * ``absent_windows`` — same 50M-sample table with a residue class of
@@ -47,8 +48,8 @@ def main() -> None:
     spark = get_spark("r5close_scale")
     results: dict[str, object] = {"n_lines": N_LINES, "n_samples": N_SAMPLES}
 
-    # --- multiline: event e has 1 + e%9 lines; line_no globally ordered
-    eid = (F.col("id") / 5).cast("long")  # ~5 lines per event on average
+    # --- multiline: every event is head + 4 frames; line_no globally ordered
+    eid = (F.col("id") / 5).cast("long")
     j = F.col("id") % 5
     lines = (
         spark.range(N_LINES)

@@ -216,9 +216,19 @@ def over_time(
         raise ValueError("over_time needs at least one series column")
     if window_s <= 0:
         raise ValueError(f"window_s must be positive, got {window_s}")
+    qnames: list[str] = []
     for q in quantiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
+        # 'q5'/'q9'/'q99' for the common 0.x form; anything else ('q1_0',
+        # 'q0' …) falls back to underscore-sanitized — column names must
+        # stay identifier-safe for the downstream select
+        txt = str(q)
+        name = "q" + (txt[2:] if txt.startswith("0.") and txt[2:].isdigit()
+                      else txt.replace(".", "_").replace("-", "m").replace("+", ""))
+        if name in qnames:
+            raise ValueError(f"duplicate quantile column {name!r} from {quantiles}")
+        qnames.append(name)
     secs = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket = F.floor(secs / F.lit(int(window_s) * 1_000_000)).cast("long")
     v = F.col(value_col).cast("double")
@@ -233,8 +243,7 @@ def over_time(
         F.count(v).alias("n_samples"),
         F.max_by(v, ts).alias("last_v"),
     ]
-    for q in quantiles:
-        name = f"q{str(q).replace('0.', '')}"
+    for q, name in zip(quantiles, qnames):
         aggs.append(F.percentile(v, F.lit(q)).alias(name))
     out = df.withColumn("_wb", bucket).groupBy(*series_cols, "_wb").agg(*aggs)
     return out.select(

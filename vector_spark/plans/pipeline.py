@@ -496,17 +496,35 @@ class Pipeline:
             # is the sources' deterministic `id`.
             from vector_spark.operators import assemble_multiline
 
-            pattern = o.get("start_pattern") or o.get("condition_pattern")
-            if not pattern:
+            start_p, cond_p = o.get("start_pattern"), o.get("condition_pattern")
+            if not start_p and not cond_p:
                 raise PipelineError([ValidationIssue(
                     "INVALID_INPUT",
                     f"multiline stage '{st.name}' needs start_pattern or "
                     "condition_pattern",
                     st.name,
                 )])
-            mode = o.get("mode") or (
-                "continuation" if o.get("condition_pattern") else "start_pattern"
-            )
+            mode = o.get("mode")
+            if mode is None:
+                if start_p and cond_p:
+                    # both patterns without an explicit mode is ambiguous —
+                    # guessing would silently invert segmentation
+                    raise PipelineError([ValidationIssue(
+                        "INVALID_INPUT",
+                        f"multiline stage '{st.name}' sets both "
+                        "start_pattern and condition_pattern — add "
+                        "mode = 'start_pattern' or 'continuation' to pick",
+                        st.name,
+                    )])
+                mode = "continuation" if cond_p else "start_pattern"
+            pattern = cond_p if mode == "continuation" else start_p
+            if not pattern:
+                raise PipelineError([ValidationIssue(
+                    "INVALID_INPUT",
+                    f"multiline stage '{st.name}': mode '{mode}' needs "
+                    f"{'condition_pattern' if mode == 'continuation' else 'start_pattern'}",
+                    st.name,
+                )])
             stream_by = o.get("stream_by") or []
             if isinstance(stream_by, str):
                 stream_by = [stream_by]

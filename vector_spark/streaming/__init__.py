@@ -707,26 +707,31 @@ def streaming_multiline(
     state_schema = T.StructType(
         [T.StructField("first_line", T.LongType()),
          T.StructField("buf", T.StringType()),
-         T.StructField("n", T.LongType())]
+         T.StructField("n", T.LongType()),
+         T.StructField("orphan", T.BooleanType())]
     )
     rx = _re.compile(pattern)
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
-            first, buf, n = state.get
+            first, buf, n, _orphan = state.get
             state.remove()
             yield pd.DataFrame(
                 [(*key, first, buf, n, True)],
                 columns=[*stream_by, "first_line", "message", "n_lines", "timed_out"],
             )
             return
+        # open event: (first_line, buf, n, is_orphan_fragment)
         open_ev = state.get if state.exists else None
         chunks = list(pdf_iter)
         closed: list[tuple] = []
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             texts = pdf[text_col].astype(str)
-            starts = texts.str.match(rx).to_numpy()
+            # str.contains = re.search — the same UNANCHORED semantics the
+            # batch twin's Column.rlike uses (str.match would anchor at
+            # position 0 and segment differently for unanchored patterns)
+            starts = texts.str.contains(rx).to_numpy()
             if mode == "continuation":
                 starts = ~starts
             for ln, txt, is_start in zip(
@@ -734,15 +739,19 @@ def streaming_multiline(
             ):
                 if is_start:
                     if open_ev is not None:
-                        closed.append((*key, *open_ev, False))
-                    open_ev = (int(ln), txt, 1)
+                        first, buf, n, orphan = open_ev
+                        # an orphan head fragment closes flagged (it is
+                        # incomplete), a normal event closes clean
+                        closed.append((*key, first, buf, n, orphan))
+                    open_ev = (int(ln), txt, 1, False)
                 elif open_ev is None:
-                    # orphan continuation before any start: emit alone,
-                    # flagged like a timeout flush (it is a fragment)
-                    closed.append((*key, int(ln), txt, 1, True))
+                    # orphan continuation before any start: open an orphan
+                    # fragment and keep folding into it — the batch twin
+                    # folds ALL leading orphan lines into one event
+                    open_ev = (int(ln), txt, 1, True)
                 else:
-                    first, buf, n = open_ev
-                    open_ev = (first, buf + joiner + txt, n + 1)
+                    first, buf, n, orphan = open_ev
+                    open_ev = (first, buf + joiner + txt, n + 1, orphan)
         if closed:
             yield pd.DataFrame(
                 closed,

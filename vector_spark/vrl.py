@@ -434,7 +434,14 @@ class _Parser:
                     )
                 if b == 10:
                     return args[0].try_cast("long")
-                return F.conv(args[0].cast("string"), b, 10).try_cast("long")
+                # conv() returns '0' for garbage and wraps negatives to
+                # unsigned 2^64 — both silently wrong.  Gate on the base's
+                # exact digit class (unsigned only) so invalid input is
+                # NULL, the module's recoverable-parse convention.
+                digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:b]
+                rx = f"^[{digits}{digits.upper()}]+$"
+                s = F.trim(args[0].cast("string"))
+                return F.when(s.rlike(rx), F.conv(s, b, 10).try_cast("long"))
             return args[0].try_cast("long")
         if base == "to_timestamp":
             return args[0].try_cast("timestamp")
@@ -750,8 +757,12 @@ class _Parser:
             # through conditions, so the string form covers the observed use.
             return F.length(args[0].cast("string")) == 0
         if base == "encode_json":
-            # VRL encode_json(value) → JSON text; map/struct/array columns
-            # serialize via the JVM to_json, scalars via JSON-style quoting.
+            # VRL encode_json(value) → JSON text for CONTAINER columns
+            # (map/struct/array) via the JVM to_json.  Scalar columns are
+            # rejected by Spark at analysis time (INVALID_JSON_SCHEMA) —
+            # the column type isn't visible at VRL compile time, so the
+            # clear error has to come from the analyzer; quote scalars
+            # with string concatenation instead.
             return F.to_json(args[0])
         if base == "strip_ansi_escape_codes":
             # CSI sequences (colors, cursor), OSC titles, and bare 2-char
