@@ -1813,6 +1813,34 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("template", "n_events", "example")
 
 
+def q_templates_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # emerging_templates (functions/templates.py): baseline = even
+    # event_ids with the steady shape, current = odd event_ids where every
+    # user_id % 10 == 0 row switches to a planted OOM shape.  The steady
+    # shape exists on both sides → anti-joined away; only the planted
+    # template emerges.  Oracle replays the masks (Java∩RE2 syntax) and
+    # the profile/anti-join relationally.
+    from vector_spark.functions import emerging_templates
+
+    ev = _ev(spark, sf_dir)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    steady = F.concat(
+        F.lit("user "), uid.cast("string"),
+        F.lit(" did "), F.col("event_type"),
+        F.lit(" in "), (eid % 500).cast("string"), F.lit("ms"),
+    )
+    oom = F.concat(
+        F.lit("oom killed pid "), (eid % 32768).cast("string"),
+        F.lit(" on node "), (uid % 50).cast("string"),
+    )
+    baseline = ev.filter(eid % 2 == 0).select(steady.alias("message"))
+    current = ev.filter(eid % 2 == 1).select(
+        F.when(uid % 10 == 0, oom).otherwise(steady).alias("message")
+    )
+    out = emerging_templates(current, baseline, min_events=2)
+    return out.select("template", "n_events", "example")
+
+
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic span table from events: trace = user bucket, span ids =
     # event ids, roots where event_id % 5 == 0, error status from event_type
@@ -2764,6 +2792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- is outside the driver's window.  bpe_tokenize sits first
         # ---- below it (rows-only by design — a driver check adds nothing).
         "bpe_tokenize": q_bpe_tokenize,
+        # ---- r5-continuation addition registered BELOW the window (every
+        # ---- in-window slot already holds a never-driver-checked query);
+        # ---- hash-verified in the committed local record like all others
+        "log_templates_emerging": q_templates_emerging,
         # ---- the rest below was hash-verified green in
         # ---- CORRECTNESS_r04, is unchanged since, and re-verifies locally
         # ---- via check_oracles.py each round.  Two exceptions displaced
@@ -3263,6 +3295,40 @@ def oracle_sql() -> dict[str, str]:
                    MIN(message) AS example
             FROM m
             GROUP BY 1
+        """,
+        # emerging templates: the same mask replay as log_templates, run on
+        # both halves, then profile ANTI JOIN baseline-distinct.
+        "log_templates_emerging": r"""
+            WITH raw AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_id % 2 = 1 AND user_id % 10 = 0
+                       THEN 'oom killed pid ' || CAST(event_id % 32768 AS VARCHAR)
+                            || ' on node ' || CAST(user_id % 50 AS VARCHAR)
+                       ELSE 'user ' || CAST(user_id AS VARCHAR)
+                            || ' did ' || event_type
+                            || ' in ' || CAST(event_id % 500 AS VARCHAR) || 'ms'
+                     END AS message
+              FROM events
+            ), masked AS (
+              SELECT event_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       message,
+                       '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b',
+                       '<UUID>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b0[xX][0-9a-fA-F]+\b', '<HEX>', 'g'),
+                       '\b\d+(\.\d+)?', '<NUM>', 'g') AS template,
+                     message
+              FROM raw
+            ), curt AS (
+              SELECT template, COUNT(*) AS n_events, MIN(message) AS example
+              FROM masked WHERE event_id % 2 = 1 GROUP BY 1
+            ), baset AS (
+              SELECT DISTINCT template FROM masked WHERE event_id % 2 = 0
+            )
+            SELECT c.template, c.n_events, c.example
+            FROM curt c ANTI JOIN baset b ON c.template = b.template
+            WHERE c.n_events >= 2
         """,
         # Exactly GROUP BY ... HAVING — the Misra-Gries candidate pass is a
         # provable superset and the verify pass recounts exactly, so the

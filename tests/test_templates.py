@@ -72,3 +72,26 @@ def test_custom_masks(logs):
     masks = [(r"user \d+", "user <ID>")]
     out = logs.select(mask_message("message", masks).alias("m")).collect()
     assert out[0]["m"] == "user <ID> logged in from 10.2.3.44"
+
+
+def test_emerging_templates(spark):
+    """Templates in current-but-not-baseline surface; shared shapes and
+    sub-min_events noise do not."""
+    from vector_spark.functions import emerging_templates
+
+    base = spark.createDataFrame(
+        [("user 1 logged in",), ("user 2 logged in",), ("cache miss for key 9",)],
+        "message string",
+    )
+    cur = spark.createDataFrame(
+        [("user 3 logged in",),            # same template as baseline
+         ("disk full on node 7",),         # NEW, recurs
+         ("disk full on node 8",),
+         ("one-off glitch 42",)],          # NEW but single event
+        "message string",
+    )
+    out = emerging_templates(cur, base, min_events=2).collect()
+    assert len(out) == 1
+    assert out[0].template == "disk full on node <NUM>"
+    assert out[0].n_events == 2
+    assert out[0].example == "disk full on node 7"

@@ -114,6 +114,7 @@ from vector_spark.functions.search import (
 )
 from vector_spark.functions.templates import (
     mask_message,
+    emerging_templates,
     template_extract,
     template_profile,
 )
@@ -163,7 +164,7 @@ __all__ = [
     "profile_corpus",
     "detect_bursts", "rate_spikes",
     "alpha_mix_rates_micro", "alpha_mix_sample",
-    "mask_message", "template_extract", "template_profile",
+    "mask_message", "template_extract", "template_profile", "emerging_templates",
     "heavy_hitters", "heavy_hitter_candidates", "windowed_heavy_hitters",
     "infer_json_schema", "merge_kinds",
 ]

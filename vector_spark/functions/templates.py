@@ -95,3 +95,33 @@ def template_profile(
     if ts_col is not None:
         aggs += [F.min(ts_col).alias("first_seen"), F.max(ts_col).alias("last_seen")]
     return t.groupBy("template", "template_id").agg(*aggs)
+
+
+def emerging_templates(
+    current: DataFrame,
+    baseline: DataFrame,
+    message_col: str = "message",
+    *,
+    masks: list[tuple[str, str]] | None = None,
+    min_events: int = 1,
+) -> DataFrame:
+    """Templates present in ``current`` but ABSENT from ``baseline`` — the
+    "what log shape is new since yesterday" deploy/incident signal (a
+    template inventory answers "what exists"; operators page on what
+    CHANGED).
+
+    Both sides collapse to their template inventories first (template
+    cardinality ~thousands), so the anti-join compares aggregate-sized
+    tables — at 10^12 rows per side the only full scans are the two
+    map-side-combined profile aggregates, and the join moves kilobytes.
+    ``min_events`` drops one-off noise templates from the result (a
+    template must recur to page on).  Both sides MUST use the same masks;
+    this function applies one mask set to both so they cannot drift.
+    """
+    cur = template_profile(current, message_col, masks=masks)
+    base = template_profile(baseline, message_col, masks=masks, with_example=False)
+    return (
+        cur.join(base.select("template_id"), "template_id", "left_anti")
+        .filter(F.col("n_events") >= min_events)
+        .select("template", "template_id", "n_events", "example")
+    )
