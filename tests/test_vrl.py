@@ -731,3 +731,23 @@ def test_parse_int_base_rejects_garbage_and_negatives(spark):
     ).collect()[0]
     assert row.g is None and row.n is None and row.e is None
     assert row.pad == 255  # whitespace trimmed, then valid
+
+
+def test_replace_and_split_regex_vs_literal(spark):
+    """Plain-string patterns mean THEMSELVES; r'…' patterns are regexes
+    (with $1 capture refs in replace)."""
+    df = spark.createDataFrame([("a.b.c", "x1y22z")], "dots string, nums string")
+    row = df.select(
+        compile_condition('replace(.dots, ".", "-")').alias("lit"),
+        compile_condition("replace(.nums, r'(\\d+)', \"[$1]\")").alias("rx"),
+        compile_condition('split(.dots, ".")').alias("slit"),
+        compile_condition("split(.nums, r'\\d+')").alias("srx"),
+        compile_condition('split(.dots, ".", 2)').alias("slim"),
+    ).collect()[0]
+    assert row.lit == "a-b-c"          # '.' is literal, not any-char
+    assert row.rx == "x[1]y[22]z"      # capture reference
+    assert row.slit == ["a", "b", "c"]
+    assert row.srx == ["x", "y", "z"]
+    assert row.slim == ["a", "b.c"]    # limit honored
+    with pytest.raises(VRLError, match="limit"):
+        compile_condition('split(.dots, ".", 0)')

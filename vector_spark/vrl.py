@@ -48,6 +48,14 @@ class VRLError(ValueError):
     pass
 
 
+class RawRegex(str):
+    """Marker for a pattern captured from an r'…' literal — functions that
+    accept BOTH a literal string and a regex (replace, split) dispatch on
+    it: plain strings mean themselves (escaped), r'…' means a pattern.
+    Subclasses str so every existing `isinstance(raw, str)` path and dict
+    lookup keeps working unchanged."""
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>[ \t]+)
@@ -285,7 +293,7 @@ class _Parser:
                         if self.i - start == 1 and self.toks[start].kind == "string":
                             raws.append(_unescape(self.toks[start].value[1:-1]))
                         elif self.i - start == 1 and self.toks[start].kind == "rawstr":
-                            raws.append(self.toks[start].value[2:-1])
+                            raws.append(RawRegex(self.toks[start].value[2:-1]))
                         elif self.i - start == 1 and self.toks[start].kind == "number":
                             # numeric literal capture — functions needing a
                             # compile-time constant (parse_int base)
@@ -398,7 +406,20 @@ class _Parser:
         if base == "strip_whitespace":
             return F.trim(args[0].cast("string"))
         if base == "replace":
-            # VRL replace(value, pattern, with) — literal replacement
+            # VRL replace(value, pattern, with): a plain-string pattern
+            # means ITSELF (literal replace); an r'…' pattern is a regex
+            # with $1-style capture references in the replacement (both
+            # must be literals for the regex form — regexp_replace compiles
+            # the pattern once at plan time).
+            pat = raws[1] if raws and len(raws) > 1 else None
+            if isinstance(pat, RawRegex):
+                rep = raws[2] if len(raws) > 2 else None
+                if not isinstance(rep, str):
+                    raise VRLError(
+                        "replace with a regex pattern needs a literal "
+                        "replacement string"
+                    )
+                return F.regexp_replace(args[0].cast("string"), pat, rep)
             return F.replace(args[0].cast("string"), args[1], args[2])
         if base == "truncate":
             return F.substring(args[0].cast("string"), F.lit(1), args[1].cast("int"))
@@ -417,7 +438,24 @@ class _Parser:
         if base == "includes":
             return F.array_contains(args[0], args[1])
         if base == "split":
-            return F.split(args[0].cast("string"), args[1])
+            # VRL split(value, separator, limit): a plain-string separator
+            # means itself (F.split's pattern arg is a REGEX, so literal
+            # strings are escaped — split(.s, ".") splits on dots, not on
+            # every character); r'…' passes through as a pattern.  `limit`
+            # must be a literal int when given.
+            pat = raws[1] if raws and len(raws) > 1 else None
+            if isinstance(pat, RawRegex):
+                rx = str(pat)
+            elif isinstance(pat, str):
+                rx = re.escape(pat)
+            else:
+                raise VRLError("split needs a literal separator (string or r'…')")
+            if len(args) > 2:
+                lim = raws[2] if len(raws) > 2 else None
+                if not isinstance(lim, int) or lim == 0:
+                    raise VRLError("split: limit must be a non-zero integer literal")
+                return F.split(args[0].cast("string"), rx, lim)
+            return F.split(args[0].cast("string"), rx)
         if base == "is_nullish":
             s = args[0].cast("string")
             return args[0].isNull() | (F.trim(s) == "") | (F.trim(s) == "-")
