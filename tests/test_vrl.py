@@ -751,3 +751,41 @@ def test_replace_and_split_regex_vs_literal(spark):
     assert row.slim == ["a", "b.c"]    # limit honored
     with pytest.raises(VRLError, match="limit"):
         compile_condition('split(.dots, ".", 0)')
+
+
+def test_case_insensitive_string_predicates(spark):
+    df = spark.createDataFrame([("Hello World",)], "s string")
+    row = df.select(
+        compile_condition('contains(.s, "WORLD", false)').alias("c"),
+        compile_condition('contains(.s, "WORLD", true)').alias("cs"),
+        compile_condition('starts_with(.s, "hELLO", false)').alias("sw"),
+        compile_condition('ends_with(.s, "WORLD", false)').alias("ew"),
+    ).collect()[0]
+    assert row.c and not row.cs and row.sw and row.ew
+    with pytest.raises(VRLError, match="literal"):
+        compile_condition("contains(.s, .s, .s)")
+
+
+def test_truncate_slice_find_format(spark):
+    df = spark.createDataFrame([("abcdefgh", 1234567.891, "日本語x")],
+                               "s string, n double, u string")
+    row = df.select(
+        compile_condition('truncate(.s, 4, "...")').alias("t"),
+        compile_condition('truncate(.s, 99, "...")').alias("t2"),
+        compile_condition("slice(.s, 2, 5)").alias("sl"),
+        compile_condition("slice(.s, -3)").alias("sneg"),
+        compile_condition("slice(.s, 2, -1)").alias("smix"),
+        compile_condition('find(.s, "cd")').alias("f"),
+        compile_condition('find(.s, "zz")').alias("fm"),
+        compile_condition("find(.s, r'[fg]+')").alias("fr"),
+        compile_condition("format_number(.n, 2)").alias("fmt"),
+        compile_condition("titlecase(.s)").alias("tc"),
+        compile_condition("strlen(.u)").alias("bytes"),
+        compile_condition("length(.u)").alias("chars"),
+    ).collect()[0]
+    assert row.t == "abcd..." and row.t2 == "abcdefgh"
+    assert row.sl == "cde" and row.sneg == "fgh" and row.smix == "cdefg"
+    assert row.f == 2 and row.fm == -1 and row.fr == 5
+    assert row.fmt == "1,234,567.89"
+    assert row.tc == "Abcdefgh"
+    assert row.bytes == 10 and row.chars == 4  # 3×3-byte chars + 'x'

@@ -299,6 +299,22 @@ class _Parser:
                             # compile-time constant (parse_int base)
                             nv = self.toks[start].value
                             raws.append(float(nv) if "." in nv else int(nv))
+                        elif (
+                            self.i - start == 2
+                            and self.toks[start].kind == "op"
+                            and self.toks[start].value == "-"
+                            and self.toks[start + 1].kind == "number"
+                        ):
+                            # negative numeric literal (slice bounds)
+                            nv = self.toks[start + 1].value
+                            raws.append(-(float(nv) if "." in nv else int(nv)))
+                        elif (
+                            self.i - start == 1
+                            and self.toks[start].kind == "ident"
+                            and self.toks[start].value in ("true", "false")
+                        ):
+                            # boolean literal capture (case_sensitive flags)
+                            raws.append(self.toks[start].value == "true")
                         else:
                             # array-of-literals capture ([r'a', "b"]) — some
                             # functions (redact filters) need the PATTERN
@@ -367,14 +383,27 @@ class _Parser:
         base = {"parse_common_log": "parse_apache_log"}.get(base, base)
         if base == "exists":
             return args[0].isNotNull()
-        if base == "contains":
-            return F.contains(args[0].cast("string"), args[1])
+        if base in ("contains", "starts_with", "ends_with"):
+            # VRL signature: f(value, substring, case_sensitive: true) —
+            # the flag must be a boolean literal; false folds BOTH sides
+            # to lower (still pure codegen, one extra lower() each side)
+            s, sub = args[0].cast("string"), args[1]
+            if len(args) > 2:
+                flag = raws[2] if raws and len(raws) > 2 else None
+                if not isinstance(flag, bool):
+                    raise VRLError(
+                        f"{base}: case_sensitive must be the literal "
+                        "true or false"
+                    )
+                if flag is False:
+                    s, sub = F.lower(s), F.lower(sub.cast("string"))
+            if base == "contains":
+                return F.contains(s, sub)
+            if base == "starts_with":
+                return s.startswith(sub)
+            return s.endswith(sub)
         if base == "match":
             return F.regexp_like(args[0].cast("string"), args[1])
-        if base == "starts_with":
-            return args[0].cast("string").startswith(args[1])
-        if base == "ends_with":
-            return args[0].cast("string").endswith(args[1])
         if base == "to_int":
             return args[0].try_cast("long")
         if base == "to_float":
@@ -422,7 +451,58 @@ class _Parser:
                 return F.regexp_replace(args[0].cast("string"), pat, rep)
             return F.replace(args[0].cast("string"), args[1], args[2])
         if base == "truncate":
-            return F.substring(args[0].cast("string"), F.lit(1), args[1].cast("int"))
+            # VRL truncate(value, limit, suffix: "") — suffix (e.g. "...")
+            # appended ONLY when truncation actually happened
+            s = args[0].cast("string")
+            cut = F.substring(s, F.lit(1), args[1].cast("int"))
+            if len(args) > 2:
+                suffix = raws[2] if raws and len(raws) > 2 else None
+                if not isinstance(suffix, str):
+                    raise VRLError("truncate: suffix must be a string literal")
+                return F.when(
+                    F.length(s) > args[1].cast("int"),
+                    F.concat(cut, F.lit(suffix)),
+                ).otherwise(s)
+            return cut
+        if base == "slice":
+            # VRL slice(value, start, end?) — 0-based, end exclusive,
+            # negatives count from the end; strings only in this build
+            # (arrays carry no dynamic typing here).  Bounds must be
+            # integer literals so the arithmetic folds at compile time.
+            start = raws[1] if raws and len(raws) > 1 else None
+            if not isinstance(start, int):
+                raise VRLError("slice: start must be an integer literal")
+            s = args[0].cast("string")
+            ln = F.length(s)
+            b = (ln + F.lit(start)) if start < 0 else F.lit(start)
+            b = F.greatest(b, F.lit(0))
+            if len(args) > 2:
+                end = raws[2] if len(raws) > 2 else None
+                if not isinstance(end, int):
+                    raise VRLError("slice: end must be an integer literal")
+                e = (ln + F.lit(end)) if end < 0 else F.least(F.lit(end), ln)
+            else:
+                e = ln
+            return F.substring(s, b + 1, F.greatest(e - b, F.lit(0)))
+        if base == "find":
+            # VRL find(value, pattern) → first 0-based index or -1; plain
+            # string = literal substring, r'…' = regex
+            pat = raws[1] if raws and len(raws) > 1 else None
+            s = args[0].cast("string")
+            if isinstance(pat, RawRegex):
+                return F.regexp_instr(s, F.lit(str(pat))) - 1
+            return F.instr(s, args[1]) - 1
+        if base == "format_number":
+            # VRL format_number(value, scale) → grouped decimal rendering
+            scale = raws[1] if raws and len(raws) > 1 else 0
+            if not isinstance(scale, int) or scale < 0:
+                raise VRLError("format_number: scale must be a non-negative integer literal")
+            return F.format_number(args[0].cast("double"), scale)
+        if base == "titlecase":
+            return F.initcap(args[0].cast("string"))
+        if base == "strlen":
+            # VRL strlen = UTF-8 BYTE length (length() is characters)
+            return F.octet_length(args[0].cast("string"))
         if base == "sha2" or base == "sha256":
             return F.sha2(args[0].cast("string").cast("binary"), 256)
         if base == "md5":
