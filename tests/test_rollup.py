@@ -94,3 +94,37 @@ def test_rollup_refresh_pair_is_exported():
 
     assert "streaming_rollup_fine" in st.__all__
     assert callable(st.streaming_rollup_fine)
+
+
+def test_rollup_distinct_hll_sketches(spark):
+    """Distinct counts roll up as HLL sketches: the coarse grain's estimate
+    must equal the base table's exact distinct count (small cardinalities
+    estimate exactly), and the merge path must agree with direct
+    sketching — the property exact COUNT(DISTINCT) cannot deliver."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators import (
+        estimate_distinct,
+        rollup_hypertable,
+        rollup_merge_aggs,
+    )
+
+    # 4 hours × 600 events; user cardinality differs per hour (97/193/…)
+    df = spark.range(2400).select(
+        F.timestamp_seconds(1_699_920_000 + F.col("id") * 6).alias("ts"),  # day-aligned
+        (F.col("id") % ((F.col("id") / 600).cast("int") * 96 + 97)).alias("user_id"),
+        F.lit("all").alias("k"),
+    )
+    aggs = {"users": ("distinct", "user_id"), "n": ("count", None)}
+    levels = rollup_hypertable(df, "ts", aggs, ("1 hour", "1 day"), group_by=["k"])
+    day = estimate_distinct(levels["1 day"], ["users"]).collect()[0]
+    exact = df.select("user_id").distinct().count()
+    assert day.users == exact  # HLL is exact at these cardinalities
+    assert day.n == 2400
+
+    # refresh path: re-aggregate the FINE level's stored sketches
+    merged = rollup_hypertable(
+        levels["1 hour"], "bucket_start", rollup_merge_aggs(aggs), ("1 day",)
+    )["1 day"]
+    again = estimate_distinct(merged, ["users"]).collect()[0]
+    assert again.users == exact and again.n == 2400

@@ -49,12 +49,23 @@ def aggregate(
 
 #: mergeable aggregate palette: (base_fn, merge_fn) — merge re-aggregates a
 #: finer level's OUTPUT, so only algebraic aggregates qualify (avg is derived
-#: as sum/count at read time, never stored)
+#: as sum/count at read time, never stored).  ``distinct`` is the one
+#: warehouse aggregate that is NOT algebraic over raw values — two windows'
+#: distinct counts don't add — so it rolls up as a Datasketches HLL sketch
+#: (`hll_sketch_agg`, JVM-side): the stored column is the mergeable binary
+#: state, coarser grains fold with `hll_union_agg`, and
+#: :func:`estimate_distinct` renders counts at read time (relative standard
+#: error ≈ 1.04/√2^lgK ≈ 1.6 % at the default lgConfigK=12, constant bytes
+#: per group regardless of cardinality).
 _MERGEABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    "distinct": (lambda c: F.hll_sketch_agg(c), F.hll_union_agg),
+    # merge-only kind emitted by rollup_merge_aggs for already-sketched
+    # columns (a fine level read back from a sink)
+    "distinct_merge": (F.hll_union_agg, F.hll_union_agg),
 }
 
 _UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
@@ -157,7 +168,23 @@ def rollup_merge_aggs(aggs: dict[str, tuple[str, str | None]]) -> dict[str, tupl
     for name, (how, _col) in aggs.items():
         if how not in _MERGEABLE:
             raise ValueError(f"aggregate {how!r} for {name!r} is not mergeable")
-        out[name] = ("sum" if how == "count" else how, name)
+        if how == "count":
+            out[name] = ("sum", name)
+        elif how in ("distinct", "distinct_merge"):
+            out[name] = ("distinct_merge", name)
+        else:
+            out[name] = (how, name)
+    return out
+
+
+def estimate_distinct(df: DataFrame, sketch_cols: list[str]) -> DataFrame:
+    """Render stored HLL sketch columns as approximate distinct counts —
+    the read-time half of ``aggs={name: ("distinct", col)}``.  Keeps every
+    other column; the sketch columns are REPLACED by their bigint
+    estimates (don't ship sketch bytes to a dashboard)."""
+    out = df
+    for c in sketch_cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)))
     return out
 
 
