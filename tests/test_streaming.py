@@ -990,3 +990,58 @@ def test_streaming_multiline_spans_batches(spark, tmp_path):
         ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_streaming_rollup_fine_distinct_sketches(spark, tmp_path):
+    """The streaming fine grain accepts the r5 'distinct' (HLL sketch)
+    kind: closed fine buckets carry mergeable sketch state, and the batch
+    merge refresh folds them to the exact distinct count."""
+    from vector_spark.operators import (
+        estimate_distinct,
+        rollup_hypertable,
+        rollup_merge_aggs,
+    )
+    from vector_spark.schema import DOCUMENTS_SCHEMA
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2026-01-01T00:00:00", tz="UTC")
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://h{i % 37}/p{i}" for i in range(300)],
+            "warc_ts": [base + pd.Timedelta(minutes=i) for i in range(300)],
+            "html": [b""] * 300,
+            "text": [f"u{i % 83}" for i in range(300)],  # 83 distinct users
+            "lang": ["en"] * 300,
+        }
+    )
+    spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "a")
+    )
+    # a far-future row pushes the watermark so every real window closes
+    tail = pdf.iloc[:1].assign(warc_ts=[base + pd.Timedelta(days=3)])
+    spark.createDataFrame(tail, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "b")
+    )
+
+    aggs = {"users": ("distinct", "text"), "n": ("count", None)}
+    stream = st.document_stream(spark, str(in_dir / "*"), max_files_per_trigger=1)
+    fine = st.streaming_rollup_fine(
+        stream, "warc_ts", aggs, grain="1 hour", watermark="1 hour"
+    )
+    q = (
+        fine.writeStream.format("memory")
+        .queryName("hll_fine")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = spark.sql("select * from hll_fine")
+    assert closed.count() >= 5  # the 5 real hours all closed
+    day = rollup_hypertable(
+        closed, "bucket_start", rollup_merge_aggs(aggs), ("1 day",)
+    )["1 day"]
+    row = estimate_distinct(day, ["users"]).orderBy("bucket_start").collect()[0]
+    assert row.users == 83 and row.n == 300
