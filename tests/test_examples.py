@@ -84,3 +84,34 @@ def test_multiline_example_runs(spark):
     # along inside the same event (newline-folded by the logfmt encoder)
     assert all("ERROR" in line for line in out)
     assert any(r"\n  at frame." in line for line in out)
+
+
+def test_telemetry_walkthrough_runs(spark):
+    """The telemetry walkthrough executes end to end and each stage's
+    output is sane."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "telemetry_walkthrough.py"
+    )
+    spec = importlib.util.spec_from_file_location("telemetry_walkthrough", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, 2000)
+    n_parsed = out["parsed"].count()
+    assert n_parsed == 2000  # every raw event survives assembly+parse
+    # stack traces folded: 1/5 of events carry 3 lines
+    assert out["events"].filter("n_lines = 3").count() == 400
+    assert out["latency"].count() > 0
+    assert out["daily_users"].count() > 0
+    # distinct-user estimate is exact at this cardinality (97 users spread
+    # over 20 hosts; each host sees eids ≡ host (mod 20))
+    import pyspark.sql.functions as F
+
+    total = out["daily_users"].agg(F.sum("n")).collect()[0][0]
+    assert total == 2000
+    assert out["slo"].count() > 0  # keep_all backtest rows exist
+    # same level-shapes on both halves → nothing emerges
+    assert out["emerging"].count() == 0
