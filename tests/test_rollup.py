@@ -128,3 +128,38 @@ def test_rollup_distinct_hll_sketches(spark):
     )["1 day"]
     again = estimate_distinct(merged, ["users"]).collect()[0]
     assert again.users == exact and again.n == 2400
+
+
+def test_rollup_moments_sumsq(spark):
+    """count+sum+sumsq roll up algebraically; derive_stats recovers the
+    SAME avg/std at every grain and through the merge-refresh path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators import (
+        derive_stats,
+        rollup_hypertable,
+        rollup_merge_aggs,
+    )
+
+    df = spark.range(1440).select(
+        F.timestamp_seconds(1_699_920_000 + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 17).cast("double").alias("lat"),
+        F.lit("k").alias("k"),
+    )
+    aggs = {
+        "n": ("count", None), "s": ("sum", "lat"), "s2": ("sumsq", "lat"),
+    }
+    levels = rollup_hypertable(df, "ts", aggs, ("1 hour", "1 day"), group_by=["k"])
+    day = derive_stats(levels["1 day"], "n", "s", "s2").collect()[0]
+    vals = [i % 17 for i in range(1440)]
+    mean = sum(vals) / len(vals)
+    var = sum(v * v for v in vals) / len(vals) - mean * mean
+    assert abs(day.avg - mean) < 1e-9 and abs(day.std - math.sqrt(var)) < 1e-9
+
+    merged = rollup_hypertable(
+        levels["1 hour"], "bucket_start", rollup_merge_aggs(aggs), ("1 day",)
+    )["1 day"]
+    again = derive_stats(merged, "n", "s", "s2").collect()[0]
+    assert abs(again.avg - mean) < 1e-9 and abs(again.std - math.sqrt(var)) < 1e-9

@@ -789,3 +789,19 @@ def test_truncate_slice_find_format(spark):
     assert row.fmt == "1,234,567.89"
     assert row.tc == "Abcdefgh"
     assert row.bytes == 10 and row.chars == 4  # 3×3-byte chars + 'x'
+
+
+def test_parse_json_typed_form(spark):
+    df = spark.createDataFrame(
+        [('{"status": 404, "path": "/x"}', "not json")], "j string, bad string"
+    )
+    row = df.select(
+        compile_condition('parse_json(.j, "status INT, path STRING")').alias("m"),
+        compile_condition('parse_json(.bad, "status INT")').alias("b"),
+        compile_condition("parse_json(.j)").alias("passthru"),
+    ).collect()[0]
+    assert row.m.status == 404 and row.m.path == "/x"
+    assert row.b.status is None  # malformed -> null fields, recoverable
+    assert row.passthru.startswith("{")  # 1-arg form unchanged
+    with pytest.raises(VRLError, match="DDL"):
+        compile_condition("parse_json(.j, .bad)")

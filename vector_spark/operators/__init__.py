@@ -33,6 +33,7 @@ from vector_spark.operators.dedupe import dedupe
 from vector_spark.operators.reduce import reduce_events
 from vector_spark.operators.aggregate import (
     aggregate,
+    derive_stats,
     estimate_distinct,
     rollup_hypertable,
     rollup_merge_aggs,
@@ -77,7 +78,7 @@ __all__ = [
     "tag_routes", "split", "route_all_matches", "UNMATCHED",
     "sample", "sample_mod", "throttle", "dedupe", "reduce_events",
     "aggregate", "rollup_hypertable", "rollup_merge_aggs", "sink_aggregate",
-    "estimate_distinct",
+    "estimate_distinct", "derive_stats",
     "log_to_metric", "metric_to_log",
     "log_to_metric_summary", "log_to_metric_histogram", "log_to_metric_distribution",
     "log_to_metric_distribution_sketch",

@@ -66,6 +66,12 @@ _MERGEABLE = {
     # merge-only kind emitted by rollup_merge_aggs for already-sketched
     # columns (a fine level read back from a sink)
     "distinct_merge": (F.hll_union_agg, F.hll_union_agg),
+    # power sum Σx² — with count+sum it makes avg/variance/stddev
+    # algebraic (avg = Σx/n, var = Σx²/n − (Σx/n)²): store the three
+    # sums, derive moments at read time via derive_stats().  The same
+    # trick does NOT extend to medians — use the distinct/HLL pattern's
+    # sketch philosophy there (percentile_approx at read over raw rows).
+    "sumsq": (lambda c: F.sum(F.col(c) * F.col(c)), F.sum),
 }
 
 _UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
@@ -168,13 +174,39 @@ def rollup_merge_aggs(aggs: dict[str, tuple[str, str | None]]) -> dict[str, tupl
     for name, (how, _col) in aggs.items():
         if how not in _MERGEABLE:
             raise ValueError(f"aggregate {how!r} for {name!r} is not mergeable")
-        if how == "count":
+        if how in ("count", "sumsq"):
+            # stored outputs fold by PLAIN sum — re-applying the base fn
+            # would re-count rows / re-square the stored power sums
             out[name] = ("sum", name)
         elif how in ("distinct", "distinct_merge"):
             out[name] = ("distinct_merge", name)
         else:
             out[name] = (how, name)
     return out
+
+
+def derive_stats(
+    df: DataFrame,
+    n_col: str,
+    sum_col: str,
+    sumsq_col: str,
+    *,
+    prefix: str = "",
+) -> DataFrame:
+    """Read-time moments from stored power sums: adds ``{prefix}avg``,
+    ``{prefix}var`` (population) and ``{prefix}std`` columns derived from
+    a rollup's count/sum/sumsq outputs.  Because the three inputs are all
+    plain sums, the SAME derivation is exact at every grain and after any
+    merge — the algebraic route to mean/variance that percentile-style
+    order statistics can't take."""
+    n = F.col(n_col).cast("double")
+    mean = F.col(sum_col) / n
+    var = F.greatest(F.col(sumsq_col) / n - mean * mean, F.lit(0.0))
+    return (
+        df.withColumn(f"{prefix}avg", mean)
+        .withColumn(f"{prefix}var", var)
+        .withColumn(f"{prefix}std", F.sqrt(var))
+    )
 
 
 def estimate_distinct(df: DataFrame, sketch_cols: list[str]) -> DataFrame:

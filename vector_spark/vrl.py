@@ -411,9 +411,21 @@ class _Parser:
         if base in ("string", "to_string"):
             return args[0].cast("string")
         if base == "parse_json":
-            # Real JSON field extraction is the remap stage's job (typed
-            # from_json with schema); inside a condition the value passes
-            # through as a string column.
+            # Two-arg TYPED form (r5, symmetric with parse_xml):
+            # parse_json(.f, "a INT, b STRING") compiles to the JVM
+            # from_json with the literal DDL schema — struct fields
+            # accessible via ['a'].  One-arg form: real extraction is the
+            # remap stage's job; inside a condition the value passes
+            # through as a string column (dynamic typing has no place in
+            # a typed build).
+            if len(args) > 1:
+                schema = raws[1] if raws and len(raws) > 1 else None
+                if not isinstance(schema, str) or isinstance(schema, RawRegex):
+                    raise VRLError(
+                        "parse_json: schema must be a literal DDL string, "
+                        'e.g. parse_json(.f, "a INT, b STRING")'
+                    )
+                return F.from_json(args[0].cast("string"), schema)
             return args[0].cast("string")
         if base == "length":
             return F.length(args[0].cast("string"))
